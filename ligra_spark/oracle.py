@@ -1,0 +1,231 @@
+"""Single-node numpy CSR oracle transcribing the reference apps' EXACT
+semantics.  This is the correctness anchor for the Spark engine: every
+distributed algorithm is differentially tested against these functions
+on deterministic fixtures (tests/), and the frozen golden tables are
+produced by them.
+
+Each function documents the reference file:line whose semantics it
+transcribes (semantics only — the implementation is fresh numpy).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "out_degrees",
+    "pagerank",
+    "pagerank_delta",
+    "components",
+    "label_propagation",
+    "triangle_count",
+    "bfs_levels",
+    "kcore",
+    "bellman_ford",
+]
+
+
+def out_degrees(n: int, src: np.ndarray) -> np.ndarray:
+    return np.bincount(src, minlength=n).astype(np.int64)
+
+
+def pagerank(
+    n: int,
+    src: np.ndarray,
+    dst: np.ndarray,
+    max_iters: int = 100,
+    damping: float = 0.85,
+    epsilon: float = 1e-7,
+) -> tuple[np.ndarray, int]:
+    """PageRank, semantics of ``apps/PageRank.C:69-100``:
+
+    p0 = 1/n; each round p_next[d] = damping * sum_{(s,d) in E}
+    p_curr[s]/outdeg(s) + (1-damping)/n over ALL edges (duplicates
+    count; dangling vertices' mass is simply lost — no redistribution);
+    stop when L1(p_next - p_curr) < epsilon or after max_iters rounds.
+    Returns (scores, rounds_run).
+    """
+    deg = out_degrees(n, src)
+    p_curr = np.full(n, 1.0 / n, dtype=np.float64)
+    const = (1.0 - damping) / n
+    it = 0
+    while it < max_iters:
+        it += 1
+        contrib = p_curr[src] / deg[src]  # deg>0 whenever src appears
+        p_next = damping * np.bincount(dst, weights=contrib, minlength=n) + const
+        l1 = np.abs(p_curr - p_next).sum()
+        p_curr = p_next
+        if l1 < epsilon:
+            break
+    return p_curr, it
+
+
+def pagerank_delta(
+    n: int,
+    src: np.ndarray,
+    dst: np.ndarray,
+    max_iters: int = 100,
+    damping: float = 0.85,
+    epsilon: float = 1e-7,
+    epsilon2: float = 0.01,
+) -> tuple[np.ndarray, int]:
+    """PageRankDelta, semantics of ``apps/PageRankDelta.C:87-129``:
+
+    state p=0, Delta=1/n, all vertices active.  Each round: nghSum[d] =
+    sum over edges from ACTIVE s of Delta[s]/outdeg(s).  Round 1
+    (``PR_Vertex_F_FirstRound``, :47-61): Delta = damping*nghSum +
+    (1-damping)/n; p += Delta; Delta -= 1/n; active iff |Delta| >
+    epsilon2 * p.  Later rounds (``PR_Vertex_F``, :63-75): Delta =
+    damping*nghSum; active (and p += Delta) iff |Delta| > epsilon2*p.
+    Stop when L1(Delta) < epsilon.  Returns (p, rounds_run).
+    """
+    deg = out_degrees(n, src)
+    p = np.zeros(n, dtype=np.float64)
+    delta = np.full(n, 1.0 / n, dtype=np.float64)
+    active = np.ones(n, dtype=bool)
+    one_over_n = 1.0 / n
+    it = 0
+    while it < max_iters:
+        it += 1
+        mask = active[src]
+        ngh_sum = np.bincount(
+            dst[mask], weights=delta[src[mask]] / deg[src[mask]], minlength=n
+        )
+        if it == 1:
+            delta = damping * ngh_sum + (1.0 - damping) * one_over_n
+            p = p + delta
+            delta = delta - one_over_n
+            active = np.abs(delta) > epsilon2 * p
+        else:
+            delta = damping * ngh_sum
+            active = np.abs(delta) > epsilon2 * p
+            p = np.where(active, p + delta, p)
+        if np.abs(delta).sum() < epsilon:
+            break
+    return p, it
+
+
+def components(n: int, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Connected components via min-label propagation to fixpoint
+    (``apps/Components.C:52-68``).  Requires a symmetric edge table;
+    the fixpoint label is the minimum vertex id in the component."""
+    ids = np.arange(n, dtype=np.int64)
+    while True:
+        new = ids.copy()
+        np.minimum.at(new, dst, ids[src])
+        if np.array_equal(new, ids):
+            return ids
+        ids = new
+
+
+def label_propagation(n: int, src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, int]:
+    """Shortcutting label propagation (``apps/Components-Shortcut.C:
+    61-81``, WSDM'18): min-label edge pass from active vertices + a
+    pointer-jump ``IDs[i] = IDs[IDs[i]]``; a vertex stays active while
+    its label changes.  Fixpoint equals `components`.  Returns
+    (labels, rounds)."""
+    ids = np.arange(n, dtype=np.int64)
+    prev = ids.copy()
+    active = np.ones(n, dtype=bool)
+    rounds = 0
+    while active.any():
+        rounds += 1
+        mask = active[src]
+        np.minimum.at(ids, dst[mask], ids[src[mask]])
+        ids = ids[ids]  # pointer jump (CC_Shortcut, :35-37)
+        active = ids != prev
+        prev = ids.copy()
+    return ids, rounds
+
+
+def triangle_count(n: int, src: np.ndarray, dst: np.ndarray) -> int:
+    """Triangle count on a symmetric graph (``apps/Triangle.C:35-62``):
+    for each edge (s,d) with s>d, count common neighbors c with
+    c < d (< s); each triangle {x<y<z} is counted exactly once via the
+    pair (z,y) with c=x."""
+    # adjacency sets per vertex
+    order = np.lexsort((dst, src))
+    s, d = src[order], dst[order]
+    offsets = np.searchsorted(s, np.arange(n + 1, dtype=np.int64))
+    total = 0
+    adj = [d[offsets[i] : offsets[i + 1]] for i in range(n)]
+    for ss, dd in zip(s, d):
+        if ss > dd:
+            A, B = adj[ss], adj[dd]
+            A = A[A < dd]
+            B = B[B < dd]
+            total += np.intersect1d(A, B, assume_unique=True).size
+    return int(total)
+
+
+def bfs_levels(n: int, src: np.ndarray, dst: np.ndarray, root: int = 0) -> np.ndarray:
+    """BFS level per vertex from root (-1 = unreachable).  Level sets
+    are the race-free invariant of ``apps/BFS.C:42-53`` (parent ids are
+    race-dependent, README note in SURVEY.md §2.4)."""
+    levels = np.full(n, -1, dtype=np.int64)
+    levels[root] = 0
+    frontier = np.array([root], dtype=np.int64)
+    lvl = 0
+    order = np.lexsort((dst, src))
+    s, d = src[order], dst[order]
+    offsets = np.searchsorted(s, np.arange(n + 1, dtype=np.int64))
+    while frontier.size:
+        lvl += 1
+        nbrs = np.concatenate(
+            [d[offsets[v] : offsets[v + 1]] for v in frontier]
+        ) if frontier.size else np.empty(0, dtype=np.int64)
+        nbrs = np.unique(nbrs)
+        new = nbrs[levels[nbrs] < 0]
+        levels[new] = lvl
+        frontier = new
+    return levels
+
+
+def kcore(n: int, src: np.ndarray, dst: np.ndarray, max_k: int | None = None) -> np.ndarray:
+    """Core numbers by iterative peeling (``apps/KCore.C:44-55``
+    semantics; the fork caps ``max_k = min(n, 10)``, ``KCore.C:87`` —
+    pass max_k=10 to reproduce that quirk).  Symmetric input."""
+    deg = out_degrees(n, src).copy()
+    core = np.zeros(n, dtype=np.int64)
+    alive = np.ones(n, dtype=bool)
+    kmax = n if max_k is None else max_k
+    order = np.lexsort((dst, src))
+    s, d = src[order], dst[order]
+    offsets = np.searchsorted(s, np.arange(n + 1, dtype=np.int64))
+    for k in range(1, kmax + 1):
+        while True:
+            peel = np.where(alive & (deg < k))[0]
+            if peel.size == 0:
+                break
+            core[peel] = k - 1
+            alive[peel] = False
+            for v in peel:
+                nb = d[offsets[v] : offsets[v + 1]]
+                np.subtract.at(deg, nb[alive[nb]], 1)
+        if not alive.any():
+            break
+    core[alive] = kmax
+    return core
+
+
+def bellman_ford(
+    n: int, src: np.ndarray, dst: np.ndarray, weight: np.ndarray, root: int = 0
+) -> np.ndarray:
+    """SSSP, semantics of ``apps/BellmanFord.C:32-78``: writeMin
+    relaxation from the improved frontier, at most n rounds.  Returns
+    int64 distances (unreachable = max int sentinel, standing in for
+    Ligra's INT_MAX init, :60)."""
+    INF = np.iinfo(np.int64).max
+    dist = np.full(n, INF, dtype=np.int64)
+    dist[root] = 0
+    frontier = np.zeros(n, dtype=bool)
+    frontier[root] = True
+    for _ in range(n):
+        if not frontier.any():
+            break
+        mask = frontier[src]
+        cand = dist.copy()
+        np.minimum.at(cand, dst[mask], dist[src[mask]] + weight[mask])
+        frontier = cand < dist
+        dist = cand
+    return dist

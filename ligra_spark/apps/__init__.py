@@ -1,0 +1,20 @@
+"""Built-in link-graph apps — the query surface of the engine, one per
+canonical reference app (SURVEY.md §2.4)."""
+
+from .pagerank import pagerank, pagerank_delta
+from .components import components, label_propagation
+from .triangle import triangle_count
+from .bfs import bfs_levels
+from .bellman_ford import bellman_ford
+from .kcore import kcore
+
+__all__ = [
+    "pagerank",
+    "pagerank_delta",
+    "components",
+    "label_propagation",
+    "triangle_count",
+    "bfs_levels",
+    "bellman_ford",
+    "kcore",
+]

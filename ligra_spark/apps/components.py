@@ -1,0 +1,144 @@
+"""Connected components + shortcutting label propagation — semantics of
+``/root/reference/apps/Components.C:52-68`` and
+``/root/reference/apps/Components-Shortcut.C:61-81`` (WSDM'18).
+
+Both require a symmetric edge table (README.md:63-64 — run with ``-s``)
+and converge to label = min vertex id in the component (exact-match
+deliverable).  The frontier SHRINKS monotonically, so the engine's
+sparse path (broadcast frontier) dominates late supersteps — the
+direction optimization that defines Ligra (``ligra.h:261``).
+
+Per-superstep plan: one shuffle for components (the groupBy(dst) min);
+label propagation adds one more (the pointer-jump self-join on label)
+but converges in O(log diameter)-ish rounds on web graphs instead of
+O(diameter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..engine import IterState, edge_map
+
+__all__ = ["components", "label_propagation"]
+
+
+def components(
+    graph,
+    max_iters: int = 10_000,
+    checkpoint_mgr=None,
+    checkpoint_every: int = 10,
+    name: str = "components",
+    on_superstep=None,
+) -> tuple[DataFrame, int]:
+    """Min-label propagation to fixpoint.  Returns ((id, component), rounds).
+
+    A vertex re-enters the frontier iff its label changed this round
+    (``Components.C:30-39``); loop until the frontier empties
+    (``Components.C:62-67``).
+    """
+    init = graph.vertices.select(
+        "id", F.col("id").alias("label"), F.lit(True).alias("changed")
+    )
+    st = IterState(
+        init,
+        num_partitions=graph.num_partitions,
+        checkpoint_every=checkpoint_every,
+        manager=checkpoint_mgr,
+        name=name,
+    )
+    it, n_changed = 0, graph.n
+    while n_changed > 0 and it < max_iters:
+        it += 1
+        frontier = st.df.filter("changed").select("id", "label")
+        msgs = edge_map(
+            graph,
+            frontier,
+            message=F.col("label"),
+            aggregate=F.min,
+            frontier_size=n_changed,
+            extra_frontier_cols=("label",),
+        )
+        new = (
+            st.df.select("id", "label")
+            .join(msgs, "id", "left")
+            .select(
+                "id",
+                F.least("label", F.coalesce("agg", "label")).alias("new_label"),
+                "label",
+            )
+            .select(
+                "id",
+                F.col("new_label").alias("label"),
+                (F.col("new_label") < F.col("label")).alias("changed"),
+            )
+        )
+        new = st.advance(new)
+        n_changed = new.filter("changed").count()
+        if on_superstep:
+            on_superstep(it, {"frontier": n_changed})
+    return st.df.select("id", F.col("label").alias("component")), it
+
+
+def label_propagation(
+    graph,
+    max_iters: int = 10_000,
+    checkpoint_mgr=None,
+    checkpoint_every: int = 10,
+    name: str = "label_propagation",
+    on_superstep=None,
+) -> tuple[DataFrame, int]:
+    """Shortcutting label propagation: min-label edge pass from active
+    vertices, then pointer-jump ``label = label[label]``
+    (``Components-Shortcut.C:30-42``); a vertex stays active while its
+    label changed this round.  Fixpoint labels equal ``components``.
+    Returns ((id, label), rounds)."""
+    init = graph.vertices.select(
+        "id", F.col("id").alias("label"), F.lit(True).alias("active")
+    )
+    st = IterState(
+        init,
+        num_partitions=graph.num_partitions,
+        checkpoint_every=checkpoint_every,
+        manager=checkpoint_mgr,
+        name=name,
+    )
+    it, n_active = 0, graph.n
+    while n_active > 0 and it < max_iters:
+        it += 1
+        frontier = st.df.filter("active").select("id", "label")
+        msgs = edge_map(
+            graph,
+            frontier,
+            message=F.col("label"),
+            aggregate=F.min,
+            frontier_size=n_active,
+            extra_frontier_cols=("label",),
+        )
+        after_min = (
+            st.df.select("id", "label")
+            .join(msgs, "id", "left")
+            .select(
+                "id",
+                F.col("label").alias("prev"),
+                F.least("label", F.coalesce("agg", "label")).alias("l1"),
+            )
+        )
+        # pointer jump on the POST-min labels: label = l1[l1]
+        mapping = after_min.select(
+            F.col("id").alias("mid"), F.col("l1").alias("mlabel")
+        )
+        new = (
+            after_min.join(mapping, after_min["l1"] == mapping["mid"])
+            .select(
+                "id",
+                F.col("mlabel").alias("label"),
+                (F.col("mlabel") != F.col("prev")).alias("active"),
+            )
+        )
+        new = st.advance(new)
+        n_active = new.filter("active").count()
+        if on_superstep:
+            on_superstep(it, {"active": n_active})
+    return st.df.select("id", "label"), it

@@ -1,0 +1,188 @@
+"""PageRank and PageRankDelta — semantics of
+``/root/reference/apps/PageRank.C:69-100`` and
+``/root/reference/apps/PageRankDelta.C:87-129`` (see
+``ligra_spark.oracle`` for the transcribed single-node spec; the
+tests assert allclose(1e-6) between this engine and that oracle).
+
+Reference quirks replicated exactly:
+- NO dangling-mass redistribution: outdeg-0 vertices' mass is lost
+  (``PageRank.C:33-40`` only ever adds over existing edges).
+- duplicate edges count double (the fixture keeps rMat duplicates).
+- L1 stop 1e-7, damping 0.85, p0 = 1/n over ALL n vertex slots.
+
+Physical plan per superstep (exactly ONE shuffle):
+    state(id, outdeg, rank)            [hash(id), persisted]
+      ⋈ edges(src, dst) ON id = src    [edges pre-hashed on src → no exchange]
+      → groupBy(dst).agg(sum(rank/outdeg))   [THE shuffle; partial aggs
+                                              absorb hub skew map-side]
+      ⋈ state ON id = dst              [both hash(id) → no exchange]
+      → new state + old rank column
+    L1 = agg(sum(abs(rank - old)))     [the materializing action]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..engine import IterState, edge_map
+
+__all__ = ["pagerank", "pagerank_delta"]
+
+
+def pagerank(
+    graph,
+    max_iters: int = 100,
+    damping: float = 0.85,
+    epsilon: float = 1e-7,
+    checkpoint_mgr=None,
+    checkpoint_every: int = 10,
+    resume: bool = False,
+    name: str = "pagerank",
+    on_superstep=None,
+) -> tuple[DataFrame, int]:
+    """Returns ((id, rank) DataFrame, supersteps run)."""
+    const = (1.0 - damping) / graph.n
+    it = 0
+    if resume and checkpoint_mgr is not None and checkpoint_mgr.latest_step(name):
+        it = checkpoint_mgr.latest_step(name)
+        init = checkpoint_mgr.load(name, it, graph.num_partitions)
+    else:
+        init = graph.out_degrees.select(
+            "id", "outdeg", F.lit(1.0 / graph.n).alias("rank")
+        )
+    st = IterState(
+        init,
+        num_partitions=graph.num_partitions,
+        checkpoint_every=checkpoint_every,
+        manager=checkpoint_mgr,
+        name=name,
+        superstep=it,
+    )
+    while it < max_iters:
+        it += 1
+        # dense superstep: every vertex is in the frontier every round
+        # (PageRank.C:86-98 never shrinks the frontier)
+        msgs = edge_map(
+            graph,
+            st.df.select("id", F.try_divide("rank", "outdeg").alias("share")),
+            message=F.col("share"),
+            aggregate=F.sum,
+            extra_frontier_cols=("share",),
+        )
+        new = (
+            st.df.select("id", "outdeg", F.col("rank").alias("old"))
+            .join(msgs, "id", "left")
+            .select(
+                "id",
+                "outdeg",
+                (F.lit(damping) * F.coalesce("agg", F.lit(0.0)) + F.lit(const)).alias(
+                    "rank"
+                ),
+                "old",
+            )
+        )
+        new = st.advance(new.select("id", "outdeg", "rank", "old"))
+        l1 = new.agg(F.sum(F.abs(F.col("rank") - F.col("old")))).first()[0]
+        if checkpoint_mgr is not None:
+            # re-save metadata with the measured l1 for resume/metrics
+            pass
+        if on_superstep:
+            on_superstep(it, {"l1": l1})
+        if l1 < epsilon:
+            break
+    return st.df.select("id", "rank"), it
+
+
+def pagerank_delta(
+    graph,
+    max_iters: int = 100,
+    damping: float = 0.85,
+    epsilon: float = 1e-7,
+    epsilon2: float = 0.01,
+    checkpoint_mgr=None,
+    checkpoint_every: int = 10,
+    name: str = "pagerank_delta",
+    on_superstep=None,
+) -> tuple[DataFrame, int]:
+    """Frontier-filtered PageRank (``PageRankDelta.C``): only vertices
+    whose |Delta| exceeds epsilon2·p propagate.  The frontier SHRINKS,
+    so edge_map's sparse path (broadcast frontier) kicks in once the
+    active set is below m/20.  Returns ((id, rank), supersteps)."""
+    one_over_n = 1.0 / graph.n
+    init = graph.out_degrees.select(
+        "id",
+        "outdeg",
+        F.lit(0.0).alias("p"),
+        F.lit(one_over_n).alias("delta"),
+        F.lit(True).alias("active"),
+    )
+    st = IterState(
+        init,
+        num_partitions=graph.num_partitions,
+        checkpoint_every=checkpoint_every,
+        manager=checkpoint_mgr,
+        name=name,
+    )
+    it = 0
+    n_active = graph.n
+    while it < max_iters:
+        it += 1
+        frontier = st.df.filter("active").select(
+            "id", F.try_divide("delta", "outdeg").alias("share")
+        )
+        msgs = edge_map(
+            graph,
+            frontier,
+            message=F.col("share"),
+            aggregate=F.sum,
+            frontier_size=n_active,
+            extra_frontier_cols=("share",),
+        )
+        joined = st.df.join(msgs, "id", "left").withColumn(
+            "ngh", F.coalesce("agg", F.lit(0.0))
+        )
+        if it == 1:  # PR_Vertex_F_FirstRound, PageRankDelta.C:47-61
+            new = joined.select(
+                "id",
+                "outdeg",
+                (F.lit(damping) * F.col("ngh") + F.lit((1 - damping) * one_over_n)).alias(
+                    "d1"
+                ),
+                "p",
+            ).select(
+                "id",
+                "outdeg",
+                (F.col("p") + F.col("d1")).alias("p"),
+                (F.col("d1") - F.lit(one_over_n)).alias("delta"),
+            )
+            new = new.withColumn(
+                "active", F.abs("delta") > F.lit(epsilon2) * F.col("p")
+            )
+        else:  # PR_Vertex_F, PageRankDelta.C:63-75
+            new = joined.select(
+                "id",
+                "outdeg",
+                "p",
+                (F.lit(damping) * F.col("ngh")).alias("delta"),
+            ).withColumn("active", F.abs("delta") > F.lit(epsilon2) * F.col("p"))
+            new = new.select(
+                "id",
+                "outdeg",
+                F.when(F.col("active"), F.col("p") + F.col("delta"))
+                .otherwise(F.col("p"))
+                .alias("p"),
+                "delta",
+                "active",
+            )
+        new = st.advance(new.select("id", "outdeg", "p", "delta", "active"))
+        row = new.agg(
+            F.sum(F.abs("delta")).alias("l1"),
+            F.sum(F.col("active").cast("long")).alias("na"),
+        ).first()
+        l1, n_active = row["l1"], int(row["na"])
+        if on_superstep:
+            on_superstep(it, {"l1": l1, "active": n_active})
+        if l1 < epsilon:
+            break
+    return st.df.select("id", F.col("p").alias("rank")), it

@@ -1,0 +1,123 @@
+"""Differential tests: Spark engine vs the numpy oracle on the shipped
+reference sample graph (n=128, m=708 — the same fixture every README
+example runs on).  Correctness bars from BASELINE.json: PageRank
+allclose 1e-6, components/labels exact."""
+
+import numpy as np
+import pytest
+
+from ligra_spark import oracle
+
+
+def _collect_by_id(df, col, n, fill=None):
+    rows = {r["id"]: r[col] for r in df.collect()}
+    out = [rows.get(i, fill) for i in range(n)]
+    return out
+
+
+# ---------------------------------------------------------------- pagerank
+def test_pagerank_matches_oracle(tiny_graph, tiny_edges):
+    from ligra_spark.apps import pagerank
+
+    n, src, dst = tiny_edges
+    expected, oracle_iters = oracle.pagerank(n, src, dst, max_iters=100)
+    got_df, iters = pagerank(tiny_graph, max_iters=100)
+    got = np.array(_collect_by_id(got_df, "rank", n))
+    assert iters == oracle_iters
+    np.testing.assert_allclose(got, expected, atol=1e-6, rtol=0)
+
+
+def test_pagerank_10iters(tiny_graph, tiny_edges):
+    """TestAll.C:139 benchmark shape — fixed 10 iterations."""
+    from ligra_spark.apps import pagerank
+
+    n, src, dst = tiny_edges
+    expected, _ = oracle.pagerank(n, src, dst, max_iters=10)
+    got_df, iters = pagerank(tiny_graph, max_iters=10)
+    got = np.array(_collect_by_id(got_df, "rank", n))
+    assert iters == 10
+    np.testing.assert_allclose(got, expected, atol=1e-6, rtol=0)
+
+
+def test_pagerank_delta_matches_oracle(tiny_graph, tiny_edges):
+    from ligra_spark.apps import pagerank_delta
+
+    n, src, dst = tiny_edges
+    expected, oracle_iters = oracle.pagerank_delta(n, src, dst)
+    got_df, iters = pagerank_delta(tiny_graph)
+    got = np.array(_collect_by_id(got_df, "rank", n))
+    assert iters == oracle_iters
+    np.testing.assert_allclose(got, expected, atol=1e-6, rtol=0)
+
+
+# ---------------------------------------------------------------- components
+def test_components_exact(tiny_graph_sym, tiny_sym):
+    from ligra_spark.apps import components
+
+    n, src, dst = tiny_sym
+    expected = oracle.components(n, src, dst)
+    got_df, _ = components(tiny_graph_sym)
+    got = np.array(_collect_by_id(got_df, "component", n))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_label_propagation_exact(tiny_graph_sym, tiny_sym):
+    from ligra_spark.apps import label_propagation
+
+    n, src, dst = tiny_sym
+    expected, _ = oracle.label_propagation(n, src, dst)
+    got_df, _ = label_propagation(tiny_graph_sym)
+    got = np.array(_collect_by_id(got_df, "label", n))
+    np.testing.assert_array_equal(got, expected)
+    # invariant: LP fixpoint == CC labels (Components-Shortcut.C:25-27)
+    np.testing.assert_array_equal(got, oracle.components(n, src, dst))
+
+
+# ---------------------------------------------------------------- triangle
+def test_triangle_count_exact(tiny_graph_sym, tiny_sym):
+    from ligra_spark.apps import triangle_count
+
+    n, src, dst = tiny_sym
+    expected = oracle.triangle_count(n, src, dst)
+    assert triangle_count(tiny_graph_sym) == expected
+
+
+# ---------------------------------------------------------------- bfs
+def test_bfs_levels(tiny_graph, tiny_edges):
+    from ligra_spark.apps import bfs_levels
+
+    n, src, dst = tiny_edges
+    expected = oracle.bfs_levels(n, src, dst, root=0)
+    got_df, _ = bfs_levels(tiny_graph, root=0)
+    got = np.array(_collect_by_id(got_df, "level", n, fill=-1))
+    np.testing.assert_array_equal(got, expected)
+
+
+# ---------------------------------------------------------------- weighted
+def test_bellman_ford(spark, tiny_edges):
+    from ligra_spark.apps import bellman_ford
+    from ligra_spark.graph import LinkGraph
+    from tests.conftest import edges_df
+
+    n, src, dst = tiny_edges
+    rng = np.random.default_rng(3)
+    w = rng.integers(1, 8, size=len(src)).astype(np.int64)
+    expected = oracle.bellman_ford(n, src, dst, w, root=0)
+    g = LinkGraph.from_edges(spark, edges_df(spark, src, dst, w), n=n).materialize()
+    got_df, _ = bellman_ford(g, root=0)
+    INF = np.iinfo(np.int64).max
+    got = np.array(_collect_by_id(got_df, "dist", n, fill=INF))
+    np.testing.assert_array_equal(got, expected)
+    g.unpersist()
+
+
+# ---------------------------------------------------------------- kcore
+def test_kcore_fork_quirk(tiny_graph_sym, tiny_sym):
+    """max_k = min(n, 10) cap (KCore.C:87)."""
+    from ligra_spark.apps import kcore
+
+    n, src, dst = tiny_sym
+    expected = oracle.kcore(n, src, dst, max_k=10)
+    got_df, _ = kcore(tiny_graph_sym, max_k=10)
+    got = np.array(_collect_by_id(got_df, "core", n))
+    np.testing.assert_array_equal(got, expected)

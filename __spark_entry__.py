@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator surface over the driver's
+testdata tables; ``oracle_sql()`` gives the DuckDB-runnable ANSI twin
+for every SQL-expressible query (convergence-defined apps — full
+PageRank/CC/LP — are rows-only by design; their exactness is pinned by
+tests/ against the numpy oracle instead).
+
+Graph queries run over a canonical DERIVED link graph so both engines
+see the same input: ``src = l_orderkey % 4096, dst = l_partkey % 4096``
+from ``lineitem`` (duplicates kept — matching the reference generator's
+duplicate-keeping semantics, ``utils/graphIO.h:343-353``), with vertex
+universe 0..4095.
 """
 
 from __future__ import annotations
@@ -12,27 +18,483 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+V = 4096
+EDGES_SQL = f"SELECT l_orderkey % {V} AS src, l_partkey % {V} AS dst FROM lineitem"
+SYM_SQL = (
+    "SELECT DISTINCT src, dst FROM ("
+    "SELECT src, dst FROM e0 WHERE src <> dst "
+    "UNION ALL SELECT dst AS src, src AS dst FROM e0 WHERE src <> dst) u"
+)
+PROBES = [0, 1, 2]
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+LANGS = {
+    "en": ["the", "a", "and", "of"],
+    "de": ["der", "die", "das", "und"],
+    "fr": ["le", "la", "les", "et"],
+    "es": ["el", "los", "las", "y"],
+}
 
 
+# ---------------------------------------------------------------- helpers
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_orderkey") % V).alias("src"), (F.col("l_partkey") % V).alias("dst")
+    )
+
+
+def _graph(spark: SparkSession, sf_dir: str, symmetric: bool = False):
+    from ligra_spark.graph import LinkGraph
+
+    return LinkGraph.from_edges(
+        spark, _edges(spark, sf_dir), n=V, make_symmetric=symmetric
+    )
+
+
+# ---------------------------------------------------------------- entry
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 10-iteration PageRank over the derived link graph at
+    sf0.001 (the TestAll.C benchmark shape)."""
+    from ligra_spark.apps import pagerank
+
+    g = _graph(spark, "/root/testdata/sf0.001")
+    scores, _ = pagerank(g, max_iters=10)
+    return scores.select("id", F.round("rank", 8).alias("rank"))
+
+
+# ---------------------------------------------------------------- queries
+def _q_out_degree(spark, sf):
+    return (
+        _edges(spark, sf)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+    )
+
+
+def _q_degree_histogram(spark, sf):
+    return _q_out_degree(spark, sf).groupBy("outdeg").agg(
+        F.count(F.lit(1)).alias("n_vertices")
+    )
+
+
+def _q_two_hop(spark, sf):
+    e = _edges(spark, sf)
+    a = e.select(F.col("src").alias("id"), F.col("dst").alias("mid"))
+    b = e.select(F.col("src").alias("mid"), F.col("dst").alias("d2"))
+    return a.join(b, "mid").groupBy("id").agg(F.count(F.lit(1)).alias("paths2"))
+
+
+def _q_triangles(spark, sf):
+    from ligra_spark.apps.triangle import triangle_count_df
+
+    return triangle_count_df(_graph(spark, sf, symmetric=True))
+
+
+def _q_pagerank_k3(spark, sf):
+    from ligra_spark.apps import pagerank
+
+    scores, _ = pagerank(_graph(spark, sf), max_iters=3)
+    return scores.select("id", F.round("rank", 8).alias("rank"))
+
+
+def _q_pagerank_full(spark, sf):
+    from ligra_spark.apps import pagerank
+
+    scores, _ = pagerank(_graph(spark, sf), max_iters=100)
+    return scores.select("id", F.round("rank", 8).alias("rank"))
+
+
+def _q_pagerank_delta(spark, sf):
+    from ligra_spark.apps import pagerank_delta
+
+    scores, _ = pagerank_delta(_graph(spark, sf), max_iters=100)
+    return scores.select("id", F.round("rank", 8).alias("rank"))
+
+
+def _q_cc_k4(spark, sf):
+    from ligra_spark.apps import components
+
+    labels, _ = components(_graph(spark, sf, symmetric=True), max_iters=4)
+    return labels.select("id", F.col("component").alias("label"))
+
+
+def _q_components(spark, sf):
+    from ligra_spark.apps import components
+
+    labels, _ = components(_graph(spark, sf, symmetric=True))
+    return labels
+
+
+def _q_label_propagation(spark, sf):
+    from ligra_spark.apps import label_propagation
+
+    labels, _ = label_propagation(_graph(spark, sf, symmetric=True))
+    return labels
+
+
+def _q_bfs_k3(spark, sf):
+    from ligra_spark.apps import bfs_levels
+
+    levels, _ = bfs_levels(_graph(spark, sf), root=0, max_iters=3)
+    return levels
+
+
+def _q_doc_exact_dedup(spark, sf):
+    from ligra_spark.functions import exact_duplicates
+
+    return exact_duplicates(_t(spark, sf, "documents"))
+
+
+def _q_doc_token_count(spark, sf):
+    from ligra_spark.functions import with_token_count
+
+    return with_token_count(_t(spark, sf, "documents")).select("doc_id", "n_tokens")
+
+
+def _q_doc_quality(spark, sf):
+    from ligra_spark.functions import with_quality
+
+    return with_quality(_t(spark, sf, "documents")).select(
+        "doc_id", "n_tokens", "alpha_ratio", "stop_hits", "quality"
+    )
+
+
+def _q_doc_lang_guess(spark, sf):
+    from ligra_spark.functions import with_lang_guess
+
+    return with_lang_guess(_t(spark, sf, "documents")).select("doc_id", "lang_guess")
+
+
+def _q_doc_fingerprint(spark, sf):
+    from ligra_spark.functions import with_fingerprint
+
+    return with_fingerprint(_t(spark, sf, "documents")).select("doc_id", "fingerprint")
+
+
+def _q_jaccard_pairs(spark, sf):
+    from ligra_spark.functions import token_jaccard_pairs
+
+    return token_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.9)
+
+
+def _q_minhash(spark, sf):
+    from ligra_spark.functions import minhash_signatures
+
+    return minhash_signatures(_t(spark, sf, "documents"), num_hashes=8, shingle_k=3)
+
+
+def _q_lsh_pairs(spark, sf):
+    from ligra_spark.functions import lsh_candidate_pairs, minhash_signatures
+
+    sigs = minhash_signatures(_t(spark, sf, "documents"), num_hashes=8, shingle_k=3)
+    return lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
+
+
+def _q_simhash(spark, sf):
+    from ligra_spark.functions import simhash16
+
+    return simhash16(_t(spark, sf, "documents"))
+
+
+def _q_cosine_probe(spark, sf):
+    from ligra_spark.functions.similarity import cosine_probe
+
+    return cosine_probe(_t(spark, sf, "embeddings"), PROBES)
+
+
+def _q_ann_topk(spark, sf):
+    from pyspark.sql import Window
+    from ligra_spark.functions.similarity import cosine_probe
+
+    cp = cosine_probe(_t(spark, sf, "embeddings"), PROBES)
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cp.filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+def _q_events_hourly(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # graph engine (SURVEY.md §2.4 apps over the derived link graph)
+        "out_degree": _q_out_degree,
+        "degree_histogram": _q_degree_histogram,
+        "two_hop_count": _q_two_hop,
+        "triangle_count": _q_triangles,
+        "pagerank_k3": _q_pagerank_k3,
+        "pagerank": _q_pagerank_full,
+        "pagerank_delta": _q_pagerank_delta,
+        "cc_k4": _q_cc_k4,
+        "components": _q_components,
+        "label_propagation": _q_label_propagation,
+        "bfs_k3": _q_bfs_k3,
+        # training-data pipeline: text analysis + dedup
+        "doc_exact_dedup": _q_doc_exact_dedup,
+        "doc_token_count": _q_doc_token_count,
+        "doc_quality": _q_doc_quality,
+        "doc_lang_guess": _q_doc_lang_guess,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "doc_jaccard_pairs": _q_jaccard_pairs,
+        "minhash_signatures": _q_minhash,
+        "minhash_lsh_pairs": _q_lsh_pairs,
+        "simhash16": _q_simhash,
+        # similarity search
+        "embedding_cosine_probe": _q_cosine_probe,
+        "ann_topk": _q_ann_topk,
+        # windowed events (streaming-shaped agg)
+        "events_hourly": _q_events_hourly,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracle SQL
+def _pr_sql(k: int) -> str:
+    sql = (
+        f"WITH e AS ({EDGES_SQL}),\n"
+        "deg AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src),\n"
+        f"v AS (SELECT CAST(range AS BIGINT) AS id FROM range({V})),\n"
+        f"p0 AS (SELECT id, 1.0/{V} AS rank FROM v)"
+    )
+    prev = "p0"
+    for i in range(1, k + 1):
+        sql += (
+            f",\nc{i} AS (SELECT e.dst AS id, sum({prev}.rank / deg.outdeg) AS contrib\n"
+            f"  FROM e JOIN {prev} ON {prev}.id = e.src JOIN deg ON deg.id = e.src\n"
+            f"  GROUP BY e.dst),\n"
+            f"p{i} AS (SELECT v.id, 0.85 * coalesce(c{i}.contrib, 0) + 0.15/{V} AS rank\n"
+            f"  FROM v LEFT JOIN c{i} ON c{i}.id = v.id)"
+        )
+        prev = f"p{i}"
+    return sql + f"\nSELECT id, round(rank, 8) AS rank FROM {prev}"
+
+
+def _cc_sql(k: int) -> str:
+    sql = (
+        f"WITH e0 AS ({EDGES_SQL}),\n"
+        f"es AS ({SYM_SQL}),\n"
+        f"v AS (SELECT CAST(range AS BIGINT) AS id FROM range({V})),\n"
+        "l0 AS (SELECT id, id AS label FROM v)"
+    )
+    prev = "l0"
+    for i in range(1, k + 1):
+        sql += (
+            f",\nm{i} AS (SELECT es.dst AS id, min({prev}.label) AS minl\n"
+            f"  FROM es JOIN {prev} ON {prev}.id = es.src GROUP BY es.dst),\n"
+            f"l{i} AS (SELECT {prev}.id, least({prev}.label, coalesce(m{i}.minl, {prev}.label)) AS label\n"
+            f"  FROM {prev} LEFT JOIN m{i} ON m{i}.id = {prev}.id)"
+        )
+        prev = f"l{i}"
+    return sql + f"\nSELECT id, label FROM {prev}"
+
+
+def _bfs_sql(k: int) -> str:
+    sql = f"WITH e AS ({EDGES_SQL}),\nvis0 AS (SELECT CAST(0 AS BIGINT) AS id, 0 AS level)"
+    prev = "vis0"
+    for i in range(1, k + 1):
+        sql += (
+            f",\nf{i} AS (SELECT DISTINCT e.dst AS id FROM e JOIN {prev} p "
+            f"ON p.id = e.src AND p.level = {i - 1}),\n"
+            f"nf{i} AS (SELECT id FROM f{i} WHERE id NOT IN (SELECT id FROM {prev})),\n"
+            f"vis{i} AS (SELECT id, level FROM {prev} "
+            f"UNION ALL SELECT id, {i} AS level FROM nf{i})"
+        )
+        prev = f"vis{i}"
+    return sql + f"\nSELECT id, CAST(level AS INT) AS level FROM {prev}"
+
+
+_TOKS = (
+    "SELECT doc_id, text, CASE WHEN length(trim(text)) = 0 THEN [] "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks FROM documents"
+)
+
+
+def _list_lit(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _quality_sql() -> str:
+    stop = _list_lit(STOPWORDS)
+    return (
+        f"WITH t AS ({_TOKS}),\n"
+        "q AS (SELECT doc_id,\n"
+        "  CAST(len(toks) AS INT) AS n_tokens,\n"
+        "  CASE WHEN length(text) = 0 THEN 0.0 "
+        "ELSE length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text) END AS ar,\n"
+        f"  CAST(len(list_distinct(list_intersect(toks, {stop}))) AS INT) AS stop_hits\n"
+        "FROM t)\n"
+        "SELECT doc_id, n_tokens, round(ar, 8) AS alpha_ratio, stop_hits,\n"
+        f"  round(0.5 * ar + 0.3 * least(1.0, n_tokens / 64.0) + 0.2 * (stop_hits / {float(len(STOPWORDS))}), 8) AS quality\n"
+        "FROM q"
+    )
+
+
+def _lang_sql() -> str:
+    scores = ",\n".join(
+        f"  CAST(len(list_distinct(list_intersect(toks, {_list_lit(w)}))) AS INT) AS s_{l}"
+        for l, w in LANGS.items()
+    )
+    order = list(LANGS)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in order) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{l} > 0 AND s_{l} = {best} THEN '{l}'" for l in order
+    ) + " ELSE 'und' END"
+    return (
+        f"WITH t AS ({_TOKS}),\n"
+        f"s AS (SELECT doc_id,\n{scores}\nFROM t)\n"
+        f"SELECT doc_id, {case} AS lang_guess FROM s"
+    )
+
+
+_DT_SQL = (
+    "SELECT DISTINCT doc_id, tok FROM ("
+    "SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok "
+    "FROM documents WHERE length(trim(text)) > 0) u"
+)
+
+
+def _jaccard_sql(threshold: float = 0.9) -> str:
+    return (
+        f"WITH dt AS ({_DT_SQL}),\n"
+        "sz AS (SELECT doc_id, count(*) AS sz FROM dt GROUP BY doc_id),\n"
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter\n"
+        "  FROM dt a JOIN dt b ON a.tok = b.tok AND a.doc_id < b.doc_id\n"
+        "  GROUP BY a.doc_id, b.doc_id),\n"
+        "j AS (SELECT doc_a, doc_b,\n"
+        "  round(inter * 1.0 / (sa.sz + sb.sz - inter), 8) AS jaccard\n"
+        "  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b)\n"
+        f"SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= {threshold}"
+    )
+
+
+def _hash_sql(expr: str, seed: int) -> str:
+    return f"CAST(('0x' || substring(md5('s{seed}:' || {expr}), 1, 8)) AS BIGINT)"
+
+
+_SHINGLES_SQL = (
+    "SELECT DISTINCT doc_id, shingle FROM (\n"
+    "  SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle,\n"
+    "         lead(tok, 2) OVER w AS last2\n"
+    "  FROM (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i\n"
+    "        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks\n"
+    "              FROM documents WHERE length(trim(text)) > 0) x) y\n"
+    "  WINDOW w AS (PARTITION BY doc_id ORDER BY i)\n"
+    ") z WHERE last2 IS NOT NULL"
+)
+
+
+def _minhash_sql(num_hashes: int = 8) -> str:
+    mins = ",\n".join(
+        f"  min({_hash_sql('shingle', s)}) AS h{s}" for s in range(num_hashes)
+    )
+    return f"WITH sh AS ({_SHINGLES_SQL})\nSELECT doc_id,\n{mins}\nFROM sh GROUP BY doc_id"
+
+
+def _lsh_sql(num_hashes: int = 8, bands: int = 4) -> str:
+    rpb = num_hashes // bands
+    parts = []
+    for b in range(bands):
+        cols = " || '|' || ".join(
+            f"CAST(h{b * rpb + j} AS VARCHAR)" for j in range(rpb)
+        )
+        parts.append(
+            f"SELECT doc_id, md5('{b}' || '|' || {cols}) AS bkey FROM sig"
+        )
+    bands_sql = "\nUNION ALL\n".join(parts)
+    mins = ", ".join(
+        f"min({_hash_sql('shingle', s)}) AS h{s}" for s in range(num_hashes)
+    )
+    return (
+        f"WITH sh AS ({_SHINGLES_SQL}),\n"
+        f"sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),\n"
+        f"bands AS ({bands_sql})\n"
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_bands\n"
+        "FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id\n"
+        "GROUP BY a.doc_id, b.doc_id"
+    )
+
+
+def _simhash_sql() -> str:
+    h = _hash_sql("tok", 99)
+    sums = ",\n".join(f"  sum(({h} >> {b}) & 1) AS b{b}" for b in range(16))
+    bits = " + ".join(
+        f"CASE WHEN b{b} * 2 > ntok THEN {1 << b} ELSE 0 END" for b in range(16)
+    )
+    return (
+        f"WITH dt AS ({_DT_SQL}),\n"
+        f"s AS (SELECT doc_id, count(*) AS ntok,\n{sums}\nFROM dt GROUP BY doc_id)\n"
+        f"SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM s"
+    )
+
+
+_COSINE_SQL = (
+    "WITH flat AS (SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS i,\n"
+    "  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),\n"
+    "norms AS (SELECT vid, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vid),\n"
+    "probes AS (SELECT vid AS probe_id, i, x AS px FROM flat WHERE vid IN (0, 1, 2)),\n"
+    "dots AS (SELECT probe_id, vid, sum(px * x) AS dot FROM probes JOIN flat USING (i)\n"
+    "  GROUP BY probe_id, vid)\n"
+    "SELECT dots.probe_id, dots.vid AS vec_id, round(dot / (n1.nrm * n2.nrm), 6) AS cos_sim\n"
+    "FROM dots JOIN norms n1 ON n1.vid = dots.vid\n"
+    "JOIN norms n2 ON n2.vid = dots.probe_id"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "out_degree": f"WITH e AS ({EDGES_SQL}) "
+        "SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src",
+        "degree_histogram": f"WITH e AS ({EDGES_SQL}), "
+        "d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src) "
+        "SELECT outdeg, count(*) AS n_vertices FROM d GROUP BY outdeg",
+        "two_hop_count": f"WITH e AS ({EDGES_SQL}) "
+        "SELECT a.src AS id, count(*) AS paths2 FROM e a JOIN e b ON a.dst = b.src "
+        "GROUP BY a.src",
+        "triangle_count": f"WITH e0 AS ({EDGES_SQL}), es AS ({SYM_SQL}) "
+        "SELECT count(*) AS triangles FROM es e1 "
+        "JOIN es e2 ON e1.dst = e2.src AND e1.src < e1.dst AND e2.src < e2.dst "
+        "JOIN es e3 ON e3.src = e1.src AND e3.dst = e2.dst",
+        "pagerank_k3": _pr_sql(3),
+        "cc_k4": _cc_sql(4),
+        "bfs_k3": _bfs_sql(3),
+        "doc_exact_dedup": "SELECT md5(text) AS h, min(doc_id) AS keep_id, "
+        "count(*) AS copies FROM documents GROUP BY md5(text)",
+        "doc_token_count": "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens "
+        "FROM documents",
+        "doc_quality": _quality_sql(),
+        "doc_lang_guess": _lang_sql(),
+        "doc_fingerprint": "SELECT doc_id, "
+        "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint "
+        "FROM documents",
+        "doc_jaccard_pairs": _jaccard_sql(0.9),
+        "minhash_signatures": _minhash_sql(8),
+        "minhash_lsh_pairs": _lsh_sql(8, 4),
+        "simhash16": _simhash_sql(),
+        "embedding_cosine_probe": _COSINE_SQL,
+        "ann_topk": (
+            f"WITH cp AS ({_COSINE_SQL})\n"
+            "SELECT probe_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (\n"
+            "  SELECT *, row_number() OVER (PARTITION BY probe_id "
+            "ORDER BY cos_sim DESC, vec_id) AS rank\n"
+            "  FROM cp WHERE vec_id <> probe_id) r WHERE rank <= 5"
+        ),
+        "events_hourly": "SELECT date_trunc('hour', ts) AS hour, event_type, "
+        "count(*) AS n, round(sum(value), 6) AS sum_value FROM events "
+        "GROUP BY date_trunc('hour', ts), event_type",
+        # pagerank / pagerank_delta / components / label_propagation are
+        # convergence-defined → rows-only check; exactness is pinned in
+        # tests/ against the numpy oracle (SURVEY.md §5).
+    }

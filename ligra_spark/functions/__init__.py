@@ -1,0 +1,36 @@
+"""Scalar/table functions for large-scale training-data pipelines over
+the documents/embeddings tables: text analysis, deduplication,
+similarity search, multimodal plumbing.  All hot paths are built-in
+Catalyst expressions (JVM, whole-stage codegen); Python appears only in
+clearly-marked Arrow-batched UDF paths."""
+
+from .text import (
+    with_token_count,
+    with_quality,
+    with_lang_guess,
+    with_fingerprint,
+    EN_STOPWORDS,
+)
+from .dedup import (
+    exact_duplicates,
+    token_jaccard_pairs,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    simhash16,
+)
+from .similarity import cosine_probe, brute_force_topk
+
+__all__ = [
+    "with_token_count",
+    "with_quality",
+    "with_lang_guess",
+    "with_fingerprint",
+    "EN_STOPWORDS",
+    "exact_duplicates",
+    "token_jaccard_pairs",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "simhash16",
+    "cosine_probe",
+    "brute_force_topk",
+]

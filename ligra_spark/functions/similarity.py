@@ -1,0 +1,185 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_probe``     — exact cosine similarity of a (small) probe set
+  against the whole table, expressed relationally (posexplode + join +
+  sum) so the same SQL runs in any engine and the fp64 accumulation
+  order is groupBy-deterministic up to rounding.
+- ``brute_force_topk`` — exact top-k neighbors per probe, computed
+  JVM-side with zip_with/aggregate over the array columns (no explode
+  blow-up) + a window row_number.  The baseline ANN answer.
+- ``lsh_bucket_topk``  — the scale path: random-hyperplane LSH.  Each
+  vector gets a b-bit signature from sign(v·r_i) with deterministic
+  md5-seeded hyperplanes; candidates = same-bucket vectors only, then
+  exact re-rank.  At 10^12 vectors the bucket join replaces the
+  all-pairs cross join; recall tunes with b and number of tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["cosine_probe", "brute_force_topk", "lsh_bucket_topk", "hyperplanes"]
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_probe(
+    emb: DataFrame,
+    probe_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """(probe_id, vec_id, cos_sim) for every (probe, vector) pair,
+    relational form: explode both sides, join on array index, sum."""
+    flat = emb.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col)).alias("i", "x"),
+    ).select("vid", "i", F.col("x").cast("double").alias("x"))
+    norms = flat.groupBy("vid").agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm"))
+    probes = flat.filter(F.col("vid").isin(probe_ids)).select(
+        F.col("vid").alias("probe_id"), "i", F.col("x").alias("px")
+    )
+    dots = (
+        probes.join(flat, "i")
+        .groupBy("probe_id", "vid")
+        .agg(F.sum(F.col("px") * F.col("x")).alias("dot"))
+    )
+    np_ = norms.select(F.col("vid").alias("probe_id"), F.col("nrm").alias("pn"))
+    return (
+        dots.join(norms, "vid")
+        .join(np_, "probe_id")
+        .select(
+            "probe_id",
+            F.col("vid").alias("vec_id"),
+            F.round(F.col("dot") / (F.col("nrm") * F.col("pn")), round_to).alias(
+                "cos_sim"
+            ),
+        )
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per probe row.  probes: DataFrame
+    (vec_id, embedding) — broadcast (probe sets are small); the big
+    side streams once through a JVM zip_with/aggregate projection."""
+    p = F.broadcast(
+        probes.select(
+            F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec")
+        )
+    )
+    joined = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")).crossJoin(p)
+    scored = joined.filter(F.col("vec_id") != F.col("probe_id")).select(
+        "probe_id",
+        "vec_id",
+        (_dot(F.col("vec"), F.col("pvec")) / (_norm(F.col("vec")) * _norm(F.col("pvec")))).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
+def hyperplanes(dim: int, bits: int, seed: int = 0):
+    """Deterministic pseudo-random hyperplanes: component r[b][i] =
+    (md5-derived uniform in [-1,1]).  numpy-free closed form so the
+    same planes can be rebuilt anywhere."""
+    import hashlib
+
+    planes = []
+    for b in range(bits):
+        row = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"{seed}:{b}:{i}".encode()).hexdigest()[:8], 16)
+            row.append((h / float(0xFFFFFFFF)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_topk(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    bits: int = 8,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN via random-hyperplane LSH: bucket = b-bit sign signature;
+    exact re-rank within the probe's bucket.  Returns (probe_id,
+    vec_id, cos_sim, rank) — a subset of brute-force top-k with
+    recall < 1 (the price of sub-linear candidate sets)."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    planes = hyperplanes(dim, bits)
+
+    def signature(vec):
+        sig = F.lit(0).cast("long")
+        for b, plane in enumerate(planes):
+            dot = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(c) for c in plane]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            sig = sig + F.when(dot >= 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return sig
+
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        signature(F.col(vec_col)).alias("bucket"),
+    )
+    p = F.broadcast(
+        probes.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("pvec"),
+            signature(F.col(vec_col)).alias("bucket"),
+        )
+    )
+    cands = base.join(p, "bucket").filter(F.col("vec_id") != F.col("probe_id"))
+    scored = cands.select(
+        "probe_id",
+        "vec_id",
+        (_dot(F.col("vec"), F.col("pvec")) / (_norm(F.col("vec")) * _norm(F.col("pvec")))).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )

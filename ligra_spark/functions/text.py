@@ -1,0 +1,113 @@
+"""Text analysis for web-scale corpus curation: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+Every function is a pure Catalyst expression pipeline (no UDFs) —
+at 100 TB these run as one scan-project with whole-stage codegen, and
+each has an exact ANSI-SQL twin (used as the DuckDB oracle in
+``__spark_entry__``), so semantics are pinned engine-independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "EN_STOPWORDS",
+    "LANG_MARKERS",
+    "tokens_col",
+    "token_count_col",
+    "with_token_count",
+    "with_quality",
+    "with_lang_guess",
+    "with_fingerprint",
+]
+
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+# marker words per language for the n-gram/stopword language-ID
+# heuristic; ties resolve in this declaration order
+LANG_MARKERS = {
+    "en": ["the", "a", "and", "of"],
+    "de": ["der", "die", "das", "und"],
+    "fr": ["le", "la", "les", "et"],
+    "es": ["el", "los", "las", "y"],
+}
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization (empty text → empty array)."""
+    return F.when(F.length(F.trim(text)) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(text), r"\s+")
+    )
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def with_token_count(df: DataFrame, text: str = "text") -> DataFrame:
+    return df.withColumn("n_tokens", token_count_col(F.col(text)))
+
+
+def with_quality(df: DataFrame, text: str = "text") -> DataFrame:
+    """Quality signals + a composite score in [0,1]:
+
+    - alpha_ratio: alphabetic chars / total chars (0 for empty)
+    - stop_hits  : number of DISTINCT English stopwords present
+    - len_score  : min(1, n_tokens/64)
+    - quality    : 0.5*alpha_ratio + 0.3*len_score + 0.2*(stop_hits/8)
+    """
+    t = F.col(text)
+    toks = tokens_col(t)
+    alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", ""))
+    total = F.length(t)
+    alpha_ratio = F.when(total == 0, F.lit(0.0)).otherwise(alpha / total)
+    stop_hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in EN_STOPWORDS]))
+    )
+    n_tokens = F.size(toks)
+    len_score = F.least(F.lit(1.0), n_tokens / F.lit(64.0))
+    quality = (
+        F.lit(0.5) * alpha_ratio
+        + F.lit(0.3) * len_score
+        + F.lit(0.2) * (stop_hits / F.lit(float(len(EN_STOPWORDS))))
+    )
+    return df.withColumns(
+        {
+            "n_tokens": n_tokens,
+            "alpha_ratio": F.round(alpha_ratio, 8),
+            "stop_hits": stop_hits,
+            "quality": F.round(quality, 8),
+        }
+    )
+
+
+def with_lang_guess(df: DataFrame, text: str = "text") -> DataFrame:
+    """Stopword-marker language ID.  Score per language = number of
+    distinct marker words present; guess = argmax with ties resolved
+    in LANG_MARKERS declaration order, 'und' (undetermined) when all
+    scores are 0."""
+    toks = tokens_col(F.col(text))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[scores[l] for l in langs])
+    guess = F.lit("und")
+    for lang in reversed(langs):  # build CASE so earlier langs win ties
+        guess = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(
+            guess
+        )
+    cols = {f"score_{l}": scores[l] for l in langs}
+    cols["lang_guess"] = guess
+    return df.withColumns(cols)
+
+
+def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the whitespace-normalized,
+    lowercased text — the exact-dedup key that survives formatting
+    noise."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text)), r"\s+", " "))
+    return df.withColumn("fingerprint", F.md5(norm))

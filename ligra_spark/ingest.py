@@ -1,0 +1,123 @@
+"""Pages → link-graph ingestion: the Spark twin of Ligra's IO layer
+(``/root/reference/ligra/IO.h:163-316`` builds CSR from text files; we
+build a partitioned edge table from a web-pages table, which is the
+input shape the north rule mandates).
+
+Pipeline (all JVM except the id-stamping, which is one Arrow batch
+pass):
+
+  pages(url, warc_ts, html, text, lang)
+    → extract links (regexp, whole-stage codegen)          [scan]
+    → url → dense id dictionary                            [1 sort shuffle]
+    → edges(src, dst) via two dictionary joins             [2 shuffles]
+    → LinkGraph (src-partitioned, persisted)
+
+Dense-id assignment is the classic scalable two-phase rank: range-
+partition urls, count per partition (tiny driver collect — P longs),
+prefix-sum offsets, stamp offset+local_rank per partition with an
+Arrow-batched ``mapInPandas``.  Deterministic (ids = lexicographic url
+rank), no single-partition Window, no monotonically_increasing_id
+gaps, collision-free (unlike 64-bit url hashing, which WILL collide at
+10^12 rows by birthday bound).
+
+At 100 TB: the dictionary is itself a partitioned table (~10^12 rows ×
+~100 B); the url→id joins are plain shuffle hash joins on url — this is
+the one unavoidable pair of wide shuffles in ingestion, and it runs
+once, after which everything operates on compact longs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .extract import extracted_pages
+from .graph import LinkGraph
+
+__all__ = ["assign_dense_ids", "build_vertex_dictionary", "build_edges", "build_link_graph"]
+
+
+def assign_dense_ids(
+    df: DataFrame, key: str = "url", num_partitions: int | None = None
+) -> DataFrame:
+    """(key, ...) → (id, key, ...) with id = 0-based lexicographic rank
+    of ``key`` (dense, deterministic, distributed)."""
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    parts = df.repartitionByRange(p, F.col(key)).sortWithinPartitions(key)
+    counts = (
+        parts.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    by_pid = {r["pid"]: r["count"] for r in counts}
+    offsets, acc = {}, 0
+    for pid in range(p):
+        offsets[pid] = acc
+        acc += by_pid.get(pid, 0)
+    schema_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in parts.schema)
+    out_schema = f"id long, {schema_fields}"
+
+    def stamp(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = offsets[pid]
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf.insert(0, "id", range(base, base + len(pdf)))
+            base += len(pdf)
+            yield pdf
+
+    return parts.mapInPandas(stamp, schema=out_schema)
+
+
+def build_vertex_dictionary(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """(id, url) — one row per page, id = dense url rank."""
+    return assign_dense_ids(pages.select("url"), "url", num_partitions).select("id", "url")
+
+
+def build_edges(
+    pages: DataFrame,
+    dictionary: DataFrame,
+    drop_unknown_targets: bool = True,
+) -> DataFrame:
+    """(src, dst) long edge table: explode per-page link arrays and map
+    both endpoints through the dictionary.  Duplicate links preserved.
+    Links to urls outside the page set are dropped (Ligra graphs are
+    closed over their vertex set) unless drop_unknown_targets=False, in
+    which case they raise at join time via inner-join row loss anyway.
+    """
+    links = (
+        extracted_pages(pages)
+        .select("url", F.explode("links").alias("href"))
+    )
+    d_src = dictionary.select(F.col("url"), F.col("id").alias("src"))
+    d_dst = dictionary.select(F.col("url").alias("href"), F.col("id").alias("dst"))
+    how = "inner"  # unknown targets drop out of the join
+    return (
+        links.join(d_src, "url", how)
+        .join(d_dst, "href", how)
+        .select("src", "dst")
+    )
+
+
+def build_link_graph(
+    spark: SparkSession,
+    pages: DataFrame,
+    num_partitions: int | None = None,
+    make_symmetric: bool = False,
+) -> tuple[LinkGraph, DataFrame]:
+    """Full ingestion: returns (LinkGraph, dictionary)."""
+    dictionary = build_vertex_dictionary(pages, num_partitions).persist()
+    n = dictionary.count()
+    edges = build_edges(pages, dictionary)
+    g = LinkGraph.from_edges(
+        spark, edges, n=n, num_partitions=num_partitions, make_symmetric=make_symmetric
+    )
+    return g, dictionary

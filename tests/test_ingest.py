@@ -1,0 +1,88 @@
+"""Ingestion tests: byte-identical text extraction (the input_hint
+per-row invariant) and pages → edge-table fidelity vs the fixture's
+known graph."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ligra_spark import fixtures
+
+
+@pytest.fixture(scope="module")
+def tiny_pages(spark, tiny_edges, tmp_path_factory):
+    n, src, dst = tiny_edges
+    out = str(tmp_path_factory.mktemp("pages"))
+    fixtures.write_graph_fixture(out, scale="tiny", with_pages=True)
+    return spark.read.parquet(f"{out}/pages.parquet"), (n, src, dst)
+
+
+def test_extract_text_byte_identical(tiny_pages):
+    """Spark regex extractor output == the single-node spec, byte for
+    byte, for every url (BASELINE.json input_hint invariant)."""
+    from ligra_spark.extract import extracted_pages
+
+    pages, _ = tiny_pages
+    rows = (
+        extracted_pages(pages)
+        .select("url", "text", "extracted_text", "html")
+        .collect()
+    )
+    assert len(rows) == 128
+    for r in rows:
+        spec = fixtures.extract_text_py(bytes(r["html"]))
+        assert r["extracted_text"] == r["text"] == spec, r["url"]
+        # sha256 equality (frozen-hash form of the same invariant)
+        assert (
+            hashlib.sha256(r["extracted_text"].encode()).hexdigest()
+            == hashlib.sha256(spec.encode()).hexdigest()
+        )
+
+
+def test_dense_id_assignment(tiny_pages):
+    """ids are the 0-based lexicographic url rank — dense, stable."""
+    from ligra_spark.ingest import build_vertex_dictionary
+
+    pages, (n, _, _) = tiny_pages
+    d = build_vertex_dictionary(pages, num_partitions=4).toPandas()
+    assert sorted(d["id"]) == list(range(n))
+    d = d.sort_values("url").reset_index(drop=True)
+    assert list(d["id"]) == list(range(n))  # rank order
+    # fixture urls zero-pad the page id, so rank == original page id
+    assert list(d["url"]) == list(fixtures.url_for(np.arange(n)))
+
+
+def test_pages_to_edges_exact_multiset(tiny_pages, spark):
+    """Extracted link graph == the generator's edge multiset exactly
+    (duplicates preserved, ids recovered via the dictionary)."""
+    from ligra_spark.ingest import build_link_graph
+
+    pages, (n, src, dst) = tiny_pages
+    g, _ = build_link_graph(spark, pages, num_partitions=4)
+    assert g.n == n and g.m == len(src)
+    got = g.edges.toPandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    order = np.lexsort((dst, src))
+    np.testing.assert_array_equal(got["src"].to_numpy(), src[order])
+    np.testing.assert_array_equal(got["dst"].to_numpy(), dst[order])
+    g.unpersist()
+
+
+def test_ingested_pagerank_matches_oracle(tiny_pages, spark):
+    """End-to-end: pages → graph → PageRank == numpy oracle on the
+    generator's edge list (the M1 flagship slice)."""
+    from ligra_spark import oracle
+    from ligra_spark.apps import pagerank
+    from ligra_spark.ingest import build_link_graph
+
+    pages, (n, src, dst) = tiny_pages
+    g, _ = build_link_graph(spark, pages, num_partitions=4)
+    expected, _ = oracle.pagerank(n, src, dst, max_iters=10)
+    got_df, _ = pagerank(g, max_iters=10)
+    got = (
+        got_df.toPandas().sort_values("id").reset_index(drop=True)["rank"].to_numpy()
+    )
+    np.testing.assert_allclose(got, expected, atol=1e-6, rtol=0)
+    g.unpersist()

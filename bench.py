@@ -1,0 +1,122 @@
+"""Benchmark harness — the TestAll.C-shaped phase driver
+(``/root/reference/apps/TestAll.C:90-180`` runs 1-hop / BFS / PR(10) /
+CC back-to-back with per-phase timers; we add triangle counting and
+the pipeline workloads).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {phase: sec, ...}, "sf": ...,
+     "graph": {...}, "throughput": {...}}
+
+``throughput`` carries the north-rule metric: edges processed per
+second per superstep for PageRank and CC.  Graph input: the derived
+link graph over V=65536 vertices from lineitem (src=l_orderkey%V,
+dst=l_partkey%V) — deterministic, engine-independent, scale-tracking.
+
+Scaling evidence (two parallelism levels) is produced by
+``tools/bench_scaling.py`` which invokes this file at local[8] and
+local[32] and writes the efficiency table into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+V_BENCH = 65536
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from ligra_spark.session import get_spark
+    from ligra_spark.graph import LinkGraph
+    from ligra_spark.apps import bfs_levels, components, pagerank
+    from ligra_spark.apps.triangle import triangle_count
+    from ligra_spark.functions import lsh_candidate_pairs, minhash_signatures
+    from ligra_spark.functions.similarity import brute_force_topk
+
+    spark = get_spark("ligra_spark_bench", cpus=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.select(
+        (F.col("l_orderkey") % V_BENCH).alias("src"),
+        (F.col("l_partkey") % V_BENCH).alias("dst"),
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    timings: dict[str, float] = {}
+    meta: dict[str, object] = {}
+
+    def phase(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # graph load (untimed warm-up analog: ligra.h:480 loads before timing)
+    g = LinkGraph.from_edges(spark, edges, n=V_BENCH).materialize()
+    gsym = LinkGraph.from_edges(spark, edges, n=V_BENCH, make_symmetric=True).materialize()
+
+    # phase 1: one-hop neighbor aggregation (TestAll.C:90-118)
+    phase("one_hop", lambda: g.edges.groupBy("src").agg(F.count(F.lit(1))).count())
+
+    # phase 2: BFS from root 0 (TestAll.C:120-135)
+    reached, bfs_rounds = phase("bfs", lambda: bfs_levels(g, root=0))
+    meta["bfs_rounds"] = bfs_rounds
+
+    # phase 3: PageRank 10 iterations (TestAll.C:139)
+    _, pr_iters = phase("pagerank10", lambda: pagerank(g, max_iters=10))
+
+    # phase 4: connected components to convergence (TestAll.C:166-180)
+    _, cc_rounds = phase("components", lambda: components(gsym))
+    meta["cc_rounds"] = cc_rounds
+
+    # phase 5: triangle counting
+    meta["triangles"] = phase("triangle", lambda: triangle_count(gsym))
+
+    # pipeline phases: MinHash+LSH near-dup, brute-force ANN
+    phase(
+        "minhash_lsh",
+        lambda: lsh_candidate_pairs(minhash_signatures(docs), 8, 4).count(),
+    )
+    probes = emb.filter(F.col("vec_id") < 3)
+    phase("cosine_topk", lambda: brute_force_topk(emb, probes, k=10).count())
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "ligra_spark headline phases (1hop/BFS/PR10/CC/triangle/minhash-LSH/ANN)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "graph": {"n": V_BENCH, "m": g.m, "m_sym": gsym.m, **meta},
+        "throughput": {
+            # edges scanned per superstep / seconds per superstep
+            "pr_edges_per_sec_per_superstep": round(
+                g.m / (timings["pagerank10"] / pr_iters)
+            ),
+            "cc_edges_per_sec_per_superstep": round(
+                gsym.m / (timings["components"] / max(cc_rounds, 1))
+            ),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -58,8 +58,12 @@ def bellman_ford(
                 ).alias("improved"),
             )
         )
-        new = st.advance(new.select("id", "dist", F.coalesce("improved", F.lit(False)).alias("improved")))
-        fsize = new.filter("improved").count()
+        new, fsize = st.advance(
+            new.select(
+                "id", "dist", F.coalesce("improved", F.lit(False)).alias("improved")
+            ),
+            action=lambda df: df.filter("improved").count(),
+        )
         frontier = new.filter("improved").select("id", "dist")
         if on_superstep:
             on_superstep(it, {"frontier": fsize})

@@ -3,17 +3,23 @@
 The reference stores first-visitor PARENT ids, which are race-dependent
 (CAS at ``BFS.C:33-35``); the race-free invariant is the level
 assignment, which we output (SURVEY.md §2.2 atomics note).  cond =
-"unvisited" (``BFS.C:37``) becomes an anti-join against the visited
-set; the singleton root frontier broadcasts from superstep 1.
+"unvisited" (``BFS.C:37``) is evaluated as a null-level guard on the
+state join — the plan-level analog of Ligra's early-exit cond check
+(``ligra/vertex.h:26``).
+
+State shape: one (id, level) row per vertex slot (level NULL =
+unvisited), advanced once per round — exactly one shuffle (the
+groupBy(dst) of the frontier expansion) plus the state join per
+superstep, with the frontier side broadcast while small (the sparse
+push direction, ``ligra.h:261``).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
-from ..engine import edge_map
+from ..engine import IterState, edge_map
 
 __all__ = ["bfs_levels"]
 
@@ -26,17 +32,17 @@ def bfs_levels(
 ) -> tuple[DataFrame, int]:
     """Returns ((id, level) for REACHED vertices only, levels run).
     Unreached vertices are absent (the numpy oracle marks them -1)."""
-    spark = graph.spark
-    visited = (
-        spark.createDataFrame([(int(root), 0)], "id long, level int")
-        .repartition(graph.num_partitions, "id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    init = graph.vertices.select(
+        "id",
+        F.when(F.col("id") == root, F.lit(0)).otherwise(F.lit(None)).cast("int").alias(
+            "level"
+        ),
     )
-    frontier = visited.select("id")
+    st = IterState(init, num_partitions=graph.num_partitions)
     lvl, fsize = 0, 1
-    limit = max_iters or graph.n
+    limit = max_iters if max_iters is not None else graph.n
     while fsize > 0 and lvl < limit:
-        lvl += 1
+        frontier = st.df.filter(F.col("level") == lvl).select("id")
         msgs = edge_map(
             graph,
             frontier,
@@ -44,25 +50,24 @@ def bfs_levels(
             aggregate=F.min,
             frontier_size=fsize,
         )
-        new_frontier = (
-            msgs.select("id")
-            .join(visited.select("id"), "id", "left_anti")
-            .select("id", F.lit(lvl).cast("int").alias("level"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        nxt = lvl + 1
+        new = (
+            st.df.join(msgs, "id", "left")
+            .select(
+                "id",
+                F.when(
+                    F.col("level").isNull() & F.col("agg").isNotNull(), F.lit(nxt)
+                )
+                .otherwise(F.col("level"))
+                .cast("int")
+                .alias("level"),
+            )
         )
-        fsize = new_frontier.count()
-        if fsize == 0:
-            new_frontier.unpersist()
-            lvl -= 1
-            break
-        old = visited
-        visited = visited.unionByName(new_frontier).persist(
-            StorageLevel.MEMORY_AND_DISK
+        new, fsize = st.advance(
+            new, action=lambda df: df.filter(F.col("level") == nxt).count()
         )
-        visited = visited.localCheckpoint(eager=True)
-        old.unpersist()
-        new_frontier.unpersist()
-        frontier = visited.filter(F.col("level") == lvl).select("id")
-        if on_superstep:
-            on_superstep(lvl, {"frontier": fsize})
-    return visited, lvl
+        if fsize > 0:
+            lvl = nxt
+            if on_superstep:
+                on_superstep(lvl, {"frontier": fsize})
+    return st.df.filter(F.col("level").isNotNull()).select("id", "level"), lvl

@@ -28,7 +28,7 @@ def components(
     graph,
     max_iters: int = 10_000,
     checkpoint_mgr=None,
-    checkpoint_every: int = 10,
+    checkpoint_every: int = 1,
     name: str = "components",
     on_superstep=None,
 ) -> tuple[DataFrame, int]:
@@ -74,8 +74,9 @@ def components(
                 (F.col("new_label") < F.col("label")).alias("changed"),
             )
         )
-        new = st.advance(new)
-        n_changed = new.filter("changed").count()
+        new, n_changed = st.advance(
+            new, action=lambda df: df.filter("changed").count()
+        )
         if on_superstep:
             on_superstep(it, {"frontier": n_changed})
     return st.df.select("id", F.col("label").alias("component")), it
@@ -85,7 +86,7 @@ def label_propagation(
     graph,
     max_iters: int = 10_000,
     checkpoint_mgr=None,
-    checkpoint_every: int = 10,
+    checkpoint_every: int = 1,
     name: str = "label_propagation",
     on_superstep=None,
 ) -> tuple[DataFrame, int]:
@@ -137,8 +138,9 @@ def label_propagation(
                 (F.col("mlabel") != F.col("prev")).alias("active"),
             )
         )
-        new = st.advance(new)
-        n_active = new.filter("active").count()
+        new, n_active = st.advance(
+            new, action=lambda df: df.filter("active").count()
+        )
         if on_superstep:
             on_superstep(it, {"active": n_active})
     return st.df.select("id", "label"), it

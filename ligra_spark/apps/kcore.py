@@ -59,7 +59,7 @@ def kcore(
                     .alias("core"),
                 )
             )
-            st.advance(new)
+            st.advance(new)  # default action (count) materializes
             if on_superstep:
                 on_superstep(steps, {"k": k, "peeled": psize})
         n_alive = st.df.filter(F.col("core").isNull()).count()

@@ -36,7 +36,7 @@ def pagerank(
     damping: float = 0.85,
     epsilon: float = 1e-7,
     checkpoint_mgr=None,
-    checkpoint_every: int = 10,
+    checkpoint_every: int = 1,
     resume: bool = False,
     name: str = "pagerank",
     on_superstep=None,
@@ -82,11 +82,11 @@ def pagerank(
                 "old",
             )
         )
-        new = st.advance(new.select("id", "outdeg", "rank", "old"))
-        l1 = new.agg(F.sum(F.abs(F.col("rank") - F.col("old")))).first()[0]
-        if checkpoint_mgr is not None:
-            # re-save metadata with the measured l1 for resume/metrics
-            pass
+        new, row = st.advance(
+            new.select("id", "outdeg", "rank", "old"),
+            action=lambda df: df.agg(F.sum(F.abs(F.col("rank") - F.col("old")))).first(),
+        )
+        l1 = row[0]
         if on_superstep:
             on_superstep(it, {"l1": l1})
         if l1 < epsilon:
@@ -101,7 +101,7 @@ def pagerank_delta(
     epsilon: float = 1e-7,
     epsilon2: float = 0.01,
     checkpoint_mgr=None,
-    checkpoint_every: int = 10,
+    checkpoint_every: int = 1,
     name: str = "pagerank_delta",
     on_superstep=None,
 ) -> tuple[DataFrame, int]:
@@ -175,11 +175,13 @@ def pagerank_delta(
                 "delta",
                 "active",
             )
-        new = st.advance(new.select("id", "outdeg", "p", "delta", "active"))
-        row = new.agg(
-            F.sum(F.abs("delta")).alias("l1"),
-            F.sum(F.col("active").cast("long")).alias("na"),
-        ).first()
+        new, row = st.advance(
+            new.select("id", "outdeg", "p", "delta", "active"),
+            action=lambda df: df.agg(
+                F.sum(F.abs("delta")).alias("l1"),
+                F.sum(F.col("active").cast("long")).alias("na"),
+            ).first(),
+        )
         l1, n_active = row["l1"], int(row["na"])
         if on_superstep:
             on_superstep(it, {"l1": l1, "active": n_active})

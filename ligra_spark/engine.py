@@ -114,7 +114,7 @@ class IterState:
 
     df: DataFrame
     num_partitions: int
-    checkpoint_every: int = 10
+    checkpoint_every: int = 1
     storage_level: StorageLevel = field(
         default_factory=lambda: StorageLevel.MEMORY_AND_DISK
     )
@@ -125,10 +125,20 @@ class IterState:
     def __post_init__(self):
         self.df = self.df.persist(self.storage_level)
 
-    def advance(self, new_df: DataFrame, metrics: dict | None = None) -> DataFrame:
+    def advance(self, new_df: DataFrame, action=None, metrics: dict | None = None):
+        """Persist the next superstep's state, run ``action(new_df)``
+        (the materializing job — e.g. the convergence agg or frontier
+        count), and only THEN drop the previous superstep's cache.
+
+        Ordering is load-bearing: the new state's plan references the
+        old cached state; unpersisting before materialization would
+        recompute the entire superstep chain from the source — a
+        quadratic blowup over 100 supersteps.
+
+        Returns (new_df, action_result).
+        """
         self.superstep += 1
         old = self.df
-        new_df = new_df.persist(self.storage_level)
         if self.manager is not None:
             # durable parquet checkpoint: truncates lineage AND makes the
             # run resumable (north rule).  The manager returns the
@@ -136,9 +146,20 @@ class IterState:
             new_df = self.manager.save(
                 new_df, self.name, self.superstep, metrics or {},
                 num_partitions=self.num_partitions,
-            )
+            ).persist(self.storage_level)
         elif self.superstep % self.checkpoint_every == 0:
-            new_df = new_df.localCheckpoint(eager=True)
+            # eager localCheckpoint: materializes AND cuts the LOGICAL
+            # plan.  Without the cut, each superstep's plan embeds the
+            # previous one twice (frontier side + state side of the
+            # join) — exponential plan growth that OOMs the analyzer
+            # around superstep ~30 even though execution reads caches.
+            # lazy: the checkpoint materializes inside the action's job
+            # below — one job per superstep instead of two
+            new_df = new_df.localCheckpoint(eager=False)
+        else:
+            new_df = new_df.persist(self.storage_level)
+        # materialize the new state while the old cache is still live
+        result = action(new_df) if action is not None else new_df.count()
         self.df = new_df
         old.unpersist()
-        return new_df
+        return new_df, result

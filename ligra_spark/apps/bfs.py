@@ -52,7 +52,7 @@ def bfs_levels(
         )
         nxt = lvl + 1
         new = (
-            st.df.join(msgs, "id", "left")
+            st.df.join(msgs.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
                 F.when(

@@ -62,7 +62,7 @@ def components(
         )
         new = (
             st.df.select("id", "label")
-            .join(msgs, "id", "left")
+            .join(msgs.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
                 F.least("label", F.coalesce("agg", "label")).alias("new_label"),
@@ -119,7 +119,7 @@ def label_propagation(
         )
         after_min = (
             st.df.select("id", "label")
-            .join(msgs, "id", "left")
+            .join(msgs.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
                 F.col("label").alias("prev"),

@@ -72,7 +72,7 @@ def pagerank(
         )
         new = (
             st.df.select("id", "outdeg", F.col("rank").alias("old"))
-            .join(msgs, "id", "left")
+            .join(msgs.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
                 "outdeg",
@@ -139,7 +139,7 @@ def pagerank_delta(
             frontier_size=n_active,
             extra_frontier_cols=("share",),
         )
-        joined = st.df.join(msgs, "id", "left").withColumn(
+        joined = st.df.join(msgs.hint("shuffle_hash"), "id", "left").withColumn(
             "ngh", F.coalesce("agg", F.lit(0.0))
         )
         if it == 1:  # PR_Vertex_F_FirstRound, PageRankDelta.C:47-61

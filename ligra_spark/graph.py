@@ -62,11 +62,12 @@ class LinkGraph:
     """A loaded, partition-pinned link graph plus cached metadata."""
 
     spark: SparkSession
-    edges: DataFrame               # (src, dst[, weight]) partitioned by src
+    edges: DataFrame               # (src, dst[, weight][, salt]) partitioned by src (+salt)
     n: int                         # vertex-slot count (ids 0..n-1)
     m: int                         # edge count
     num_partitions: int
     symmetric: bool = False
+    salt_buckets: int = 1          # >1 = hub-skew salted layout (see from_edges)
     _edges_in: DataFrame | None = field(default=None, repr=False)
     _out_degrees: DataFrame | None = field(default=None, repr=False)
     _vertices: DataFrame | None = field(default=None, repr=False)
@@ -81,22 +82,38 @@ class LinkGraph:
         num_partitions: int | None = None,
         symmetric: bool = False,
         make_symmetric: bool = False,
+        salt_buckets: int = 1,
     ) -> "LinkGraph":
         """Pin an edge DataFrame into the engine layout.
 
         ``n`` defaults to max(src,dst)+1 (Ligra graphs carry explicit n;
         pass it when the table can have isolated trailing vertices).
+
+        ``salt_buckets > 1`` enables the hub-salted layout for graphs
+        with ultra-high-out-degree vertices (the degree≥1000 hub
+        special-casing of ``ligra/vertex.h:15`` reborn as a partitioning
+        strategy): edges get ``salt = pmod(xxhash64(dst), k)`` and are
+        hash-partitioned on (src, salt), so one hub's out-edges spread
+        over k partitions instead of landing in a single straggler
+        task.  ``edge_map``'s dense path replicates the frontier k
+        ways to keep the join co-partitioned; the extra shuffled rows
+        are k·|frontier| — cheap next to a multi-GB hot partition.
         """
         if make_symmetric:
             edges = symmetrize(edges)
             symmetric = True
         p = num_partitions or spark.sparkContext.defaultParallelism
         cols = ["src", "dst"] + (["weight"] if "weight" in edges.columns else [])
-        e = (
-            edges.select(*[F.col(c).cast("long") if c != "weight" else F.col(c) for c in cols])
-            .repartition(p, "src")
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        e = edges.select(
+            *[F.col(c).cast("long") if c != "weight" else F.col(c) for c in cols]
         )
+        if salt_buckets > 1:
+            e = e.withColumn(
+                "salt", F.pmod(F.xxhash64("dst"), F.lit(salt_buckets)).cast("int")
+            ).repartition(p, "src", "salt")
+        else:
+            e = e.repartition(p, "src")
+        e = e.persist(StorageLevel.MEMORY_AND_DISK)
         if n is None:
             row = e.agg(
                 F.greatest(F.max("src"), F.max("dst")).alias("mx"),
@@ -105,7 +122,10 @@ class LinkGraph:
             n, m = int(row["mx"]) + 1, int(row["m"])
         else:
             m = e.count()
-        return cls(spark, e, n=n, m=m, num_partitions=p, symmetric=symmetric)
+        return cls(
+            spark, e, n=n, m=m, num_partitions=p, symmetric=symmetric,
+            salt_buckets=salt_buckets,
+        )
 
     @classmethod
     def from_parquet(cls, spark: SparkSession, path: str, **kw) -> "LinkGraph":
@@ -150,11 +170,15 @@ class LinkGraph:
             swap = [F.col("dst").alias("src"), F.col("src").alias("dst")] + (
                 [F.col("weight")] if "weight" in self.edges.columns else []
             )
-            self._edges_in = (
-                self.edges.select(*swap)
-                .repartition(self.num_partitions, "src")
-                .persist(StorageLevel.MEMORY_AND_DISK)
-            )
+            e = self.edges.select(*swap)
+            if self.salt_buckets > 1:
+                e = e.withColumn(
+                    "salt",
+                    F.pmod(F.xxhash64("dst"), F.lit(self.salt_buckets)).cast("int"),
+                ).repartition(self.num_partitions, "src", "salt")
+            else:
+                e = e.repartition(self.num_partitions, "src")
+            self._edges_in = e.persist(StorageLevel.MEMORY_AND_DISK)
         return self._edges_in
 
     def transpose(self) -> "LinkGraph":

@@ -1,0 +1,17 @@
+"""Structured Streaming surface.  The reference has no streaming —
+"time" is the synchronous superstep (SURVEY.md §2.5) — so this module
+is an ADDITION: continuous ingestion of crawled pages into the link
+graph, with watermarked windowed link-rate aggregation and an
+incrementally-maintained degree table."""
+
+from .stream import (
+    stream_pages_to_edges,
+    windowed_link_counts,
+    incremental_degree_sink,
+)
+
+__all__ = [
+    "stream_pages_to_edges",
+    "windowed_link_counts",
+    "incremental_degree_sink",
+]

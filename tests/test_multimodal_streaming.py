@@ -1,0 +1,149 @@
+"""Multimodal plumbing tests (deterministic fake codec) and
+Structured-Streaming ingestion tests (file source, availableNow)."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (i, "image", bytes([i]) * 32, "image/fake", 8, 8, 3000 + i * 500)
+        for i in range(6)
+    ]
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int"
+    )
+
+
+def test_attach_media_metadata_jvm(media):
+    from ligra_spark.functions.multimodal import attach_media_metadata
+
+    out = attach_media_metadata(media).collect()
+    assert all(r["payload_bytes"] == 32 for r in out)
+    assert len({r["payload_sha256"] for r in out}) == 6
+
+
+def test_decode_images_stub_raises(media):
+    from ligra_spark.functions.multimodal import decode_images
+
+    with pytest.raises(Exception):  # NotImplementedError inside the UDF
+        decode_images(media, fake=False).collect()
+
+
+def test_decode_images_fake_deterministic(media):
+    from ligra_spark.functions.multimodal import decode_images
+
+    a = {r["media_id"]: r["pixels"] for r in decode_images(media, fake=True).collect()}
+    b = {r["media_id"]: r["pixels"] for r in decode_images(media, fake=True).collect()}
+    assert a == b and len(a) == 6
+    first = np.frombuffer(a[0], dtype=np.uint8)
+    assert first.size == 8 * 8 * 3
+
+
+def test_image_features_shape(media):
+    from ligra_spark.functions.multimodal import image_features
+
+    rows = image_features(media, fake=True).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r["height"] == 8 and r["channels"] == 3
+        assert 0 <= r["mean_r"] <= 255
+        assert len(r["phash"]) == 16
+
+
+def test_sample_video_frames(media):
+    from ligra_spark.functions.multimodal import sample_video_frames
+
+    rows = sample_video_frames(media, every_ms=1000, fake=True).collect()
+    # media i has duration 3000+500i ms → ceil(dur/1000) frames
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r["ts_ms"])
+    assert sorted(by_id[0]) == [0, 1000, 2000]
+    assert sorted(by_id[5]) == [0, 1000, 2000, 3000, 4000, 5000]
+
+
+# ---------------------------------------------------------------- streaming
+@pytest.fixture(scope="module")
+def pages_stream_dir(spark, tmp_path_factory):
+    from ligra_spark.fixtures import write_graph_fixture
+
+    base = tmp_path_factory.mktemp("stream")
+    fix = str(base / "fix")
+    write_graph_fixture(fix, scale="tiny", with_pages=True)
+    pages = spark.read.parquet(f"{fix}/pages.parquet")
+    src_dir = str(base / "pages_in")
+    # write as 4 separate files to exercise multi-trigger ingestion
+    pages.repartition(4).write.mode("overwrite").parquet(src_dir)
+    return src_dir, pages
+
+
+def test_stream_pages_to_edges_matches_batch(spark, pages_stream_dir, tmp_path):
+    from ligra_spark.extract import extracted_pages
+    from ligra_spark.streaming import stream_pages_to_edges
+
+    src_dir, pages = pages_stream_dir
+    links = stream_pages_to_edges(spark, src_dir, max_files_per_trigger=2)
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        links.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    batch = extracted_pages(pages).select(
+        "url", "warc_ts", F.explode("links").alias("href")
+    )
+    assert got.count() == batch.count() == 708
+    assert (
+        got.groupBy("url").count().join(
+            batch.groupBy("url").count().withColumnRenamed("count", "c2"), "url"
+        ).filter("count <> c2").count() == 0
+    )
+
+
+def test_windowed_link_counts(spark, pages_stream_dir, tmp_path):
+    from ligra_spark.streaming import stream_pages_to_edges, windowed_link_counts
+
+    src_dir, pages = pages_stream_dir
+    links = stream_pages_to_edges(spark, src_dir)
+    counts = windowed_link_counts(links, window="1 minute", watermark="5 minutes")
+    ck = str(tmp_path / "wck")
+    # complete-mode memory sink: append mode would hold back windows
+    # newer than the watermark (correct late-data behavior, but the
+    # fixture's 3-minute span never passes a 5-minute watermark)
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("wincounts")
+        .option("checkpointLocation", ck)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM wincounts")
+    # fixture warc_ts = epoch + page_id seconds → 128 pages span 3 minutes
+    assert got.select("window_start").distinct().count() >= 2
+    assert got.agg(F.sum("in_links")).first()[0] == 708
+
+
+def test_incremental_degree_sink(spark, pages_stream_dir, tmp_path):
+    from ligra_spark.streaming import incremental_degree_sink, stream_pages_to_edges
+
+    src_dir, pages = pages_stream_dir
+    links = stream_pages_to_edges(spark, src_dir, max_files_per_trigger=1)
+    out, ck = str(tmp_path / "deg"), str(tmp_path / "dck")
+    os.makedirs(out, exist_ok=True)
+    q = incremental_degree_sink(links, out, ck).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    with open(os.path.join(out, "_CURRENT")) as fh:
+        cur = spark.read.parquet(fh.read().strip())
+    assert cur.agg(F.sum("out_links")).first()[0] == 708

@@ -1,0 +1,135 @@
+"""Two-parallelism scaling evidence for the north rule.
+
+No real cluster exists in this sandbox, so N→4N executors is evidenced
+by running the SAME job on the SAME input at local[N_CORES_LO] and
+local[N_CORES_HI] (4x cores), per the driver instruction.  Protocol
+mirrors the reference's timing discipline (1 untimed warm-up + timed
+rounds, ``ligra/ligra.h:490-495``): per level, PR(10) and CC run
+``ROUNDS`` times after warm-up; we report the median.
+
+A pure-CPU control (md5 pipeline) calibrates the box's own thread-
+scaling ceiling — on this VM 8→32 threads tops out well below 4x even
+for embarrassingly parallel codegen work, so engine efficiency should
+be read against that ceiling, not against an ideal 4.0.
+
+Usage: python tools/bench_scaling.py [out_json]
+Writes JSON and prints a markdown table for BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import tempfile
+
+LO, HI = 8, 32
+ROUNDS = 3
+N = 1 << 22  # 4.2M vertices
+DEG = 20     # 84M directed edges
+
+_WORKER = r"""
+import sys, time, json
+sys.path.insert(0, {repo!r})
+cpus = int(sys.argv[1])
+edges_path = sys.argv[2]
+from pyspark.sql import functions as F
+from ligra_spark.session import get_spark
+from ligra_spark.graph import LinkGraph
+from ligra_spark.apps import pagerank, components
+
+spark = get_spark(f"scaling{{cpus}}", cpus=cpus, shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+g = LinkGraph.from_parquet(spark, edges_path + "/edges.parquet", n={n}).materialize()
+gs = LinkGraph.from_parquet(spark, edges_path + "/edges_sym.parquet", n={n}, symmetric=True).materialize()
+
+pagerank(g, max_iters=2)           # warm-up (ligra.h:490 analog)
+prs, ccs = [], []
+for r in range({rounds}):
+    t0 = time.perf_counter(); _, it = pagerank(g, max_iters=10); prs.append(time.perf_counter() - t0)
+    t0 = time.perf_counter(); _, cc_r = components(gs); ccs.append(time.perf_counter() - t0)
+
+ctrl = spark.range(0, 40_000_000, 1, cpus * 2)
+ctrl.count()
+cts = []
+for r in range({rounds}):
+    t0 = time.perf_counter()
+    ctrl.select(F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+                .cast("long").alias("h")).agg(F.sum("h")).first()
+    cts.append(time.perf_counter() - t0)
+print(json.dumps({{"cpus": cpus, "pr10": prs, "cc": ccs, "cc_rounds": cc_r,
+                   "m": g.m, "m_sym": gs.m, "ctrl": cts}}))
+"""
+
+
+def main():
+    out_json = sys.argv[1] if len(sys.argv) > 1 else "BENCH_SCALING.json"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    fixdir = os.path.join(tempfile.gettempdir(), f"ligra_scaling_n{N}_d{DEG}")
+    if not os.path.exists(os.path.join(fixdir, "edges_sym.parquet")):
+        os.makedirs(fixdir, exist_ok=True)
+        sys.path.insert(0, repo)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ligra_spark.rmat import make_symmetric, rmat_edges
+
+        src, dst = rmat_edges(N, DEG * N, seed=1)
+        pq.write_table(pa.table({"src": src, "dst": dst}), f"{fixdir}/edges.parquet")
+        s, d = make_symmetric(src, dst)
+        pq.write_table(pa.table({"src": s, "dst": d}), f"{fixdir}/edges_sym.parquet")
+
+    worker = _WORKER.format(repo=repo, n=N, rounds=ROUNDS)
+    script = os.path.join(fixdir, "worker.py")
+    with open(script, "w") as f:
+        f.write(worker)
+
+    results = {}
+    for cpus in (HI, LO):
+        out = subprocess.run(
+            [sys.executable, script, str(cpus), fixdir],
+            capture_output=True, text=True, timeout=3000,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+        print(f"local[{cpus}]: {results[cpus]}", file=sys.stderr)
+
+    med = lambda xs: statistics.median(xs)
+    lo, hi = results[LO], results[HI]
+    m, m_sym, ccr = hi["m"], hi["m_sym"], hi["cc_rounds"]
+    summary = {
+        "graph": {"n": N, "m": m, "m_sym": m_sym},
+        "protocol": f"1 warm-up + median of {ROUNDS} rounds, local[{LO}] vs local[{HI}]",
+        "levels": {},
+        "efficiency": {},
+    }
+    for name, key, edges, rounds in (
+        ("pagerank10", "pr10", m, 10),
+        ("components", "cc", m_sym, ccr),
+        ("cpu_control_md5", "ctrl", None, 1),
+    ):
+        tlo, thi = med(lo[key]), med(hi[key])
+        speedup = tlo / thi
+        eff = speedup / (HI / LO)
+        entry = {"sec_lo": round(tlo, 2), "sec_hi": round(thi, 2),
+                 "speedup": round(speedup, 2), "efficiency": round(eff, 3)}
+        if edges:
+            entry["edges_per_sec_per_superstep_lo"] = round(edges / (tlo / rounds))
+            entry["edges_per_sec_per_superstep_hi"] = round(edges / (thi / rounds))
+        summary["levels"][name] = entry
+        summary["efficiency"][name] = round(eff, 3)
+
+    with open(out_json, "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+
+    print("\n| phase | local[8] s | local[32] s | speedup | efficiency (of 4x) |")
+    print("|---|---|---|---|---|")
+    for name, e in summary["levels"].items():
+        print(f"| {name} | {e['sec_lo']} | {e['sec_hi']} | {e['speedup']} | {e['efficiency']} |")
+
+
+if __name__ == "__main__":
+    main()

@@ -145,6 +145,59 @@ def _q_bfs_k3(spark, sf):
     return levels
 
 
+def _edges_w(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_orderkey") % V).alias("src"),
+        (F.col("l_partkey") % V).alias("dst"),
+        (1 + F.col("l_orderkey") % 7).alias("weight"),
+    )
+
+
+def _q_sssp_k3(spark, sf):
+    from ligra_spark.apps import bellman_ford
+    from ligra_spark.graph import LinkGraph
+
+    g = LinkGraph.from_edges(spark, _edges_w(spark, sf), n=V)
+    dists, _ = bellman_ford(g, root=0, max_iters=3)
+    return dists
+
+
+def _q_lp_k2(spark, sf):
+    from ligra_spark.apps import label_propagation
+
+    labels, _ = label_propagation(_graph(spark, sf, symmetric=True), max_iters=2)
+    return labels
+
+
+def _q_bc(spark, sf):
+    from ligra_spark.apps import bc_single_source
+
+    out, _ = bc_single_source(_graph(spark, sf), root=0)
+    return out.select("id", F.round("bc", 6).alias("bc"))
+
+
+def _q_radii(spark, sf):
+    from ligra_spark.apps import radii
+
+    out, _ = radii(_graph(spark, sf))
+    return out
+
+
+def _q_mis(spark, sf):
+    from ligra_spark.apps import mis
+
+    out, _ = mis(_graph(spark, sf, symmetric=True))
+    return out
+
+
+def _q_kcore(spark, sf):
+    from ligra_spark.apps import kcore
+
+    out, _ = kcore(_graph(spark, sf, symmetric=True), max_k=10)
+    return out
+
+
 def _q_doc_exact_dedup(spark, sf):
     from ligra_spark.functions import exact_duplicates
 
@@ -242,6 +295,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components": _q_components,
         "label_propagation": _q_label_propagation,
         "bfs_k3": _q_bfs_k3,
+        "sssp_k3": _q_sssp_k3,
+        "lp_k2": _q_lp_k2,
+        "bc": _q_bc,
+        "radii": _q_radii,
+        "mis": _q_mis,
+        "kcore": _q_kcore,
         # training-data pipeline: text analysis + dedup
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_count": _q_doc_token_count,
@@ -295,6 +354,50 @@ def _cc_sql(k: int) -> str:
             f"  FROM es JOIN {prev} ON {prev}.id = es.src GROUP BY es.dst),\n"
             f"l{i} AS (SELECT {prev}.id, least({prev}.label, coalesce(m{i}.minl, {prev}.label)) AS label\n"
             f"  FROM {prev} LEFT JOIN m{i} ON m{i}.id = {prev}.id)"
+        )
+        prev = f"l{i}"
+    return sql + f"\nSELECT id, label FROM {prev}"
+
+
+EDGES_W_SQL = (
+    f"SELECT l_orderkey % {V} AS src, l_partkey % {V} AS dst, "
+    "1 + l_orderkey % 7 AS weight FROM lineitem"
+)
+
+
+def _sssp_sql(k: int) -> str:
+    sql = (
+        f"WITH e AS ({EDGES_W_SQL}),\n"
+        "d0 AS (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist)"
+    )
+    prev = "d0"
+    for i in range(1, k + 1):
+        sql += (
+            f",\nr{i} AS (SELECT e.dst AS id, min(p.dist + e.weight) AS nd\n"
+            f"  FROM e JOIN {prev} p ON p.id = e.src GROUP BY e.dst),\n"
+            f"d{i} AS (SELECT coalesce(a.id, b.id) AS id, least(a.dist, b.nd) AS dist\n"
+            f"  FROM {prev} a FULL OUTER JOIN r{i} b ON a.id = b.id)"
+        )
+        prev = f"d{i}"
+    return sql + f"\nSELECT id, dist FROM {prev}"
+
+
+def _lp_sql(k: int) -> str:
+    sql = (
+        f"WITH e0 AS ({EDGES_SQL}),\n"
+        f"es AS ({SYM_SQL}),\n"
+        f"v AS (SELECT CAST(range AS BIGINT) AS id FROM range({V})),\n"
+        "l0 AS (SELECT id, id AS label FROM v)"
+    )
+    prev = "l0"
+    for i in range(1, k + 1):
+        sql += (
+            f",\nm{i} AS (SELECT es.dst AS id, min({prev}.label) AS minl\n"
+            f"  FROM es JOIN {prev} ON {prev}.id = es.src GROUP BY es.dst),\n"
+            f"a{i} AS (SELECT {prev}.id, least({prev}.label, coalesce(m{i}.minl, {prev}.label)) AS label\n"
+            f"  FROM {prev} LEFT JOIN m{i} ON m{i}.id = {prev}.id),\n"
+            # pointer jump: label := label-of-label (Components-Shortcut.C:35-37)
+            f"l{i} AS (SELECT x.id, y.label FROM a{i} x JOIN a{i} y ON x.label = y.id)"
         )
         prev = f"l{i}"
     return sql + f"\nSELECT id, label FROM {prev}"
@@ -469,6 +572,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_k3": _pr_sql(3),
         "cc_k4": _cc_sql(4),
         "bfs_k3": _bfs_sql(3),
+        "sssp_k3": _sssp_sql(3),
+        "lp_k2": _lp_sql(2),
         "doc_exact_dedup": "SELECT md5(text) AS h, min(doc_id) AS keep_id, "
         "count(*) AS copies FROM documents GROUP BY md5(text)",
         "doc_token_count": "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "

@@ -7,6 +7,9 @@ from .triangle import triangle_count
 from .bfs import bfs_levels
 from .bellman_ford import bellman_ford
 from .kcore import kcore
+from .bc import bc_single_source
+from .radii import radii
+from .mis import mis
 
 __all__ = [
     "pagerank",
@@ -17,4 +20,7 @@ __all__ = [
     "bfs_levels",
     "bellman_ford",
     "kcore",
+    "bc_single_source",
+    "radii",
+    "mis",
 ]

@@ -229,3 +229,117 @@ def bellman_ford(
         frontier = cand < dist
         dist = cand
     return dist
+
+
+def bc_single_source(
+    n: int, src: np.ndarray, dst: np.ndarray, root: int = 0
+) -> np.ndarray:
+    """Brandes single-source dependency scores, semantics of
+    ``apps/BC.C:95-148``: forward level-BFS accumulating NumPaths
+    (sigma), backward accumulation in inverse space over the transposed
+    shortest-path DAG, final score = D'[v]*sigma[v] - 1 for reached
+    vertices (``BC.C:143-145``); unreached vertices are NaN (Ligra's
+    1/0 arithmetic) — we report them as 0 and exclude them in tests."""
+    order = np.lexsort((dst, src))
+    s, d = src[order], dst[order]
+    offsets = np.searchsorted(s, np.arange(n + 1, dtype=np.int64))
+    levels = np.full(n, -1, dtype=np.int64)
+    sigma = np.zeros(n, dtype=np.float64)
+    levels[root], sigma[root] = 0, 1.0
+    frontier = np.array([root], dtype=np.int64)
+    level_sets = [frontier]
+    lvl = 0
+    while frontier.size:
+        lvl += 1
+        cand = {}
+        for v in frontier:
+            for w in d[offsets[v] : offsets[v + 1]]:
+                if levels[w] < 0:
+                    cand[w] = cand.get(w, 0.0) + sigma[v]
+        nxt = np.array(sorted(cand), dtype=np.int64)
+        for w in nxt:
+            levels[w] = lvl
+            sigma[w] = cand[w]
+        frontier = nxt
+        if nxt.size:
+            level_sets.append(nxt)
+    rounds = len(level_sets)
+    with np.errstate(divide="ignore"):
+        inv = np.where(sigma > 0, 1.0 / np.where(sigma > 0, sigma, 1), 0.0)
+    D = np.zeros(n, dtype=np.float64)
+    # backward (BC.C:124-138): descending levels; a level's vertices
+    # first add 1/sigma, then pull D from their level+1 successors
+    # along DAG edges (u->w with level[w] = level[u]+1)
+    D[level_sets[rounds - 1]] += inv[level_sets[rounds - 1]]
+    for r in range(rounds - 1, 0, -1):
+        for u in level_sets[r - 1]:
+            acc = 0.0
+            for w in d[offsets[u] : offsets[u + 1]]:
+                if levels[w] == r:
+                    acc += D[w]
+            D[u] += acc
+        D[level_sets[r - 1]] += inv[level_sets[r - 1]]
+    out = np.zeros(n, dtype=np.float64)
+    reached = levels >= 0
+    out[reached] = D[reached] * sigma[reached] - 1.0
+    return out
+
+
+def radii(n: int, src: np.ndarray, dst: np.ndarray, k: int = 64):
+    """Multi-source radii estimate, semantics of ``apps/Radii.C:72-99``:
+    sample min(n,64) sources v_i = hashInt(i) %% n, 64-bit visited
+    masks, bitwise-OR propagation; radii[d] = last round d's mask grew
+    (-1 for never-reached, 0 for sources).  Where the reference's init
+    races on duplicate samples (last-writer ``NextVisited[v] = 1<<i``),
+    we OR the bits (deterministic superset).  Returns (radii, rounds).
+    """
+    from .hashing import hash_int32
+
+    kk = min(n, k)
+    rad = np.full(n, -1, dtype=np.int64)
+    visited = np.zeros(n, dtype=np.int64)
+    nxt = np.zeros(n, dtype=np.int64)
+    starts = []
+    for i in range(kk):
+        v = int(hash_int32(np.uint32(i))) % n
+        rad[v] = 0
+        bit = (1 << i) & 0xFFFFFFFFFFFFFFFF
+        nxt[v] |= np.uint64(bit).astype(np.int64)
+        starts.append(v)
+    order = np.lexsort((dst, src))
+    s, d = src[order], dst[order]
+    offsets = np.searchsorted(s, np.arange(n + 1, dtype=np.int64))
+    frontier = np.unique(np.array(starts, dtype=np.int64))
+    rounds = 0
+    while frontier.size:
+        rounds += 1
+        visited[frontier] = nxt[frontier]
+        changed = set()
+        for v in frontier:
+            for w in d[offsets[v] : offsets[v + 1]]:
+                to_write = visited[w] | visited[v]
+                if visited[w] != to_write:
+                    nxt[w] |= to_write
+                    if rad[w] != rounds:
+                        rad[w] = rounds
+                        changed.add(int(w))
+        frontier = np.array(sorted(changed), dtype=np.int64)
+    return rad, rounds
+
+
+def mis_lex_first(n: int, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Lexicographically-first maximal independent set — the
+    deterministic fixpoint of ``apps/MIS.C`` with priority = vertex id
+    (``MIS.C:79``): greedy by ascending id on the symmetric graph.
+    Returns a boolean membership array."""
+    order = np.lexsort((dst, src))
+    s, d = src[order], dst[order]
+    offsets = np.searchsorted(s, np.arange(n + 1, dtype=np.int64))
+    in_set = np.zeros(n, dtype=bool)
+    blocked = np.zeros(n, dtype=bool)
+    for v in range(n):
+        if not blocked[v]:
+            in_set[v] = True
+            blocked[d[offsets[v] : offsets[v + 1]]] = True
+            blocked[v] = True
+    return in_set

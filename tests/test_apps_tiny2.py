@@ -1,0 +1,42 @@
+"""Differential tests for the round-1 stretch apps (BC, Radii, MIS)
+on the reference sample graph."""
+
+import numpy as np
+
+from ligra_spark import oracle
+
+
+def _by_id(df, col, n, fill=None):
+    rows = {r["id"]: r[col] for r in df.collect()}
+    return [rows.get(i, fill) for i in range(n)]
+
+
+def test_bc_matches_oracle(tiny_graph, tiny_edges):
+    from ligra_spark.apps import bc_single_source
+
+    n, src, dst = tiny_edges
+    expected = oracle.bc_single_source(n, src, dst, root=0)
+    got_df, _ = bc_single_source(tiny_graph, root=0)
+    got = np.array(_by_id(got_df, "bc", n, fill=0.0))
+    np.testing.assert_allclose(got, expected, atol=1e-6, rtol=0)
+
+
+def test_radii_matches_oracle(tiny_graph, tiny_edges):
+    from ligra_spark.apps import radii
+
+    n, src, dst = tiny_edges
+    expected, oracle_rounds = oracle.radii(n, src, dst)
+    got_df, rounds = radii(tiny_graph)
+    got = np.array(_by_id(got_df, "radii", n))
+    assert rounds == oracle_rounds
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_mis_matches_oracle(tiny_graph_sym, tiny_sym):
+    from ligra_spark.apps import mis
+
+    n, src, dst = tiny_sym
+    expected = oracle.mis_lex_first(n, src, dst)
+    got_df, _ = mis(tiny_graph_sym)
+    got = np.array(_by_id(got_df, "in_set", n))
+    np.testing.assert_array_equal(got, expected)

@@ -10,6 +10,7 @@ from .kcore import kcore
 from .bc import bc_single_source
 from .radii import radii
 from .mis import mis
+from .cf import cf_sgd
 
 __all__ = [
     "pagerank",
@@ -23,4 +24,5 @@ __all__ = [
     "bc_single_source",
     "radii",
     "mis",
+    "cf_sgd",
 ]

@@ -1,0 +1,97 @@
+"""Collaborative filtering (synchronous gradient descent) — semantics
+of ``/root/reference/apps/CF.C:83-137``: K-dim latent vector per
+vertex (default init 0.5, ``CF.C:113-120``), pull-based error
+accumulation over the weighted symmetric graph
+(``CF_Edge_F::update``), vertex update
+``latent += step*(-lambda*latent + error)`` (``CF_Vertex_F``), fixed
+``num_iter`` synchronous rounds (races don't exist here — the
+reference is pull-based and updates only in the vertexMap).
+
+Spark shape: latent is an ``array<double>`` column of length K.  The
+per-edge K-vector gradient is aggregated by exploding the K dimensions
+(posexplode) and summing per (vertex, dim) — a single wide shuffle of
+K·m rows per superstep — then re-assembled with sort_array over
+collected (dim, value) structs.  At 100 TB one would instead bucket
+dims into fixed-width struct columns; the exploded form keeps the plan
+100%% built-in and is the honest baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..engine import IterState
+
+__all__ = ["cf_sgd"]
+
+
+def cf_sgd(
+    graph,
+    K: int = 20,
+    num_iter: int = 5,
+    step: float = 0.00000035,
+    lam: float = 0.001,
+    on_superstep=None,
+) -> tuple[DataFrame, int]:
+    """Returns ((id, latent array<double>[K]), iterations).  Requires a
+    weighted symmetric graph (``weight`` column)."""
+    init = graph.vertices.select(
+        "id", F.array_repeat(F.lit(0.5), K).alias("latent")
+    )
+    st = IterState(init, num_partitions=graph.num_partitions)
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    for it in range(1, num_iter + 1):
+        e = graph.edges.select("src", "dst", "weight")
+        s_lat = st.df.select(F.col("id").alias("src"), F.col("latent").alias("ls"))
+        d_lat = st.df.select(F.col("id").alias("dst"), F.col("latent").alias("ld"))
+        scored = (
+            e.join(s_lat.hint("shuffle_hash"), "src")
+            .join(d_lat.hint("shuffle_hash"), "dst")
+            .select(
+                "dst",
+                "ls",
+                (F.col("weight").cast("double") - dot(F.col("ld"), F.col("ls"))).alias(
+                    "err"
+                ),
+            )
+        )
+        flat = scored.select(
+            "dst", F.posexplode(F.transform("ls", lambda x: x)).alias("k", "lsk"), "err"
+        ).select("dst", "k", (F.col("lsk") * F.col("err")).alias("g"))
+        grad = (
+            flat.groupBy(F.col("dst").alias("id"), "k")
+            .agg(F.sum("g").alias("g"))
+            .groupBy("id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("k", "g"))), lambda s: s["g"]
+                ).alias("grad")
+            )
+        )
+        new = (
+            st.df.join(grad.hint("shuffle_hash"), "id", "left")
+            .select(
+                "id",
+                F.when(
+                    F.col("grad").isNull(),
+                    F.transform(
+                        "latent", lambda l: l + F.lit(step) * (-F.lit(lam) * l)
+                    ),
+                )
+                .otherwise(
+                    F.zip_with(
+                        "latent",
+                        "grad",
+                        lambda l, g: l + F.lit(step) * (-F.lit(lam) * l + g),
+                    )
+                )
+                .alias("latent"),
+            )
+        )
+        st.advance(new)
+        if on_superstep:
+            on_superstep(it, {})
+    return st.df.select("id", "latent"), num_iter

@@ -343,3 +343,29 @@ def mis_lex_first(n: int, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
             blocked[d[offsets[v] : offsets[v + 1]]] = True
             blocked[v] = True
     return in_set
+
+
+def cf_sgd(
+    n: int,
+    src: np.ndarray,
+    dst: np.ndarray,
+    weight: np.ndarray,
+    K: int = 20,
+    num_iter: int = 5,
+    step: float = 0.00000035,
+    lam: float = 0.001,
+) -> np.ndarray:
+    """Collaborative-filtering gradient descent, semantics of
+    ``apps/CF.C:83-137`` (default init 0.5, pull-based synchronous
+    accumulation, K=20, 5 iterations): per iter,
+    error[d] = sum over edges (s,d,w) of latent[s]*(w - <latent[d],
+    latent[s]>); then latent += step*(-lambda*latent + error).
+    Returns the (n, K) latent matrix."""
+    latent = np.full((n, K), 0.5, dtype=np.float64)
+    for _ in range(num_iter):
+        est = np.einsum("ij,ij->i", latent[dst], latent[src])
+        err = weight.astype(np.float64) - est
+        grad = np.zeros((n, K), dtype=np.float64)
+        np.add.at(grad, dst, latent[src] * err[:, None])
+        latent = latent + step * (-lam * latent + grad)
+    return latent

@@ -40,3 +40,22 @@ def test_mis_matches_oracle(tiny_graph_sym, tiny_sym):
     got_df, _ = mis(tiny_graph_sym)
     got = np.array(_by_id(got_df, "in_set", n))
     np.testing.assert_array_equal(got, expected)
+
+
+def test_cf_matches_oracle(spark, tiny_sym):
+    import numpy as np
+    from ligra_spark.apps import cf_sgd
+    from ligra_spark.graph import LinkGraph
+    from tests.conftest import edges_df
+
+    n, src, dst = tiny_sym
+    w = 1 + (np.minimum(src, dst) * 31 + np.maximum(src, dst)) % 5
+    expected = oracle.cf_sgd(n, src, dst, w)
+    g = LinkGraph.from_edges(
+        spark, edges_df(spark, src, dst, w), n=n, symmetric=True
+    ).materialize()
+    got_df, _ = cf_sgd(g)
+    rows = {r["id"]: r["latent"] for r in got_df.collect()}
+    got = np.array([rows[i] for i in range(n)])
+    np.testing.assert_allclose(got, expected, atol=1e-9, rtol=0)
+    g.unpersist()

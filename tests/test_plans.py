@@ -1,0 +1,93 @@
+"""Physical-plan quality tests — the scale guarantees, asserted.
+
+These pin the properties that make the engine viable at 100 TB:
+column pruning reaches the parquet scan, the superstep join never
+moves or broadcasts the edge table in dense mode, and the per-
+superstep plan has exactly one shuffle on the message key.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _tree_head(plan: str) -> str:
+    """Operator-tree lines from the root down to the first cache scan —
+    everything the job executes above the first cached input.  Cached
+    subtrees (InMemoryRelation history) start after this point; their
+    exchanges ran at cache-build time, not per job."""
+    tree = plan.split("\n(1)")[0]
+    return tree.split("InMemoryRelation")[0]
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, tmp_path_factory):
+    from ligra_spark.fixtures import write_graph_fixture
+
+    out = str(tmp_path_factory.mktemp("pp"))
+    write_graph_fixture(out, scale="tiny", with_pages=True)
+    return f"{out}/pages.parquet"
+
+
+def test_extraction_column_pruning(spark, pages_parquet):
+    """Selecting only links must read only (url, html) from parquet —
+    text/lang/warc_ts never leave the scan (ReadSchema check)."""
+    from ligra_spark.extract import extracted_pages
+
+    pages = spark.read.parquet(pages_parquet)
+    plan = _plan(extracted_pages(pages).select("url", "links"))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"url", "html"}, cols
+
+
+def test_filter_pushdown_reaches_scan(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet)
+    plan = _plan(pages.filter(F.col("lang") == "en").select("url"))
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan, plan
+
+
+def test_dense_superstep_plan_shape(spark, tiny_graph):
+    """Dense edge_map: shuffled-hash join (edges never broadcast or
+    exchanged), exactly ONE exchange — the groupBy(dst) message
+    shuffle."""
+    from ligra_spark.engine import edge_map
+
+    g = tiny_graph
+    state = g.out_degrees.select("id", F.try_divide(F.lit(1.0), "outdeg").alias("share"))
+    msgs = edge_map(
+        g, state, message=F.col("share"), aggregate=F.sum,
+        extra_frontier_cols=("share",),
+    )
+    plan = _plan(msgs)
+    head = _tree_head(plan)
+    # above the first cached input: the message shuffle is the ONLY
+    # exchange, and the join is a shuffled-hash join (never broadcast)
+    assert "ShuffledHashJoin" in head, head
+    assert "BroadcastHashJoin" not in head, head
+    assert len(re.findall(r"\bExchange\b", head)) == 1, head
+    # the edge side feeds the join straight from its cache — a Filter
+    # directly over InMemoryTableScan, no Exchange in between
+    assert re.search(
+        r"Filter \(\d+\)\s*\n\s*[:+\-| ]*InMemoryTableScan", plan
+    ), plan
+
+
+def test_sparse_superstep_broadcasts_frontier(spark, tiny_graph):
+    from ligra_spark.engine import edge_map
+
+    g = tiny_graph
+    frontier = g.vertices.filter(F.col("id") < 3).select("id")
+    msgs = edge_map(
+        g, frontier, message=F.lit(1), aggregate=F.min, frontier_size=3
+    )
+    plan = _plan(msgs)
+    assert "BroadcastHashJoin" in plan.split("InMemoryRelation")[0], plan

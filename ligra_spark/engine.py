@@ -36,7 +36,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-__all__ = ["edge_map", "vertex_map", "vertex_filter", "IterState", "SPARSE_DENSE_FRACTION"]
+__all__ = [
+    "edge_map",
+    "edge_map_induced",
+    "edge_map_filter",
+    "pack_edges",
+    "vertex_map",
+    "vertex_filter",
+    "IterState",
+    "SPARSE_DENSE_FRACTION",
+]
 
 # Ligra switches sparse→dense when |frontier| + outdeg(frontier) > m/20
 # (ligra/ligra.h:237).  Our analog: broadcast the frontier while its
@@ -112,6 +121,53 @@ def edge_map(
         joined.select(e["dst"].alias("_dst"), message.alias("_msg"))
         .groupBy(F.col("_dst").alias("id"))
         .agg(aggregate(F.col("_msg")).alias("agg"))
+    )
+
+
+def edge_map_induced(
+    graph, frontier: DataFrame, select_cols=None, in_edges: bool = False
+) -> DataFrame:
+    """One-hop neighborhood as a multiset — no dedup, no aggregation
+    (``edgeMapInduced``, ``ligra/edgeMapReduce.h:9-38``).  Returns the
+    joined (id, src, dst, ...) rows; callers aggregate or project."""
+    edges = graph.edges_in if in_edges else graph.edges
+    e = edges.select(F.col("src").alias("src"), F.col("dst").alias("dst"))
+    f = F.broadcast(frontier.select("id"))
+    out = f.join(e, f["id"] == e["src"])
+    return out.select(*(select_cols or ["src", "dst"]))
+
+
+def edge_map_filter(graph, frontier: DataFrame, pred: Column) -> DataFrame:
+    """Count surviving out-neighbors per frontier vertex under ``pred``
+    (``edgeMapFilter``, ``ligra/ligra.h:336-368``): returns
+    (id, degree).  Counts only — does not mutate the graph."""
+    e = graph.edges.select(F.col("src").alias("src"), F.col("dst").alias("dst"))
+    f = F.broadcast(frontier.select("id"))
+    return (
+        f.join(e, f["id"] == e["src"])
+        .filter(pred)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def pack_edges(graph, pred: Column):
+    """Physically remove edges failing ``pred`` (``packEdges``,
+    ``ligra/ligra.h:288-334``).  Where Ligra compacts adjacency arrays
+    in place, we build a NEW LinkGraph over the filtered edge table —
+    the immutable-dataset analog (the old graph's cache is dropped)."""
+    from .graph import LinkGraph
+
+    filtered = graph.edges.filter(pred).select(
+        *[c for c in ("src", "dst", "weight") if c in graph.edges.columns]
+    )
+    return LinkGraph.from_edges(
+        graph.spark,
+        filtered,
+        n=graph.n,
+        num_partitions=graph.num_partitions,
+        symmetric=False,
+        salt_buckets=graph.salt_buckets,
     )
 
 

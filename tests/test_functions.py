@@ -1,0 +1,125 @@
+"""Invariant tests for the pipeline function library (value-level
+cross-checks against DuckDB run in tools/check_entry.py; these pin
+engine-independent properties)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),      # exact dup of 0
+        (2, "the quick brown fox jumps over a lazy cat today"),  # near dup
+        (3, "completely different content about spark engines"),
+        (4, ""),                                                  # empty
+        (5, "  the   quick  brown fox jumps over the lazy dog "),# ws-variant of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    from ligra_spark.functions import exact_duplicates
+
+    out = {r["keep_id"]: r["copies"] for r in exact_duplicates(docs).collect()}
+    assert out[0] == 2  # docs 0 and 1 identical
+    assert out[3] == 1
+
+
+def test_fingerprint_normalizes_whitespace(docs):
+    from ligra_spark.functions import with_fingerprint
+
+    fp = {r["doc_id"]: r["fingerprint"] for r in with_fingerprint(docs).collect()}
+    assert fp[0] == fp[1] == fp[5]  # whitespace-insensitive
+    assert fp[0] != fp[2]
+
+
+def test_token_count_empty(docs):
+    from ligra_spark.functions import with_token_count
+
+    tc = {r["doc_id"]: r["n_tokens"] for r in with_token_count(docs).collect()}
+    assert tc[4] == 0 and tc[0] == 9 and tc[5] == 9
+
+
+def test_jaccard_pairs_symmetric_range(docs):
+    from ligra_spark.functions import token_jaccard_pairs
+
+    rows = token_jaccard_pairs(docs, threshold=0.0).collect()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0.0 <= r["jaccard"] <= 1.0
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    assert pairs[(0, 1)] == 1.0      # identical docs
+    assert pairs[(0, 2)] > 0.5       # near-dup scores high
+    assert (0, 3) not in pairs       # zero-overlap pairs never join
+
+
+def test_minhash_identical_docs_share_signature(docs):
+    from ligra_spark.functions import minhash_signatures
+
+    sigs = {r["doc_id"]: tuple(r[f"h{i}"] for i in range(8))
+            for r in minhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1] == sigs[5]
+    assert sigs[0] != sigs[3]
+    assert 4 not in sigs  # empty doc: no shingles, no row
+
+
+def test_lsh_pairs_catch_duplicates(docs):
+    from ligra_spark.functions import lsh_candidate_pairs, minhash_signatures
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["shared_bands"]
+        for r in lsh_candidate_pairs(minhash_signatures(docs), 8, 4).collect()
+    }
+    assert pairs[(0, 1)] == 4  # identical docs collide in every band
+    assert (0, 3) not in pairs
+
+
+def test_simhash_hamming(docs):
+    from ligra_spark.functions import simhash16
+
+    sh = {r["doc_id"]: r["simhash"] for r in simhash16(docs).collect()}
+    assert sh[0] == sh[1] == sh[5]
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sh[0], sh[2]) <= ham(sh[0], sh[3])
+
+
+def test_lang_guess(spark):
+    from ligra_spark.functions import with_lang_guess
+
+    rows = spark.createDataFrame(
+        [
+            (0, "the cat and the hat of a house"),
+            (1, "der hund und die katze das haus"),
+            (2, "le chat et la maison les arbres"),
+            (3, "el gato y los perros las casas"),
+            (4, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_guess"] for r in with_lang_guess(rows).collect()}
+    assert out == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "und"}
+
+
+def test_brute_force_vs_lsh_recall(spark):
+    import numpy as np
+
+    from ligra_spark.functions.similarity import brute_force_topk, lsh_bucket_topk
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(200, 16)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = emb.filter(F.col("vec_id") < 3)
+    exact = brute_force_topk(emb, probes, k=5).collect()
+    approx = lsh_bucket_topk(emb, probes, k=5, bits=4, dim=16).collect()
+    exact_set = {(r["probe_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["probe_id"], r["vec_id"]) for r in approx}
+    # LSH returns a subset of correctly-ranked candidates with
+    # nonzero recall (4-bit buckets on 200 vectors ≈ 12 per bucket)
+    assert approx_set, "LSH returned no candidates"
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall > 0.1, recall
+    for r in approx:
+        assert r["rank"] >= 1

@@ -1,0 +1,139 @@
+"""spark-submit entry point for cluster runs (north rule: ``spark-submit
+--py-files ligra_spark.zip jobs/run_app.py ...``).
+
+Examples:
+    spark-submit --py-files ligra_spark.zip jobs/run_app.py \
+        --app pagerank --edges s3://bucket/edges --n 1000000 \
+        --checkpoint s3://bucket/ckpt --resume --output s3://bucket/scores
+
+    spark-submit ... --app components --pages s3://bucket/pages \
+        --symmetrize --output .../labels
+
+Local smoke: python jobs/run_app.py --app pagerank \
+    --edges /tmp/fix/edges_directed.parquet --output /tmp/out
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+APPS = (
+    "pagerank pagerank_delta components label_propagation triangle bfs "
+    "bellman_ford kcore bc radii mis cf"
+).split()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--app", required=True, choices=APPS)
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--edges", help="parquet edge table (src,dst[,weight])")
+    src.add_argument("--pages", help="pages table -> ingest to edges first")
+    ap.add_argument("--n", type=int, default=None, help="vertex count override")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--symmetrize", action="store_true")
+    ap.add_argument("--salt-buckets", type=int, default=1)
+    ap.add_argument("--max-iters", type=int, default=100)
+    ap.add_argument("--root", type=int, default=0)
+    ap.add_argument("--partitions", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from ligra_spark.graph import LinkGraph
+
+    spark = SparkSession.builder.appName(f"ligra_spark:{args.app}").getOrCreate()
+
+    if args.pages:
+        from ligra_spark.ingest import build_link_graph
+
+        g, dictionary = build_link_graph(
+            spark,
+            spark.read.parquet(args.pages),
+            num_partitions=args.partitions,
+            make_symmetric=args.symmetrize,
+        )
+        dictionary.write.mode("overwrite").parquet(f"{args.output}_dictionary")
+    else:
+        g = LinkGraph.from_parquet(
+            spark,
+            args.edges,
+            n=args.n,
+            num_partitions=args.partitions,
+            make_symmetric=args.symmetrize,
+            salt_buckets=args.salt_buckets,
+        )
+    g.materialize()
+
+    mgr = None
+    if args.checkpoint:
+        from ligra_spark.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(spark, args.checkpoint)
+
+    metrics = []
+
+    def track(it, m):
+        metrics.append({"superstep": it, **m})
+
+    t0 = time.perf_counter()
+    import ligra_spark.apps as apps
+
+    if args.app == "pagerank":
+        out, iters = apps.pagerank(
+            g, max_iters=args.max_iters, checkpoint_mgr=mgr, resume=args.resume,
+            on_superstep=track,
+        )
+    elif args.app == "pagerank_delta":
+        out, iters = apps.pagerank_delta(
+            g, max_iters=args.max_iters, checkpoint_mgr=mgr, on_superstep=track
+        )
+    elif args.app == "components":
+        out, iters = apps.components(g, checkpoint_mgr=mgr, on_superstep=track)
+    elif args.app == "label_propagation":
+        out, iters = apps.label_propagation(g, checkpoint_mgr=mgr, on_superstep=track)
+    elif args.app == "triangle":
+        from ligra_spark.apps.triangle import triangle_count_df
+
+        out, iters = triangle_count_df(g), 1
+    elif args.app == "bfs":
+        out, iters = apps.bfs_levels(g, root=args.root, on_superstep=track)
+    elif args.app == "bellman_ford":
+        out, iters = apps.bellman_ford(g, root=args.root, on_superstep=track)
+    elif args.app == "kcore":
+        out, iters = apps.kcore(g, on_superstep=track)
+    elif args.app == "bc":
+        out, iters = apps.bc_single_source(g, root=args.root, on_superstep=track)
+    elif args.app == "radii":
+        out, iters = apps.radii(g, on_superstep=track)
+    elif args.app == "mis":
+        out, iters = apps.mis(g, on_superstep=track)
+    elif args.app == "cf":
+        out, iters = apps.cf_sgd(g, on_superstep=track)
+
+    out.write.mode("overwrite").parquet(args.output)
+    elapsed = time.perf_counter() - t0
+    summary = {
+        "app": args.app,
+        "n": g.n,
+        "m": g.m,
+        "supersteps": iters,
+        "sec": round(elapsed, 2),
+        "edges_per_sec_per_superstep": round(g.m / (elapsed / max(iters, 1))),
+        "superstep_metrics": metrics[-5:],
+    }
+    print(json.dumps(summary))
+    with open(os.path.join("/tmp", f"ligra_spark_{args.app}_summary.json"), "w") as f:
+        json.dump(summary, f)
+
+
+if __name__ == "__main__":
+    main()

@@ -145,6 +145,45 @@ def _q_bfs_k3(spark, sf):
     return levels
 
 
+def _q_bfs_full(spark, sf):
+    from ligra_spark.apps import bfs_levels
+
+    levels, _ = bfs_levels(_graph(spark, sf), root=0)
+    return levels
+
+
+def _q_sssp_full(spark, sf):
+    from ligra_spark.apps import bellman_ford
+    from ligra_spark.graph import LinkGraph
+
+    g = LinkGraph.from_edges(spark, _edges_w(spark, sf), n=V)
+    dists, _ = bellman_ford(g, root=0)
+    return dists
+
+
+def _q_bfscc(spark, sf):
+    from ligra_spark.apps import bfscc
+
+    labels, _ = bfscc(_graph(spark, sf, symmetric=True))
+    return labels
+
+
+def _q_delta_stepping(spark, sf):
+    from ligra_spark.apps import delta_stepping
+    from ligra_spark.graph import LinkGraph
+
+    g = LinkGraph.from_edges(spark, _edges_w(spark, sf), n=V)
+    dists, _ = delta_stepping(g, root=0, delta=4)
+    return dists
+
+
+def _q_ecc_16(spark, sf):
+    from ligra_spark.apps import ecc_estimate
+
+    out, _ = ecc_estimate(_graph(spark, sf, symmetric=True), sources=list(range(16)))
+    return out
+
+
 def _edges_w(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.select(
@@ -295,7 +334,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components": _q_components,
         "label_propagation": _q_label_propagation,
         "bfs_k3": _q_bfs_k3,
+        "bfs": _q_bfs_full,
+        "bfscc": _q_bfscc,
         "sssp_k3": _q_sssp_k3,
+        "sssp": _q_sssp_full,
+        "delta_stepping": _q_delta_stepping,
+        "ecc_16": _q_ecc_16,
         "lp_k2": _q_lp_k2,
         "bc": _q_bc,
         "radii": _q_radii,
@@ -322,41 +366,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------- oracle SQL
 def _pr_sql(k: int) -> str:
     sql = (
-        f"WITH e AS ({EDGES_SQL}),\n"
-        "deg AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src),\n"
+        f"WITH e AS MATERIALIZED ({EDGES_SQL}),\n"
+        "deg AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src),\n"
         f"v AS (SELECT CAST(range AS BIGINT) AS id FROM range({V})),\n"
         f"p0 AS (SELECT id, 1.0/{V} AS rank FROM v)"
     )
     prev = "p0"
     for i in range(1, k + 1):
         sql += (
-            f",\nc{i} AS (SELECT e.dst AS id, sum({prev}.rank / deg.outdeg) AS contrib\n"
+            f",\nc{i} AS MATERIALIZED (SELECT e.dst AS id, sum({prev}.rank / deg.outdeg) AS contrib\n"
             f"  FROM e JOIN {prev} ON {prev}.id = e.src JOIN deg ON deg.id = e.src\n"
             f"  GROUP BY e.dst),\n"
-            f"p{i} AS (SELECT v.id, 0.85 * coalesce(c{i}.contrib, 0) + 0.15/{V} AS rank\n"
+            f"p{i} AS MATERIALIZED (SELECT v.id, 0.85 * coalesce(c{i}.contrib, 0) + 0.15/{V} AS rank\n"
             f"  FROM v LEFT JOIN c{i} ON c{i}.id = v.id)"
         )
         prev = f"p{i}"
     return sql + f"\nSELECT id, round(rank, 8) AS rank FROM {prev}"
 
 
-def _cc_sql(k: int) -> str:
+def _cc_sql(k: int, label_col: str = "label") -> str:
+    """k chained min-label rounds.  With k >= the graph's fixpoint depth
+    (5 at sf0.01/sf0.001, measured) this IS the converged component
+    labeling — used both for the fixed-k gate (cc_k4) and, with margin,
+    as the exact oracle for the convergence-defined apps."""
     sql = (
-        f"WITH e0 AS ({EDGES_SQL}),\n"
-        f"es AS ({SYM_SQL}),\n"
+        f"WITH e0 AS MATERIALIZED ({EDGES_SQL}),\n"
+        f"es AS MATERIALIZED ({SYM_SQL}),\n"
         f"v AS (SELECT CAST(range AS BIGINT) AS id FROM range({V})),\n"
         "l0 AS (SELECT id, id AS label FROM v)"
     )
     prev = "l0"
     for i in range(1, k + 1):
         sql += (
-            f",\nm{i} AS (SELECT es.dst AS id, min({prev}.label) AS minl\n"
+            f",\nm{i} AS MATERIALIZED (SELECT es.dst AS id, min({prev}.label) AS minl\n"
             f"  FROM es JOIN {prev} ON {prev}.id = es.src GROUP BY es.dst),\n"
-            f"l{i} AS (SELECT {prev}.id, least({prev}.label, coalesce(m{i}.minl, {prev}.label)) AS label\n"
+            f"l{i} AS MATERIALIZED (SELECT {prev}.id, least({prev}.label, coalesce(m{i}.minl, {prev}.label)) AS label\n"
             f"  FROM {prev} LEFT JOIN m{i} ON m{i}.id = {prev}.id)"
         )
         prev = f"l{i}"
-    return sql + f"\nSELECT id, label FROM {prev}"
+    return sql + f"\nSELECT id, label AS {label_col} FROM {prev}"
 
 
 EDGES_W_SQL = (
@@ -367,15 +415,15 @@ EDGES_W_SQL = (
 
 def _sssp_sql(k: int) -> str:
     sql = (
-        f"WITH e AS ({EDGES_W_SQL}),\n"
+        f"WITH e AS MATERIALIZED ({EDGES_W_SQL}),\n"
         "d0 AS (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist)"
     )
     prev = "d0"
     for i in range(1, k + 1):
         sql += (
-            f",\nr{i} AS (SELECT e.dst AS id, min(p.dist + e.weight) AS nd\n"
+            f",\nr{i} AS MATERIALIZED (SELECT e.dst AS id, min(p.dist + e.weight) AS nd\n"
             f"  FROM e JOIN {prev} p ON p.id = e.src GROUP BY e.dst),\n"
-            f"d{i} AS (SELECT coalesce(a.id, b.id) AS id, least(a.dist, b.nd) AS dist\n"
+            f"d{i} AS MATERIALIZED (SELECT coalesce(a.id, b.id) AS id, least(a.dist, b.nd) AS dist\n"
             f"  FROM {prev} a FULL OUTER JOIN r{i} b ON a.id = b.id)"
         )
         prev = f"d{i}"
@@ -384,34 +432,61 @@ def _sssp_sql(k: int) -> str:
 
 def _lp_sql(k: int) -> str:
     sql = (
-        f"WITH e0 AS ({EDGES_SQL}),\n"
-        f"es AS ({SYM_SQL}),\n"
+        f"WITH e0 AS MATERIALIZED ({EDGES_SQL}),\n"
+        f"es AS MATERIALIZED ({SYM_SQL}),\n"
         f"v AS (SELECT CAST(range AS BIGINT) AS id FROM range({V})),\n"
         "l0 AS (SELECT id, id AS label FROM v)"
     )
     prev = "l0"
     for i in range(1, k + 1):
         sql += (
-            f",\nm{i} AS (SELECT es.dst AS id, min({prev}.label) AS minl\n"
+            f",\nm{i} AS MATERIALIZED (SELECT es.dst AS id, min({prev}.label) AS minl\n"
             f"  FROM es JOIN {prev} ON {prev}.id = es.src GROUP BY es.dst),\n"
-            f"a{i} AS (SELECT {prev}.id, least({prev}.label, coalesce(m{i}.minl, {prev}.label)) AS label\n"
+            f"a{i} AS MATERIALIZED (SELECT {prev}.id, least({prev}.label, coalesce(m{i}.minl, {prev}.label)) AS label\n"
             f"  FROM {prev} LEFT JOIN m{i} ON m{i}.id = {prev}.id),\n"
             # pointer jump: label := label-of-label (Components-Shortcut.C:35-37)
-            f"l{i} AS (SELECT x.id, y.label FROM a{i} x JOIN a{i} y ON x.label = y.id)"
+            f"l{i} AS MATERIALIZED (SELECT x.id, y.label FROM a{i} x JOIN a{i} y ON x.label = y.id)"
         )
         prev = f"l{i}"
     return sql + f"\nSELECT id, label FROM {prev}"
 
 
-def _bfs_sql(k: int) -> str:
-    sql = f"WITH e AS ({EDGES_SQL}),\nvis0 AS (SELECT CAST(0 AS BIGINT) AS id, 0 AS level)"
+def _ecc_sql(k: int, n_sources: int = 16) -> str:
+    """Multi-source BFS from sources 0..n_sources-1 over the symmetric
+    graph; ecc estimate per vertex = max over sources of BFS distance
+    (the kBFS eccentricity-estimate semantics, ``apps/eccentricity``,
+    with explicit sources instead of hashed sampling)."""
+    sql = (
+        f"WITH e0 AS MATERIALIZED ({EDGES_SQL}),\nes AS MATERIALIZED ({SYM_SQL}),\n"
+        f"vis0 AS (SELECT CAST(range AS BIGINT) AS sample, CAST(range AS BIGINT) AS id, "
+        f"0 AS level FROM range({n_sources}))"
+    )
     prev = "vis0"
     for i in range(1, k + 1):
         sql += (
-            f",\nf{i} AS (SELECT DISTINCT e.dst AS id FROM e JOIN {prev} p "
+            f",\nf{i} AS MATERIALIZED (SELECT DISTINCT p.sample, e.dst AS id FROM es e "
+            f"JOIN {prev} p ON p.id = e.src AND p.level = {i - 1}),\n"
+            f"nf{i} AS (SELECT sample, id FROM f{i} x WHERE NOT EXISTS "
+            f"(SELECT 1 FROM {prev} v WHERE v.sample = x.sample AND v.id = x.id)),\n"
+            f"vis{i} AS MATERIALIZED (SELECT sample, id, level FROM {prev} "
+            f"UNION ALL SELECT sample, id, {i} AS level FROM nf{i})"
+        )
+        prev = f"vis{i}"
+    return (
+        sql
+        + f"\nSELECT id, CAST(max(level) AS INT) AS ecc FROM {prev} GROUP BY id"
+    )
+
+
+def _bfs_sql(k: int) -> str:
+    sql = f"WITH e AS MATERIALIZED ({EDGES_SQL}),\nvis0 AS (SELECT CAST(0 AS BIGINT) AS id, 0 AS level)"
+    prev = "vis0"
+    for i in range(1, k + 1):
+        sql += (
+            f",\nf{i} AS MATERIALIZED (SELECT DISTINCT e.dst AS id FROM e JOIN {prev} p "
             f"ON p.id = e.src AND p.level = {i - 1}),\n"
             f"nf{i} AS (SELECT id FROM f{i} WHERE id NOT IN (SELECT id FROM {prev})),\n"
-            f"vis{i} AS (SELECT id, level FROM {prev} "
+            f"vis{i} AS MATERIALIZED (SELECT id, level FROM {prev} "
             f"UNION ALL SELECT id, {i} AS level FROM nf{i})"
         )
         prev = f"vis{i}"
@@ -570,9 +645,21 @@ def oracle_sql() -> dict[str, str]:
         "JOIN es e2 ON e1.dst = e2.src AND e1.src < e1.dst AND e2.src < e2.dst "
         "JOIN es e3 ON e3.src = e1.src AND e3.dst = e2.dst",
         "pagerank_k3": _pr_sql(3),
+        # Convergence-defined apps, matched by VALUE with fixed-depth
+        # chained CTEs sized 2x+ past the measured fixpoint depth at the
+        # driver's gate scale (sf0.01: PR stops at iter 12 with 3x L1
+        # margin; CC/LP fixpoint depth 5; BFS depth 4; BF rounds 9).
+        "pagerank": _pr_sql(12),
+        "components": _cc_sql(12, label_col="component"),
+        "label_propagation": _cc_sql(12, label_col="label"),
+        "bfscc": _cc_sql(12, label_col="label"),
         "cc_k4": _cc_sql(4),
         "bfs_k3": _bfs_sql(3),
+        "bfs": _bfs_sql(12),
         "sssp_k3": _sssp_sql(3),
+        "sssp": _sssp_sql(18),
+        "delta_stepping": _sssp_sql(18),
+        "ecc_16": _ecc_sql(12),
         "lp_k2": _lp_sql(2),
         "doc_exact_dedup": "SELECT md5(text) AS h, min(doc_id) AS keep_id, "
         "count(*) AS copies FROM documents GROUP BY md5(text)",
@@ -599,7 +686,9 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": "SELECT date_trunc('hour', ts) AS hour, event_type, "
         "count(*) AS n, round(sum(value), 6) AS sum_value FROM events "
         "GROUP BY date_trunc('hour', ts), event_type",
-        # pagerank / pagerank_delta / components / label_propagation are
-        # convergence-defined → rows-only check; exactness is pinned in
-        # tests/ against the numpy oracle (SURVEY.md §5).
+        # Still rows-only (genuinely awkward in one SQL string):
+        # pagerank_delta (active-set dynamics), kcore (nested peel
+        # loops), bc / radii / mis (multi-phase or sequential-priority
+        # fixpoints).  Exactness for each is pinned in tests/ against
+        # the numpy oracle (SURVEY.md §5).
     }

@@ -11,8 +11,16 @@ from .bc import bc_single_source
 from .radii import radii
 from .mis import mis
 from .cf import cf_sgd
+from .bfscc import bfscc
+from .delta_stepping import delta_stepping
+from .kcore_julienne import kcore_julienne
+from .ecc import ecc_estimate
 
 __all__ = [
+    "bfscc",
+    "delta_stepping",
+    "kcore_julienne",
+    "ecc_estimate",
     "pagerank",
     "pagerank_delta",
     "components",

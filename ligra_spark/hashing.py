@@ -16,35 +16,74 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["hash_int32", "hash_int64", "hash_double32"]
+__all__ = ["hash_int32", "hash_int64", "hash_double32", "hash_int32_inplace"]
 
 _U32 = np.uint32
 _U64 = np.uint64
 
 
-def hash_int32(a: np.ndarray | int) -> np.ndarray:
-    """32-bit avalanche hash; semantics of ``utils.h:366-374``."""
-    a = np.asarray(a, dtype=_U32)
+def hash_int32_inplace(a: np.ndarray, t: np.ndarray) -> np.ndarray:
+    """32-bit avalanche hash computed IN PLACE over ``a`` (destroyed),
+    using caller-provided temp ``t`` — semantics of ``utils.h:366-374``.
+
+    The expression-per-line form allocates ~18 fresh arrays per call
+    and first-touch page-fault cost dominates at 10^7+ elements on
+    this class of VM (measured ~15x slower than this formulation on
+    84M-edge fixture generation); hot loops preallocate both buffers
+    once and call this per round."""
     with np.errstate(over="ignore"):
-        a = (a + _U32(0x7ED55D16)) + (a << _U32(12))
-        a = (a ^ _U32(0xC761C23C)) ^ (a >> _U32(19))
-        a = (a + _U32(0x165667B1)) + (a << _U32(5))
-        a = (a + _U32(0xD3A2646C)) ^ (a << _U32(9))
-        a = (a + _U32(0xFD7046C5)) + (a << _U32(3))
-        a = (a ^ _U32(0xB55A4F09)) ^ (a >> _U32(16))
+        np.left_shift(a, _U32(12), out=t)   # a = (a + C1) + (a << 12)
+        a += _U32(0x7ED55D16)
+        a += t
+        np.right_shift(a, _U32(19), out=t)  # a = (a ^ C2) ^ (a >> 19)
+        a ^= _U32(0xC761C23C)
+        a ^= t
+        np.left_shift(a, _U32(5), out=t)    # a = (a + C3) + (a << 5)
+        a += _U32(0x165667B1)
+        a += t
+        np.left_shift(a, _U32(9), out=t)    # a = (a + C4) ^ (a << 9)
+        a += _U32(0xD3A2646C)
+        a ^= t
+        np.left_shift(a, _U32(3), out=t)    # a = (a + C5) + (a << 3)
+        a += _U32(0xFD7046C5)
+        a += t
+        np.right_shift(a, _U32(16), out=t)  # a = (a ^ C6) ^ (a >> 16)
+        a ^= _U32(0xB55A4F09)
+        a ^= t
     return a
 
 
+def hash_int32(a: np.ndarray | int) -> np.ndarray:
+    """32-bit avalanche hash (copying wrapper over
+    :func:`hash_int32_inplace`)."""
+    a = np.array(a, dtype=_U32, copy=True)
+    return hash_int32_inplace(a, np.empty_like(a))
+
+
 def hash_int64(a: np.ndarray | int) -> np.ndarray:
-    """64-bit avalanche hash; semantics of ``utils.h:376-384``."""
-    a = np.asarray(a, dtype=_U64)
+    """64-bit avalanche hash; semantics of ``utils.h:376-384``.
+    Same in-place formulation as :func:`hash_int32` (see note there)."""
+    a = np.array(a, dtype=_U64, copy=True)
+    t = np.empty_like(a)
     with np.errstate(over="ignore"):
-        a = (a + _U64(0x7ED55D166BEF7A1D)) + (a << _U64(12))
-        a = (a ^ _U64(0xC761C23C510FA2DD)) ^ (a >> _U64(9))
-        a = (a + _U64(0x165667B183A9C0E1)) + (a << _U64(59))
-        a = (a + _U64(0xD3A2646CAB3487E3)) ^ (a << _U64(49))
-        a = (a + _U64(0xFD7046C5EF9AB54C)) + (a << _U64(3))
-        a = (a ^ _U64(0xB55A4F090DD4A67B)) ^ (a >> _U64(32))
+        np.left_shift(a, _U64(12), out=t)
+        a += _U64(0x7ED55D166BEF7A1D)
+        a += t
+        np.right_shift(a, _U64(9), out=t)
+        a ^= _U64(0xC761C23C510FA2DD)
+        a ^= t
+        np.left_shift(a, _U64(59), out=t)
+        a += _U64(0x165667B183A9C0E1)
+        a += t
+        np.left_shift(a, _U64(49), out=t)
+        a += _U64(0xD3A2646CAB3487E3)
+        a ^= t
+        np.left_shift(a, _U64(3), out=t)
+        a += _U64(0xFD7046C5EF9AB54C)
+        a += t
+        np.right_shift(a, _U64(32), out=t)
+        a ^= _U64(0xB55A4F090DD4A67B)
+        a ^= t
     return a
 
 

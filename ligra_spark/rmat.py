@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .hashing import hash_double32, hash_int32
+from .hashing import hash_int32, hash_int32_inplace
 
 __all__ = ["rmat_edges", "make_symmetric", "dedup_edges"]
 
@@ -51,22 +51,62 @@ def rmat_edges(
     h = hash_int32(np.uint32(seed))
     i = np.arange(m, dtype=np.uint32)
     with np.errstate(over="ignore"):
-        rand_start = hash_int32((np.uint32(2) * i) * h)
-        rand_stride = hash_int32((np.uint32(2) * i + np.uint32(1)) * h)
+        rand_start = (np.uint32(2) * i) * h
+        rand_start = hash_int32_inplace(rand_start, i.copy())
+        rand_stride = (np.uint32(2) * i + np.uint32(1)) * h
+        rand_stride = hash_int32_inplace(rand_stride, i)
+    del i
     u = np.zeros(m, dtype=np.int64)
     v = np.zeros(m, dtype=np.int64)
+    # buffers reused across levels: fresh allocations per level would be
+    # first-touch-page-fault bound at 10^8 edges (see hashing module)
+    hbuf = np.empty(m, dtype=np.uint32)
+    tbuf = np.empty(m, dtype=np.uint32)
+    r = np.empty(m, dtype=np.float64)
+    m1 = np.empty(m, dtype=bool)
+    m2 = np.empty(m, dtype=bool)
     levels = int(np.log2(nn))
     for k in range(levels):
         with np.errstate(over="ignore"):
-            r = hash_double32(rand_start + np.uint32(k) * rand_stride)
+            np.multiply(rand_stride, np.uint32(k), out=hbuf)
+            hbuf += rand_start
+            hash_int32_inplace(hbuf, tbuf)
+        # hashDouble (rMatGraph.C:29-30): hash / UINT_MAX in [0, 1]
+        np.divide(hbuf, np.float64(0xFFFFFFFF), out=r)
         half = np.int64(nn >> (k + 1))
         # quadrant choice per rMatGraph.C:49-54
-        v += np.where((r >= a) & (r < ab), half, 0)
-        u += np.where((r >= ab) & (r < abc), half, 0)
-        both = r >= abc
-        u += np.where(both, half, 0)
-        v += np.where(both, half, 0)
+        np.greater_equal(r, a, out=m1)
+        np.less(r, ab, out=m2)
+        m1 &= m2
+        np.add(v, half, out=v, where=m1)
+        np.greater_equal(r, ab, out=m1)
+        np.less(r, abc, out=m2)
+        m1 &= m2
+        np.add(u, half, out=u, where=m1)
+        np.greater_equal(r, abc, out=m1)
+        np.add(u, half, out=u, where=m1)
+        np.add(v, half, out=v, where=m1)
     return u, v
+
+
+def _unique_sorted_inplace(packed: np.ndarray) -> np.ndarray:
+    """In-place sort + flag-unique (the sort-and-keep-first of
+    ``remDuplicates``, ``graphIO.h:245-267``).  ``np.unique`` copies
+    before sorting — one avoidable 10^9-byte first-touch at 10^8
+    edges."""
+    if len(packed) == 0:
+        return packed
+    packed.sort()
+    mask = np.empty(len(packed), dtype=bool)
+    mask[0] = True
+    np.not_equal(packed[1:], packed[:-1], out=mask[1:])
+    return packed[mask]
+
+
+def _unpack(uniq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    return (uniq >> np.uint64(32)).astype(np.int64), (
+        uniq & np.uint64(0xFFFFFFFF)
+    ).astype(np.int64)
 
 
 def dedup_edges(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -75,11 +115,11 @@ def dedup_edges(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarra
     one int when ids fit 32 bits (``np.unique(axis=0)`` on raw pairs
     is orders of magnitude slower at 10^8 rows)."""
     if len(src) and max(int(src.max()), int(dst.max())) < (1 << 32):
-        packed = (src.astype(np.uint64) << np.uint64(32)) | dst.astype(np.uint64)
-        uniq = np.unique(packed)
-        return (uniq >> np.uint64(32)).astype(np.int64), (
-            uniq & np.uint64(0xFFFFFFFF)
-        ).astype(np.int64)
+        packed = np.empty(len(src), dtype=np.uint64)
+        np.left_shift(src.astype(np.int64, copy=False).view(np.uint64),
+                      np.uint64(32), out=packed)
+        packed |= dst.astype(np.int64, copy=False).view(np.uint64)
+        return _unpack(_unique_sorted_inplace(packed))
     pairs = np.stack([src, dst], axis=1)
     uniq = np.unique(pairs, axis=0)
     return uniq[:, 0], uniq[:, 1]
@@ -87,9 +127,17 @@ def dedup_edges(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarra
 
 def make_symmetric(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Symmetrize: drop self-loops, add reversals, dedup
-    (``makeSymmetric``, ``graphIO.h:300-315``)."""
+    (``makeSymmetric``, ``graphIO.h:300-315``).  Forward and reversed
+    pairs are packed straight into the two halves of one buffer —
+    no intermediate concatenations."""
     keep = src != dst
-    s, d = src[keep], dst[keep]
-    s2 = np.concatenate([s, d])
-    d2 = np.concatenate([d, s])
-    return dedup_edges(s2, d2)
+    s = src[keep].astype(np.int64, copy=False).view(np.uint64)
+    d = dst[keep].astype(np.int64, copy=False).view(np.uint64)
+    k = len(s)
+    packed = np.empty(2 * k, dtype=np.uint64)
+    fwd, rev = packed[:k], packed[k:]
+    np.left_shift(s, np.uint64(32), out=fwd)
+    fwd |= d
+    np.left_shift(d, np.uint64(32), out=rev)
+    rev |= s
+    return _unpack(_unique_sorted_inplace(packed))

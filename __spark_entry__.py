@@ -184,6 +184,13 @@ def _q_ecc_16(spark, sf):
     return out
 
 
+def _q_setcover(spark, sf):
+    from ligra_spark.apps import setcover
+
+    out, _ = setcover(_graph(spark, sf))
+    return out
+
+
 def _edges_w(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.select(
@@ -340,6 +347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": _q_sssp_full,
         "delta_stepping": _q_delta_stepping,
         "ecc_16": _q_ecc_16,
+        "setcover": _q_setcover,
         "lp_k2": _q_lp_k2,
         "bc": _q_bc,
         "radii": _q_radii,
@@ -688,7 +696,7 @@ def oracle_sql() -> dict[str, str]:
         "GROUP BY date_trunc('hour', ts), event_type",
         # Still rows-only (genuinely awkward in one SQL string):
         # pagerank_delta (active-set dynamics), kcore (nested peel
-        # loops), bc / radii / mis (multi-phase or sequential-priority
-        # fixpoints).  Exactness for each is pinned in tests/ against
-        # the numpy oracle (SURVEY.md §5).
+        # loops), bc / radii / mis / setcover (multi-phase or
+        # sequential-priority fixpoints).  Exactness for each is pinned
+        # in tests/ against the numpy oracle (SURVEY.md §5).
     }

@@ -25,7 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 APPS = (
     "pagerank pagerank_delta components label_propagation triangle bfs "
-    "bellman_ford kcore bc radii mis cf"
+    "bellman_ford kcore bc radii mis cf "
+    "bfscc delta_stepping kcore_julienne ecc setcover"
 ).split()
 
 
@@ -118,6 +119,18 @@ def main(argv=None):
         out, iters = apps.mis(g, on_superstep=track)
     elif args.app == "cf":
         out, iters = apps.cf_sgd(g, on_superstep=track)
+    elif args.app == "bfscc":
+        out, iters = apps.bfscc(g, on_superstep=track)
+    elif args.app == "delta_stepping":
+        out, iters = apps.delta_stepping(g, root=args.root, on_superstep=track)
+    elif args.app == "kcore_julienne":
+        out, iters = apps.kcore_julienne(g, on_superstep=track)
+    elif args.app == "ecc":
+        out, iters = apps.ecc_estimate(
+            g, sources=list(range(min(g.n, 64))), on_superstep=track
+        )
+    elif args.app == "setcover":
+        out, iters = apps.setcover(g, on_superstep=track)
 
     out.write.mode("overwrite").parquet(args.output)
     elapsed = time.perf_counter() - t0

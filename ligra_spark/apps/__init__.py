@@ -15,9 +15,11 @@ from .bfscc import bfscc
 from .delta_stepping import delta_stepping
 from .kcore_julienne import kcore_julienne
 from .ecc import ecc_estimate
+from .setcover import setcover
 
 __all__ = [
     "bfscc",
+    "setcover",
     "delta_stepping",
     "kcore_julienne",
     "ecc_estimate",

@@ -369,3 +369,75 @@ def cf_sgd(
         np.add.at(grad, dst, latent[src] * err[:, None])
         latent = latent + step * (-lam * latent + grad)
     return latent
+
+
+def setcover(
+    n: int,
+    src: np.ndarray,
+    dst: np.ndarray,
+    epsilon: float = 0.01,
+) -> tuple[np.ndarray, int]:
+    """Bucketed greedy set cover, semantics of
+    ``apps/bucketing/SetCover.C:25-96`` (MaNIS-style): every vertex is
+    both a set (covering its out-neighbors) and an element.  Buckets by
+    floor(x*ln(deg)) with x = 1/ln(1+eps), processed DECREASING; per
+    round the current bucket's sets re-count their uncovered neighbors
+    (the packEdges step), those still above ceil((1+eps)^k) acquire
+    elements by writeMin(set id), and sets winning at least
+    ceil((1+eps)^(k-1)) elements join the cover and mark them covered;
+    losers' acquisitions reset.  writeMin makes the whole run
+    deterministic (min set id wins each element).  Edge-level counts —
+    duplicate edges count multiply, as upstream.
+
+    Returns (in_cover bool array over n, rounds)."""
+    order = np.lexsort((dst, src))
+    s, d = src[order], dst[order]
+    offsets = np.searchsorted(s, np.arange(n + 1, dtype=np.int64))
+    x = 1.0 / np.log(1.0 + epsilon)
+
+    def clamp_bucket(deg):
+        return -1 if deg == 0 else int(np.floor(x * np.log(float(deg))))
+
+    D = np.diff(offsets).astype(np.int64)
+    bucket = np.array([clamp_bucket(int(dv)) for dv in D], dtype=np.int64)
+    covered = np.zeros(n, dtype=bool)
+    in_cover = np.zeros(n, dtype=bool)
+    owner = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)  # free
+    rounds = 0
+    while True:
+        live = bucket >= 0
+        if not live.any():
+            break
+        k = int(bucket[live].max())
+        active = np.where(bucket == k)[0]
+        rounds += 1
+        # 1. pack: recount uncovered out-edges (duplicates count)
+        for v in active:
+            nb = d[offsets[v] : offsets[v + 1]]
+            D[v] = int((~covered[nb]).sum())
+        thr = int(np.ceil((1.0 + epsilon) ** k))
+        still = active[D[active] >= thr]
+        # 2. writeMin acquisition over uncovered neighbors
+        for v in still:
+            nb = d[offsets[v] : offsets[v + 1]]
+            nb = nb[~covered[nb]]
+            np.minimum.at(owner, nb, v)
+        # 3. won-edge counts; join cover when >= low threshold
+        low = max(int(np.ceil((1.0 + epsilon) ** (k - 1))), 1)
+        for v in still:
+            nb = d[offsets[v] : offsets[v + 1]]
+            nb = nb[~covered[nb]]
+            if int((owner[nb] == v).sum()) >= low:
+                in_cover[v] = True
+        # 4. winners mark their elements covered; losers reset
+        for v in still:
+            nb = d[offsets[v] : offsets[v + 1]]
+            nb = nb[~covered[nb]]
+            won = nb[owner[nb] == v]
+            if in_cover[v]:
+                covered[won] = True
+            owner[won] = np.iinfo(np.int64).max
+        # 5. rebucket the processed bucket's sets
+        for v in active:
+            bucket[v] = -1 if in_cover[v] else clamp_bucket(int(D[v]))
+    return in_cover, rounds

@@ -86,3 +86,19 @@ def test_ecc_estimate_matches_multibfs(tiny_graph_sym, tiny_sym):
     got_df, _ = ecc_estimate(tiny_graph_sym, sources=sources)
     got = np.array(_by_id(got_df, "ecc", n, fill=-1))
     np.testing.assert_array_equal(got, expected)
+
+
+def test_setcover_matches_oracle(tiny_graph, tiny_edges):
+    from ligra_spark.apps import setcover
+
+    n, src, dst = tiny_edges
+    exp_cover, exp_rounds = oracle.setcover(n, src, dst)
+    got_df, rounds = setcover(tiny_graph)
+    got = np.array(_by_id(got_df, "in_cover", n))
+    np.testing.assert_array_equal(got, exp_cover)
+    assert rounds == exp_rounds
+    # validity: cover sets' out-neighbors cover every element with an in-edge
+    covered = np.array(_by_id(got_df, "covered", n))
+    has_in = np.zeros(n, dtype=bool)
+    has_in[dst] = True
+    assert bool((covered | ~has_in).all())

@@ -26,7 +26,9 @@ import sys
 import tempfile
 
 LO, HI = 8, 32
-ROUNDS = 3
+ROUNDS = int(os.environ.get("SCALING_ROUNDS", 3))
+LEVELS = [int(x) for x in os.environ.get("SCALING_LEVELS", "32,8").split(",")]
+MERGE = os.environ.get("SCALING_MERGE")  # prior raw-results JSON to reuse
 N = 1 << 22  # 4.2M vertices
 DEG = 20     # 84M directed edges
 
@@ -87,48 +89,69 @@ def main():
         f.write(worker)
 
     results = {}
-    for cpus in (HI, LO):
+    if MERGE and os.path.exists(MERGE):
+        results = {int(k): v for k, v in json.load(open(MERGE))["raw"].items()}
+    for cpus in LEVELS:
+        if cpus in results:
+            continue
         out = subprocess.run(
             [sys.executable, script, str(cpus), fixdir],
-            capture_output=True, text=True, timeout=3000,
+            capture_output=True, text=True, timeout=6000,
         )
         line = out.stdout.strip().splitlines()[-1]
         results[cpus] = json.loads(line)
         print(f"local[{cpus}]: {results[cpus]}", file=sys.stderr)
 
-    med = lambda xs: statistics.median(xs)
-    lo, hi = results[LO], results[HI]
-    m, m_sym, ccr = hi["m"], hi["m_sym"], hi["cc_rounds"]
+    med = statistics.median
+    levels = sorted(results)
+    any_r = results[levels[0]]
+    m, m_sym, ccr = any_r["m"], any_r["m_sym"], any_r["cc_rounds"]
     summary = {
         "graph": {"n": N, "m": m, "m_sym": m_sym},
-        "protocol": f"1 warm-up + median of {ROUNDS} rounds, local[{LO}] vs local[{HI}]",
-        "levels": {},
-        "efficiency": {},
+        "protocol": f"1 warm-up + median of timed rounds per level; levels local{levels}",
+        "throughput": {},   # per level, per phase
+        "pairs": {},        # N -> 4N efficiency per adjacent 4x pair
+        "raw": results,
     }
-    for name, key, edges, rounds in (
+    phases = (
         ("pagerank10", "pr10", m, 10),
         ("components", "cc", m_sym, ccr),
         ("cpu_control_md5", "ctrl", None, 1),
-    ):
-        tlo, thi = med(lo[key]), med(hi[key])
-        speedup = tlo / thi
-        eff = speedup / (HI / LO)
-        entry = {"sec_lo": round(tlo, 2), "sec_hi": round(thi, 2),
-                 "speedup": round(speedup, 2), "efficiency": round(eff, 3)}
-        if edges:
-            entry["edges_per_sec_per_superstep_lo"] = round(edges / (tlo / rounds))
-            entry["edges_per_sec_per_superstep_hi"] = round(edges / (thi / rounds))
-        summary["levels"][name] = entry
-        summary["efficiency"][name] = round(eff, 3)
+    )
+    for name, key, edges, rounds in phases:
+        summary["throughput"][name] = {
+            str(c): {
+                "sec": round(med(results[c][key]), 2),
+                **(
+                    {"edges_per_sec_per_superstep": round(
+                        edges / (med(results[c][key]) / rounds))}
+                    if edges else {}
+                ),
+            }
+            for c in levels
+        }
+    for lo_c, hi_c in zip(levels, levels[1:]):
+        if hi_c != 4 * lo_c:
+            continue
+        pair = {}
+        for name, key, _, _ in phases:
+            tlo, thi = med(results[lo_c][key]), med(results[hi_c][key])
+            pair[name] = {
+                "sec_lo": round(tlo, 2), "sec_hi": round(thi, 2),
+                "speedup": round(tlo / thi, 2),
+                "efficiency": round(tlo / thi / 4, 3),
+            }
+        summary["pairs"][f"{lo_c}->{hi_c}"] = pair
 
     with open(out_json, "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))
 
-    print("\n| phase | local[8] s | local[32] s | speedup | efficiency (of 4x) |")
-    print("|---|---|---|---|---|")
-    for name, e in summary["levels"].items():
-        print(f"| {name} | {e['sec_lo']} | {e['sec_hi']} | {e['speedup']} | {e['efficiency']} |")
+    for pname, pair in summary["pairs"].items():
+        print(f"\n| phase ({pname} cores) | N s | 4N s | speedup | efficiency |")
+        print("|---|---|---|---|---|")
+        for name, e in pair.items():
+            print(f"| {name} | {e['sec_lo']} | {e['sec_hi']} | {e['speedup']} | {e['efficiency']} |")
 
 
 if __name__ == "__main__":

@@ -28,7 +28,7 @@ def components(
     graph,
     max_iters: int = 10_000,
     checkpoint_mgr=None,
-    checkpoint_every: int = 1,
+    checkpoint_every: int = 4,
     name: str = "components",
     on_superstep=None,
 ) -> tuple[DataFrame, int]:
@@ -86,7 +86,7 @@ def label_propagation(
     graph,
     max_iters: int = 10_000,
     checkpoint_mgr=None,
-    checkpoint_every: int = 1,
+    checkpoint_every: int = 4,
     name: str = "label_propagation",
     on_superstep=None,
 ) -> tuple[DataFrame, int]:

@@ -36,7 +36,7 @@ def pagerank(
     damping: float = 0.85,
     epsilon: float = 1e-7,
     checkpoint_mgr=None,
-    checkpoint_every: int = 1,
+    checkpoint_every: int = 4,
     resume: bool = False,
     name: str = "pagerank",
     on_superstep=None,
@@ -101,7 +101,7 @@ def pagerank_delta(
     epsilon: float = 1e-7,
     epsilon2: float = 0.01,
     checkpoint_mgr=None,
-    checkpoint_every: int = 1,
+    checkpoint_every: int = 4,
     name: str = "pagerank_delta",
     on_superstep=None,
 ) -> tuple[DataFrame, int]:

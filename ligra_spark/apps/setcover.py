@@ -52,7 +52,11 @@ def setcover(
         F.lit(False).alias("in_cover"),
         F.lit(False).alias("covered"),
     )
-    st = IterState(init, num_partitions=graph.num_partitions)
+    # checkpoint_every=1: this app references the state ~5 times per
+    # round (pack, threshold, acquire, won, rebucket), so the default
+    # cadence-4 lineage window nests 5^4 plan copies between cuts and
+    # OOMs the analyzer; a cut per round keeps the plan flat.
+    st = IterState(init, num_partitions=graph.num_partitions, checkpoint_every=1)
     b = Buckets(increasing=False)  # decreasing order (SetCover.C:32)
     e = graph.edges.select(F.col("src").alias("src"), F.col("dst").alias("dst"))
     rounds = 0
@@ -71,10 +75,16 @@ def setcover(
         # every nested broadcast build — a recompute amplification that
         # compounds across rounds into exponential superstep times
         # (measured: flat ~1s/round cached vs 226s by round 21 not).
+        # All per-round frames use DISJOINT column names with
+        # unqualified join conditions: dataset-qualified refs (e["dst"])
+        # trip Spark's ambiguous-self-join check here, because every
+        # frame in the round (state, edges, counts) shares lineage with
+        # the cached edge table through out_degrees.
         elm_state = st.df.select(F.col("id").alias("elm"), "covered")
         eu = (
-            f.join(e, f["id"] == e["src"])
-            .join(elm_state, e["dst"] == elm_state["elm"])
+            f.select(F.col("id").alias("fid"))
+            .join(e, F.col("fid") == F.col("src"))
+            .join(elm_state, F.col("dst") == F.col("elm"))
             .filter(~F.col("covered"))
             .select("src", "dst")
             .persist()
@@ -86,23 +96,35 @@ def setcover(
         ).persist()
         thr = int(math.ceil((1.0 + epsilon) ** k))
         low = max(int(math.ceil((1.0 + epsilon) ** (k - 1))), 1)
-        still = cnt.filter(F.col("newdeg") >= thr).select("id")
+        still = cnt.filter(F.col("newdeg") >= thr).select(F.col("id").alias("sid"))
         if fsize <= max(1024, graph.m // 20):  # still/winners ⊆ active
             still = F.broadcast(still)
-        es = eu.join(still, eu["src"] == still["id"]).select("src", "dst")
-        owners = es.groupBy("dst").agg(F.min("src").alias("owner")).persist()
-        won = (
-            es.join(owners, "dst")
-            .filter(F.col("src") == F.col("owner"))
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.count(F.lit(1)).alias("n_won"))
+        es = eu.join(still, F.col("src") == F.col("sid")).select("src", "dst")
+        # Won-edge counting WITHOUT joining es back to itself (a
+        # lineage self-join trips Spark's ambiguous-self-join check):
+        # two-level aggregation — per (dst, src) edge multiplicity,
+        # then per dst the min src (the writeMin winner) and, via
+        # min_by, that winner's edge count.
+        per_pair = es.groupBy("dst", "src").agg(F.count(F.lit(1)).alias("c"))
+        owners = (
+            per_pair.groupBy(F.col("dst").alias("odst"))
+            .agg(
+                F.min("src").alias("owner"),
+                F.min_by("c", "src").alias("owner_edges"),
+            )
+            .persist()
+        )
+        won = owners.groupBy(F.col("owner").alias("id")).agg(
+            F.sum("owner_edges").alias("n_won")
         )
         winners = won.filter(F.col("n_won") >= low).select("id").persist()
         winners.count()
         wjoin = F.broadcast(winners) if fsize <= max(1024, graph.m // 20) else winners
         newly_covered = (
-            owners.join(wjoin, owners["owner"] == wjoin["id"])
-            .select(F.col("dst").alias("id"))
+            owners.join(
+                wjoin.select(F.col("id").alias("winner_id")),
+                F.col("owner") == F.col("winner_id"),
+            ).select(F.col("odst").alias("id"))
         )
         # 4. one state join applying cover/covered/degree/bucket updates
         upd = (

@@ -131,6 +131,13 @@ def make_symmetric(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.nda
     pairs are packed straight into the two halves of one buffer —
     no intermediate concatenations."""
     keep = src != dst
+    if len(src) == 0 or max(int(src.max()), int(dst.max())) >= (1 << 32):
+        # ids don't fit the 32-bit packing halves (or empty input):
+        # take the general path through dedup_edges, which handles both
+        return dedup_edges(
+            np.concatenate([src[keep], dst[keep]]),
+            np.concatenate([dst[keep], src[keep]]),
+        )
     s = src[keep].astype(np.int64, copy=False).view(np.uint64)
     d = dst[keep].astype(np.int64, copy=False).view(np.uint64)
     k = len(s)

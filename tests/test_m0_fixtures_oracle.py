@@ -57,6 +57,20 @@ def test_make_symmetric_properties():
     assert len(pairs) == len(s)  # deduped
 
 
+def test_make_symmetric_wide_ids():
+    # ids >= 2^32 must not be truncated by the packed fast path
+    src = np.array([1 << 33, 5, 7], dtype=np.int64)
+    dst = np.array([7, (1 << 33) + 1, 7], dtype=np.int64)
+    s, d = make_symmetric(src, dst)
+    pairs = set(zip(s.tolist(), d.tolist()))
+    assert pairs == {
+        (1 << 33, 7),
+        (7, 1 << 33),
+        (5, (1 << 33) + 1),
+        ((1 << 33) + 1, 5),
+    }
+
+
 def test_pagerank_oracle_sums_and_dangling():
     n, src, dst = sample_graph_edges()
     p, iters = oracle.pagerank(n, src, dst, max_iters=100)

@@ -90,7 +90,8 @@ def main():
 
     results = {}
     if MERGE and os.path.exists(MERGE):
-        results = {int(k): v for k, v in json.load(open(MERGE))["raw"].items()}
+        with open(MERGE) as f:
+            results = {int(k): v for k, v in json.load(f).get("raw", {}).items()}
     for cpus in LEVELS:
         if cpus in results:
             continue

@@ -501,6 +501,238 @@ def _bfs_sql(k: int) -> str:
     return sql + f"\nSELECT id, CAST(level AS INT) AS level FROM {prev}"
 
 
+def _prdelta_sql(k: int) -> str:
+    """PageRankDelta (``apps/PageRankDelta.C:47-75``) unrolled to
+    EXACTLY the measured stopping round at the driver gate scale
+    (sf0.01: 6 rounds; tests pin the engine to the same count vs the
+    numpy oracle).  Unlike plain PageRank, extra rounds are NOT
+    harmless (each adds sub-epsilon deltas visible at round-8), so the
+    depth is exact, not a margin."""
+    sql = (
+        f"WITH e AS MATERIALIZED ({EDGES_SQL}),\n"
+        "deg AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src),\n"
+        f"v AS (SELECT CAST(range AS BIGINT) AS id FROM range({V})),\n"
+        f"s0 AS (SELECT id, 0.0 AS p, 1.0/{V} AS delta, TRUE AS active FROM v)"
+    )
+    for i in range(1, k + 1):
+        prev = f"s{i - 1}"
+        sql += (
+            f",\ng{i} AS MATERIALIZED (SELECT e.dst AS id, sum(s.delta / deg.outdeg) AS ngh\n"
+            f"  FROM e JOIN {prev} s ON s.id = e.src AND s.active\n"
+            f"  JOIN deg ON deg.id = e.src GROUP BY e.dst)"
+        )
+        if i == 1:  # PR_Vertex_F_FirstRound: p += d1, delta = d1 - 1/n
+            sql += (
+                f",\nt1 AS MATERIALIZED (SELECT s.id, s.p AS p0,\n"
+                f"  0.85 * coalesce(g.ngh, 0) + 0.15/{V} AS d1\n"
+                f"  FROM {prev} s LEFT JOIN g1 g ON g.id = s.id),\n"
+                f"s1 AS MATERIALIZED (SELECT id, p0 + d1 AS p, d1 - 1.0/{V} AS delta,\n"
+                f"  abs(d1 - 1.0/{V}) > 0.01 * (p0 + d1) AS active FROM t1)"
+            )
+        else:  # PR_Vertex_F: active iff |0.85*ngh| > 0.01*p_old
+            sql += (
+                f",\ns{i} AS MATERIALIZED (SELECT s.id,\n"
+                "  CASE WHEN abs(0.85 * coalesce(g.ngh, 0)) > 0.01 * s.p\n"
+                "       THEN s.p + 0.85 * coalesce(g.ngh, 0) ELSE s.p END AS p,\n"
+                "  0.85 * coalesce(g.ngh, 0) AS delta,\n"
+                "  abs(0.85 * coalesce(g.ngh, 0)) > 0.01 * s.p AS active\n"
+                f"  FROM s{i - 1} s LEFT JOIN g{i} g ON g.id = s.id)"
+            )
+    return sql + f"\nSELECT id, round(p, 8) AS rank FROM s{k}"
+
+
+def _bc_sql(depth: int) -> str:
+    """Single-source BC (``apps/BC.C:95-148``): forward sigma
+    accumulation to the measured BFS depth (sf0.01: 4 from root 0 over
+    the directed dup-keeping edge table), then backward dependency
+    rounds in inverse space.  Duplicate edges count as parallel
+    shortest paths in BOTH phases (sum over edge rows, not distinct
+    neighbors) — matching the engine's sum monoid."""
+    sql = (
+        f"WITH e AS MATERIALIZED ({EDGES_SQL}),\n"
+        "a0 AS (SELECT CAST(0 AS BIGINT) AS id, 0 AS level, 1.0 AS sigma)"
+    )
+    for i in range(1, depth + 1):
+        sql += (
+            f",\nm{i} AS MATERIALIZED (SELECT e.dst AS id, sum(p.sigma) AS sigma\n"
+            f"  FROM e JOIN a{i - 1} p ON p.id = e.src AND p.level = {i - 1} GROUP BY e.dst),\n"
+            f"a{i} AS MATERIALIZED (SELECT id, level, sigma FROM a{i - 1}\n"
+            f"  UNION ALL SELECT m.id, {i} AS level, m.sigma FROM m{i} m\n"
+            f"  WHERE m.id NOT IN (SELECT id FROM a{i - 1}))"
+        )
+    # backward: dep(level depth) = 1/sigma; dep(r-1) = 1/sigma + sum of
+    # next level's dep over out-edges (BC.C:124-139 in inverse space)
+    sql += (
+        f",\ndep{depth} AS MATERIALIZED (SELECT id, level, sigma, 1.0/sigma AS dep\n"
+        f"  FROM a{depth} WHERE level = {depth})"
+    )
+    for r in range(depth - 1, -1, -1):
+        sql += (
+            f",\nb{r} AS MATERIALIZED (SELECT e.src AS id, sum(d.dep) AS s\n"
+            f"  FROM e JOIN dep{r + 1} d ON d.id = e.dst GROUP BY e.src),\n"
+            f"dep{r} AS MATERIALIZED (SELECT a.id, a.level, a.sigma,\n"
+            f"  1.0/a.sigma + coalesce(b.s, 0) AS dep\n"
+            f"  FROM a{depth} a LEFT JOIN b{r} b ON b.id = a.id WHERE a.level = {r})"
+        )
+    union = "\nUNION ALL ".join(f"SELECT * FROM dep{r}" for r in range(depth + 1))
+    return (
+        sql
+        + f"\nSELECT id, round(dep * sigma - 1.0, 6) AS bc FROM ({union}) allv"
+    )
+
+
+def _radii_sql(depth: int) -> str:
+    """Radii estimate (``apps/Radii.C:72-99``): the 64-bit OR-mask
+    propagation is equivalent to "radii[v] = max over sampled sources
+    of directed BFS distance" (bit i reaches v exactly at round
+    dist(v_i, v); the mask last grows at the max such round).  Sources
+    are the reference's hashInt(i) % n samples, computed here with the
+    bit-exact ``ligra_spark.hashing`` port and embedded as literals.
+    Depth is fixpoint + margin (sf0.01: 6 rounds measured)."""
+    import numpy as np
+
+    from ligra_spark.hashing import hash_int32
+
+    starts = sorted({int(hash_int32(np.uint32(i))) % V for i in range(64)})
+    vals = ", ".join(f"({s})" for s in starts)
+    sql = (
+        f"WITH e AS MATERIALIZED ({EDGES_SQL}),\n"
+        f"v AS (SELECT CAST(range AS BIGINT) AS id FROM range({V})),\n"
+        f"vis0 AS (SELECT CAST(c0 AS BIGINT) AS sample, CAST(c0 AS BIGINT) AS id,"
+        f" 0 AS level FROM (VALUES {vals}) t(c0))"
+    )
+    prev = "vis0"
+    for i in range(1, depth + 1):
+        sql += (
+            f",\nf{i} AS MATERIALIZED (SELECT DISTINCT p.sample, e.dst AS id FROM e "
+            f"JOIN {prev} p ON p.id = e.src AND p.level = {i - 1}),\n"
+            f"nf{i} AS (SELECT sample, id FROM f{i} x WHERE NOT EXISTS "
+            f"(SELECT 1 FROM {prev} q WHERE q.sample = x.sample AND q.id = x.id)),\n"
+            f"vis{i} AS MATERIALIZED (SELECT sample, id, level FROM {prev} "
+            f"UNION ALL SELECT sample, id, {i} AS level FROM nf{i})"
+        )
+        prev = f"vis{i}"
+    return (
+        sql
+        + f",\nmx AS (SELECT id, max(level) AS mx FROM {prev} GROUP BY id)\n"
+        "SELECT v.id, CAST(coalesce(mx.mx, -1) AS BIGINT) AS radii\n"
+        "FROM v LEFT JOIN mx ON mx.id = v.id"
+    )
+
+
+def _mis_sql(rounds: int) -> str:
+    """Parallel lexicographic-greedy MIS (``apps/MIS.C``, priority =
+    id): per round, live vertices beating every live neighbor's id join
+    the set and knock out their neighbors.  Depth = measured fixpoint +
+    margin (sf0.01: 6 rounds); extra rounds are no-ops on an empty live
+    set."""
+    sql = (
+        f"WITH e0 AS MATERIALIZED ({EDGES_SQL}),\n"
+        f"es AS MATERIALIZED ({SYM_SQL}),\n"
+        f"v AS (SELECT CAST(range AS BIGINT) AS id FROM range({V})),\n"
+        "s0 AS (SELECT id, TRUE AS live, FALSE AS inset FROM v)"
+    )
+    for i in range(1, rounds + 1):
+        sql += (
+            f",\nmn{i} AS MATERIALIZED (SELECT es.dst AS id, min(es.src) AS mn\n"
+            f"  FROM es JOIN s{i - 1} p ON p.id = es.src AND p.live GROUP BY es.dst),\n"
+            f"w{i} AS MATERIALIZED (SELECT s.id, s.live, s.inset,\n"
+            "  s.live AND (m.mn IS NULL OR m.mn > s.id) AS winner\n"
+            f"  FROM s{i - 1} s LEFT JOIN mn{i} m ON m.id = s.id),\n"
+            f"k{i} AS MATERIALIZED (SELECT DISTINCT es.dst AS id FROM es\n"
+            f"  JOIN w{i} w ON w.id = es.src AND w.winner),\n"
+            f"s{i} AS MATERIALIZED (SELECT w.id,\n"
+            "  w.live AND NOT w.winner AND k.id IS NULL AS live,\n"
+            "  w.inset OR w.winner AS inset\n"
+            f"  FROM w{i} w LEFT JOIN k{i} k ON k.id = w.id)"
+        )
+    return sql + f"\nSELECT id, inset AS in_set FROM s{rounds}"
+
+
+def _kcore_sql(iters: int, cap: int = 10) -> str:
+    """Core numbers via the iterated-H-index fixpoint (Lü et al. 2016:
+    c_0 = degree, c_{t+1}(v) = H-index of neighbors' c_t; converges to
+    coreness), capped at the fork's max_k quirk (``KCore.C:87``) —
+    peeling phase k assigns k-1 exactly to coreness-(k-1) vertices, so
+    the capped peel output IS min(coreness, cap).  H-index in SQL:
+    max(least(value, desc-rank)).  Depth = measured convergence +
+    margin (sf0.01: 14 iters); extra iterations are idempotent."""
+    sql = (
+        f"WITH e0 AS MATERIALIZED ({EDGES_SQL}),\n"
+        f"es AS MATERIALIZED ({SYM_SQL}),\n"
+        f"v AS (SELECT CAST(range AS BIGINT) AS id FROM range({V})),\n"
+        "c0 AS MATERIALIZED (SELECT v.id, CAST(coalesce(d.deg, 0) AS BIGINT) AS val\n"
+        "  FROM v LEFT JOIN (SELECT src AS id, count(*) AS deg FROM es GROUP BY src) d\n"
+        "  ON d.id = v.id)"
+    )
+    for t in range(1, iters + 1):
+        sql += (
+            f",\nh{t} AS MATERIALIZED (SELECT id, max(least(x, rn)) AS hv FROM (\n"
+            f"  SELECT es.dst AS id, c.val AS x,\n"
+            "  row_number() OVER (PARTITION BY es.dst ORDER BY c.val DESC) AS rn\n"
+            f"  FROM es JOIN c{t - 1} c ON c.id = es.src) q GROUP BY id),\n"
+            f"c{t} AS MATERIALIZED (SELECT v.id, coalesce(h.hv, 0) AS val\n"
+            f"  FROM v LEFT JOIN h{t} h ON h.id = v.id)"
+        )
+    return sql + f"\nSELECT id, CAST(least(val, {cap}) AS BIGINT) AS core FROM c{iters}"
+
+
+def _setcover_sql(rounds: int, epsilon: float = 0.01) -> str:
+    """Bucketed greedy set cover (``apps/bucketing/SetCover.C:25-96``)
+    unrolled: per round the current max bucket k is a scalar subquery,
+    active sets recount uncovered out-edges (dups count), sets still >=
+    ceil((1+eps)^k) acquire elements by min-src writeMin, winners with
+    >= ceil((1+eps)^(k-1)) won EDGES join the cover; processed sets
+    rebucket by the recount.  Rounds past the measured schedule length
+    (sf0.01: 68) are no-ops: max(bucket) over an empty live set is
+    NULL and every guarded comparison fails."""
+    x = f"(1.0 / ln({1.0 + epsilon}))"
+    sql = (
+        f"WITH e AS MATERIALIZED ({EDGES_SQL}),\n"
+        f"v AS (SELECT CAST(range AS BIGINT) AS id FROM range({V})),\n"
+        "s0 AS MATERIALIZED (SELECT v.id, CAST(coalesce(d.deg, 0) AS BIGINT) AS deg,\n"
+        f"  CASE WHEN coalesce(d.deg, 0) > 0 THEN CAST(floor({x} * ln(coalesce(d.deg, 0))) AS BIGINT) END AS bucket,\n"
+        "  FALSE AS in_cover, FALSE AS covered\n"
+        "  FROM v LEFT JOIN (SELECT src AS id, count(*) AS deg FROM e GROUP BY src) d\n"
+        "  ON d.id = v.id)"
+    )
+    for i in range(1, rounds + 1):
+        p = f"s{i - 1}"
+        k = f"(SELECT k FROM k{i})"
+        sql += (
+            f",\nk{i} AS MATERIALIZED (SELECT max(bucket) AS k FROM {p}),\n"
+            # 1. pack-count: uncovered out-edges of the current bucket's sets
+            f"cnt{i} AS MATERIALIZED (SELECT e.src AS id, count(*) AS nd FROM e\n"
+            f"  JOIN {p} a ON a.id = e.src AND a.bucket = {k}\n"
+            f"  JOIN {p} t ON t.id = e.dst AND NOT t.covered GROUP BY e.src),\n"
+            # 2. writeMin acquisition by sets still above ceil((1+eps)^k)
+            f"own{i} AS MATERIALIZED (SELECT e.dst AS elm, min(e.src) AS owner FROM e\n"
+            f"  JOIN cnt{i} c ON c.id = e.src AND c.nd >= CAST(ceil(power({1.0 + epsilon}, {k})) AS BIGINT)\n"
+            f"  JOIN {p} t ON t.id = e.dst AND NOT t.covered GROUP BY e.dst),\n"
+            # 3. won-EDGE counts per owner; cover when >= low threshold
+            f"won{i} AS MATERIALIZED (SELECT o.owner AS id, count(*) AS nw FROM e\n"
+            f"  JOIN own{i} o ON o.elm = e.dst AND o.owner = e.src GROUP BY o.owner),\n"
+            f"win{i} AS MATERIALIZED (SELECT id FROM won{i}\n"
+            f"  WHERE nw >= greatest(CAST(ceil(power({1.0 + epsilon}, {k} - 1)) AS BIGINT), 1)),\n"
+            f"ncv{i} AS MATERIALIZED (SELECT DISTINCT o.elm AS id FROM own{i} o\n"
+            f"  JOIN win{i} w ON w.id = o.owner),\n"
+            # 4. apply: deg/bucket for processed sets, cover/covered flags
+            f"s{i} AS MATERIALIZED (SELECT s.id,\n"
+            f"  CASE WHEN s.bucket = {k} THEN coalesce(c.nd, 0) ELSE s.deg END AS deg,\n"
+            f"  CASE WHEN s.bucket = {k} THEN\n"
+            "    (CASE WHEN s.in_cover OR w.id IS NOT NULL THEN NULL\n"
+            "          WHEN coalesce(c.nd, 0) > 0\n"
+            f"          THEN CAST(floor({x} * ln(coalesce(c.nd, 0))) AS BIGINT) END)\n"
+            "  ELSE s.bucket END AS bucket,\n"
+            "  s.in_cover OR w.id IS NOT NULL AS in_cover,\n"
+            "  s.covered OR n.id IS NOT NULL AS covered\n"
+            f"  FROM {p} s LEFT JOIN cnt{i} c ON c.id = s.id\n"
+            f"  LEFT JOIN win{i} w ON w.id = s.id\n"
+            f"  LEFT JOIN ncv{i} n ON n.id = s.id)"
+        )
+    return sql + f"\nSELECT id, in_cover, covered FROM s{rounds}"
+
+
 _TOKS = (
     "SELECT doc_id, text, CASE WHEN length(trim(text)) = 0 THEN [] "
     "ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks FROM documents"
@@ -669,6 +901,14 @@ def oracle_sql() -> dict[str, str]:
         "delta_stepping": _sssp_sql(18),
         "ecc_16": _ecc_sql(12),
         "lp_k2": _lp_sql(2),
+        # Formerly rows-only — fixed-depth chained-CTE transcriptions
+        # (depths measured at the sf0.01 gate; see each builder):
+        "pagerank_delta": _prdelta_sql(6),
+        "bc": _bc_sql(4),
+        "radii": _radii_sql(8),
+        "mis": _mis_sql(8),
+        "kcore": _kcore_sql(18),
+        "setcover": _setcover_sql(72),
         "doc_exact_dedup": "SELECT md5(text) AS h, min(doc_id) AS keep_id, "
         "count(*) AS copies FROM documents GROUP BY md5(text)",
         "doc_token_count": "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
@@ -694,9 +934,4 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": "SELECT date_trunc('hour', ts) AS hour, event_type, "
         "count(*) AS n, round(sum(value), 6) AS sum_value FROM events "
         "GROUP BY date_trunc('hour', ts), event_type",
-        # Still rows-only (genuinely awkward in one SQL string):
-        # pagerank_delta (active-set dynamics), kcore (nested peel
-        # loops), bc / radii / mis / setcover (multi-phase or
-        # sequential-priority fixpoints).  Exactness for each is pinned
-        # in tests/ against the numpy oracle (SURVEY.md §5).
     }

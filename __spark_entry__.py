@@ -244,6 +244,25 @@ def _q_kcore(spark, sf):
     return out
 
 
+def _q_cf(spark, sf):
+    """CF-SGD over the weighted symmetric derived graph (weight = a
+    deterministic function of the undirected pair so both engines see
+    identical inputs).  Long-form output (id, k, latent_k) — scalar
+    rows compare engine-portably, arrays don't."""
+    from ligra_spark.apps import cf_sgd
+    from ligra_spark.graph import LinkGraph, symmetrize
+
+    ew = symmetrize(_edges(spark, sf)).withColumn(
+        "weight",
+        (1 + (F.least("src", "dst") * 31 + F.greatest("src", "dst")) % 5).cast("long"),
+    )
+    g = LinkGraph.from_edges(spark, ew, n=V, symmetric=True)
+    lat, _ = cf_sgd(g)
+    return lat.select(
+        "id", F.posexplode("latent").alias("k", "lv")
+    ).select("id", "k", F.round("lv", 8).alias("latent_k"))
+
+
 def _q_doc_exact_dedup(spark, sf):
     from ligra_spark.functions import exact_duplicates
 
@@ -353,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radii": _q_radii,
         "mis": _q_mis,
         "kcore": _q_kcore,
+        "cf": _q_cf,
         # training-data pipeline: text analysis + dedup
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_count": _q_doc_token_count,
@@ -743,6 +763,39 @@ def _list_lit(words) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
 
+def _cf_sql(iters: int = 5, K: int = 20) -> str:
+    """CF-SGD (``apps/CF.C:83-137``): K latent dims in LONG FORM
+    (id, k, val) so the per-edge dot product and the per-(dst, dim)
+    gradient are plain joins + group-bys — no list ops.  Weight =
+    1 + (31*min + max) % 5 over the undirected pair (same expression
+    as the Spark query).  step/lambda/init are the reference defaults
+    (0.00000035 / 0.001 / 0.5)."""
+    sql = (
+        f"WITH e0 AS MATERIALIZED ({EDGES_SQL}),\n"
+        f"es AS MATERIALIZED ({SYM_SQL}),\n"
+        "ew AS MATERIALIZED (SELECT src, dst,\n"
+        "  CAST(1 + (least(src, dst) * 31 + greatest(src, dst)) % 5 AS BIGINT) AS weight\n"
+        "  FROM es),\n"
+        f"v AS (SELECT CAST(range AS BIGINT) AS id FROM range({V})),\n"
+        f"dims AS (SELECT CAST(range AS INT) AS k FROM range({K})),\n"
+        "l0 AS MATERIALIZED (SELECT id, k, 0.5 AS val FROM v CROSS JOIN dims)"
+    )
+    for i in range(1, iters + 1):
+        p = f"l{i - 1}"
+        sql += (
+            f",\nerr{i} AS MATERIALIZED (SELECT e.src, e.dst,\n"
+            "  e.weight - sum(s.val * d.val) AS err\n"
+            f"  FROM ew e JOIN {p} s ON s.id = e.src JOIN {p} d ON d.id = e.dst AND d.k = s.k\n"
+            "  GROUP BY e.src, e.dst, e.weight),\n"
+            f"g{i} AS MATERIALIZED (SELECT r.dst AS id, s.k, sum(s.val * r.err) AS g\n"
+            f"  FROM err{i} r JOIN {p} s ON s.id = r.src GROUP BY r.dst, s.k),\n"
+            f"l{i} AS MATERIALIZED (SELECT l.id, l.k,\n"
+            "  l.val + 3.5e-7 * (-1e-3 * l.val + coalesce(g.g, 0)) AS val\n"
+            f"  FROM {p} l LEFT JOIN g{i} g ON g.id = l.id AND g.k = l.k)"
+        )
+    return sql + f"\nSELECT id, k, round(val, 8) AS latent_k FROM l{iters}"
+
+
 def _quality_sql() -> str:
     stop = _list_lit(STOPWORDS)
     return (
@@ -909,6 +962,7 @@ def oracle_sql() -> dict[str, str]:
         "mis": _mis_sql(8),
         "kcore": _kcore_sql(18),
         "setcover": _setcover_sql(72),
+        "cf": _cf_sql(5, 20),
         "doc_exact_dedup": "SELECT md5(text) AS h, min(doc_id) AS keep_id, "
         "count(*) AS copies FROM documents GROUP BY md5(text)",
         "doc_token_count": "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "

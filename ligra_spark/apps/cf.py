@@ -8,12 +8,13 @@ accumulation over the weighted symmetric graph
 reference is pull-based and updates only in the vertexMap).
 
 Spark shape: latent is an ``array<double>`` column of length K.  The
-per-edge K-vector gradient is aggregated by exploding the K dimensions
-(posexplode) and summing per (vertex, dim) — a single wide shuffle of
-K·m rows per superstep — then re-assembled with sort_array over
-collected (dim, value) structs.  At 100 TB one would instead bucket
-dims into fixed-width struct columns; the exploded form keeps the plan
-100%% built-in and is the honest baseline.
+per-edge K-vector gradient is aggregated JVM-side as K per-dimension
+``sum(element_at(ls, i) * err)`` aggregates in ONE groupBy — partial
+(map-side) aggregation collapses the m edge rows to one K-wide row per
+(partition, dst) before the shuffle, so shuffle volume is O(n·K)
+doubles, not O(m·K) exploded rows.  (The previous posexplode
+formulation shipped K·m rows per superstep — a 20x shuffle-volume
+multiplier at K=20.)
 """
 
 from __future__ import annotations
@@ -58,18 +59,15 @@ def cf_sgd(
                 ),
             )
         )
-        flat = scored.select(
-            "dst", F.posexplode(F.transform("ls", lambda x: x)).alias("k", "lsk"), "err"
-        ).select("dst", "k", (F.col("lsk") * F.col("err")).alias("g"))
         grad = (
-            flat.groupBy(F.col("dst").alias("id"), "k")
-            .agg(F.sum("g").alias("g"))
-            .groupBy("id")
+            scored.groupBy(F.col("dst").alias("id"))
             .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("k", "g"))), lambda s: s["g"]
-                ).alias("grad")
+                *[
+                    F.sum(F.element_at("ls", i + 1) * F.col("err")).alias(f"_g{i}")
+                    for i in range(K)
+                ]
             )
+            .select("id", F.array(*[F.col(f"_g{i}") for i in range(K)]).alias("grad"))
         )
         new = (
             st.df.join(grad.hint("shuffle_hash"), "id", "left")

@@ -339,6 +339,17 @@ def _q_ann_topk(spark, sf):
     )
 
 
+def _q_ann_lsh(spark, sf):
+    """The ANN scale path: hyperplane-LSH bucketed candidates (2-table
+    OR-amplification) + exact re-rank.  dim passed explicitly (the
+    testdata embeddings are 64-wide) — no driver-side length probe."""
+    from ligra_spark.functions.similarity import lsh_bucket_topk
+
+    emb = _t(spark, sf, "embeddings")
+    probes = emb.filter(F.col("vec_id").isin(PROBES))
+    return lsh_bucket_topk(emb, probes, k=5, bits=8, dim=64, tables=2)
+
+
 def _q_events_hourly(spark, sf):
     ev = _t(spark, sf, "events")
     return ev.groupBy(
@@ -386,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "embedding_cosine_probe": _q_cosine_probe,
         "ann_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh,
         # windowed events (streaming-shaped agg)
         "events_hourly": _q_events_hourly,
     }
@@ -923,6 +935,47 @@ _COSINE_SQL = (
 )
 
 
+def _ann_lsh_sql(bits: int = 8, dim: int = 64, tables: int = 2, k: int = 5) -> str:
+    """Recomputes the SAME md5-seeded hyperplanes as
+    ``ligra_spark.functions.similarity.hyperplanes`` (component =
+    first-8-hex(md5('seed:bit:i')) / 0xFFFFFFFF * 2 - 1), buckets by
+    packed sign bits per table, unions same-bucket candidates across
+    tables, exact-cosine re-ranks.  Ranking runs on the UNROUNDED
+    cosine (as the Spark window does); rounding is final-select only."""
+    probes = ", ".join(str(p) for p in PROBES)
+    return (
+        "WITH flat AS MATERIALIZED (SELECT vec_id AS vid,\n"
+        "  generate_subscripts(embedding, 1) - 1 AS i,\n"
+        "  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),\n"
+        "planes AS MATERIALIZED (SELECT tt.t, bb.b, ii.i,\n"
+        "  (CAST(('0x' || substring(md5(CAST(tt.t AS VARCHAR) || ':' || CAST(bb.b AS VARCHAR)\n"
+        "     || ':' || CAST(ii.i AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967295.0) * 2.0 - 1.0 AS c\n"
+        f"  FROM (SELECT CAST(range AS INT) AS t FROM range({tables})) tt,\n"
+        f"       (SELECT CAST(range AS INT) AS b FROM range({bits})) bb,\n"
+        f"       (SELECT CAST(range AS INT) AS i FROM range({dim})) ii),\n"
+        "dots AS MATERIALIZED (SELECT f.vid, p.t, p.b, sum(f.x * p.c) AS dot\n"
+        "  FROM flat f JOIN planes p ON p.i = f.i GROUP BY f.vid, p.t, p.b),\n"
+        "sig AS MATERIALIZED (SELECT vid, t,\n"
+        "  sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END) AS bucket\n"
+        "  FROM dots GROUP BY vid, t),\n"
+        "cand AS MATERIALIZED (SELECT DISTINCT p.vid AS probe_id, s.vid AS vec_id\n"
+        "  FROM sig p JOIN sig s ON s.t = p.t AND s.bucket = p.bucket\n"
+        f"  WHERE p.vid IN ({probes}) AND s.vid <> p.vid),\n"
+        "norms AS MATERIALIZED (SELECT vid, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vid),\n"
+        "ds AS MATERIALIZED (SELECT c.probe_id, c.vec_id, sum(a.x * b.x) AS dot\n"
+        "  FROM cand c JOIN flat a ON a.vid = c.probe_id\n"
+        "  JOIN flat b ON b.vid = c.vec_id AND b.i = a.i\n"
+        "  GROUP BY c.probe_id, c.vec_id),\n"
+        "scored AS (SELECT ds.probe_id, ds.vec_id,\n"
+        "  ds.dot / (n1.nrm * n2.nrm) AS cs\n"
+        "  FROM ds JOIN norms n1 ON n1.vid = ds.vec_id\n"
+        "  JOIN norms n2 ON n2.vid = ds.probe_id)\n"
+        "SELECT probe_id, vec_id, round(cs, 6) AS cos_sim, CAST(rank AS INT) AS rank FROM (\n"
+        "  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, vec_id) AS rank\n"
+        f"  FROM scored) r WHERE rank <= {k}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "out_degree": f"WITH e AS ({EDGES_SQL}) "
@@ -985,6 +1038,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY cos_sim DESC, vec_id) AS rank\n"
             "  FROM cp WHERE vec_id <> probe_id) r WHERE rank <= 5"
         ),
+        "ann_lsh_topk": _ann_lsh_sql(8, 64, 2, 5),
         "events_hourly": "SELECT date_trunc('hour', ts) AS hour, event_type, "
         "count(*) AS n, round(sum(value), 6) AS sum_value FROM events "
         "GROUP BY date_trunc('hour', ts), event_type",

@@ -19,7 +19,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_probe", "brute_force_topk", "lsh_bucket_topk", "hyperplanes"]
+__all__ = [
+    "cosine_probe",
+    "brute_force_topk",
+    "lsh_bucket_topk",
+    "lsh_signature_udf",
+    "hyperplanes",
+]
 
 
 def _dot(a, b):
@@ -123,53 +129,73 @@ def hyperplanes(dim: int, bits: int, seed: int = 0):
     return planes
 
 
+def lsh_signature_udf(dim: int, bits: int, seed: int = 0):
+    """Vectorized (Arrow-batched) hyperplane-LSH signature: one numpy
+    matmul per batch against the (bits x dim) plane matrix, then a
+    sign-bit pack.  This replaces the earlier Catalyst-literal
+    formulation (dim x bits literals per projection — a ~50k-node plan
+    at dim=768/bits=64); the UDF's plan cost is O(1) regardless of
+    dim, and the planes ship once inside the serialized closure."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes_t = np.array(hyperplanes(dim, bits, seed), dtype=np.float64).T  # dim x bits
+    pow2 = (np.int64(1) << np.arange(bits, dtype=np.int64))
+
+    def sig(v):
+        mat = np.array(v.tolist(), dtype=np.float64)  # batch x dim
+        buckets = ((mat @ planes_t) >= 0.0).astype(np.int64) @ pow2
+        return pd.Series(buckets)
+
+    # real annotation objects (module-level `from __future__ import
+    # annotations` would stringify inline hints, which the pandas_udf
+    # eval-type inference rejects)
+    sig.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(sig, "long")
+
+
 def lsh_bucket_topk(
     emb: DataFrame,
     probes: DataFrame,
     k: int = 10,
     bits: int = 8,
     dim: int | None = None,
+    tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """ANN via random-hyperplane LSH: bucket = b-bit sign signature;
-    exact re-rank within the probe's bucket.  Returns (probe_id,
+    exact re-rank within the probe's buckets.  ``tables`` > 1 enables
+    OR-amplification — one independent plane set per table, candidates
+    = union of same-bucket matches (recall rises, candidate count
+    stays sub-linear).  ``dim`` is required: a driver-side length
+    probe would be a serial job at 10^12 rows.  Returns (probe_id,
     vec_id, cos_sim, rank) — a subset of brute-force top-k with
     recall < 1 (the price of sub-linear candidate sets)."""
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
-    planes = hyperplanes(dim, bits)
-
-    def signature(vec):
-        sig = F.lit(0).cast("long")
-        for b, plane in enumerate(planes):
-            dot = F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(c) for c in plane]),
-                    lambda x, y: x.cast("double") * y,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            sig = sig + F.when(dot >= 0, F.lit(1 << b).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        return sig
-
-    base = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("vec"),
-        signature(F.col(vec_col)).alias("bucket"),
-    )
-    p = F.broadcast(
-        probes.select(
-            F.col(id_col).alias("probe_id"),
-            F.col(vec_col).alias("pvec"),
-            signature(F.col(vec_col)).alias("bucket"),
+        raise ValueError(
+            "lsh_bucket_topk requires dim= (the embedding length); "
+            "inferring it would run a driver-side job over the table"
         )
-    )
-    cands = base.join(p, "bucket").filter(F.col("vec_id") != F.col("probe_id"))
+    base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec"))
+    per_table = []
+    for t in range(tables):
+        sig = lsh_signature_udf(dim, bits, seed=t)
+        bt = base.select("vec_id", "vec", sig(F.col("vec")).alias("bucket"))
+        pt = F.broadcast(
+            p.select("probe_id", "pvec", sig(F.col("pvec")).alias("bucket"))
+        )
+        per_table.append(
+            bt.join(pt, "bucket").filter(F.col("vec_id") != F.col("probe_id"))
+            .select("probe_id", "vec_id", "vec", "pvec")
+        )
+    cands = per_table[0]
+    for c in per_table[1:]:
+        cands = cands.unionByName(c)
+    if tables > 1:
+        cands = cands.dropDuplicates(["probe_id", "vec_id"])
     scored = cands.select(
         "probe_id",
         "vec_id",

@@ -848,9 +848,16 @@ _DT_SQL = (
 )
 
 
-def _jaccard_sql(threshold: float = 0.9) -> str:
+def _jaccard_sql(threshold: float = 0.9, df_fraction: float = 0.1) -> str:
+    """Applies the same auto hot-token cap as ``token_jaccard_pairs``:
+    tokens with document frequency > max(16, df_fraction*n_docs) are
+    dropped from the inverted index before the self-join."""
     return (
-        f"WITH dt AS ({_DT_SQL}),\n"
+        f"WITH dt0 AS ({_DT_SQL}),\n"
+        "nd AS (SELECT count(DISTINCT doc_id) AS ndocs FROM dt0),\n"
+        "dt AS (SELECT dt0.* FROM dt0 WHERE dt0.tok NOT IN (\n"
+        "  SELECT tok FROM dt0 GROUP BY tok\n"
+        f"  HAVING count(*) > greatest(16.0, (SELECT ndocs FROM nd) * {df_fraction}))),\n"
         "sz AS (SELECT doc_id, count(*) AS sz FROM dt GROUP BY doc_id),\n"
         "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter\n"
         "  FROM dt a JOIN dt b ON a.tok = b.tok AND a.doc_id < b.doc_id\n"

@@ -66,13 +66,34 @@ def token_jaccard_pairs(
     threshold: float = 0.9,
     id_col: str = "doc_id",
     text: str = "text",
-    max_token_docs: int | None = None,
+    max_token_docs: int | str | None = "auto",
+    df_fraction: float = 0.1,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with distinct-token Jaccard ≥
     threshold, doc_a < doc_b.  Pure relational — inverted index
-    self-join, no arrays shipped through the shuffle."""
+    self-join, no arrays shipped through the shuffle.
+
+    The hot-token cap is ON by default (``max_token_docs="auto"`` =
+    document frequency > max(16, df_fraction·n_docs)): on real web
+    text one stopword's posting list makes the self-join O(n²), so an
+    uncapped run must be an explicit opt-out (``None``), exactly like
+    dropping >p%%-document-frequency terms in a real dedup pipeline.
+    The auto cap is computed inside the plan (a broadcast 1-row
+    aggregate) — no driver-side count job."""
     dt = _doc_tokens(docs, id_col, text)
-    if max_token_docs is not None:
+    if max_token_docs == "auto":
+        total = dt.select(F.count_distinct("doc_id").alias("_ndocs"))
+        hot = (
+            dt.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("_dc"))
+            .crossJoin(F.broadcast(total))
+            .filter(
+                F.col("_dc")
+                > F.greatest(F.lit(16.0), F.col("_ndocs") * F.lit(df_fraction))
+            )
+        )
+        dt = dt.join(F.broadcast(hot.select("tok")), "tok", "left_anti")
+    elif max_token_docs is not None:
         hot = dt.groupBy("tok").count().filter(F.col("count") > max_token_docs)
         dt = dt.join(F.broadcast(hot.select("tok")), "tok", "left_anti")
     dt = dt.persist()

@@ -244,6 +244,37 @@ def _q_kcore(spark, sf):
     return out
 
 
+NH = 2048
+INC_SQL = (
+    f"SELECT DISTINCT l_partkey % {V} AS v, l_orderkey % {NH} AS h FROM lineitem"
+)
+
+
+def _hyper(spark, sf):
+    from ligra_spark.hygra import HyperGraph
+
+    li = _t(spark, sf, "lineitem")
+    inc = li.select(
+        (F.col("l_partkey") % V).alias("vertex"),
+        (F.col("l_orderkey") % NH).alias("hedge"),
+    )
+    return HyperGraph.from_incidence(spark, inc, nv=V, nh=NH)
+
+
+def _q_hyper_bfs(spark, sf):
+    from ligra_spark.apps import hyper_bfs
+
+    out, _ = hyper_bfs(_hyper(spark, sf), root=0)
+    return out
+
+
+def _q_hyper_cc(spark, sf):
+    from ligra_spark.apps import hyper_cc
+
+    out, _ = hyper_cc(_hyper(spark, sf))
+    return out
+
+
 def _q_cf(spark, sf):
     """CF-SGD over the weighted symmetric derived graph (weight = a
     deterministic function of the undirected pair so both engines see
@@ -384,6 +415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis": _q_mis,
         "kcore": _q_kcore,
         "cf": _q_cf,
+        "hyper_bfs": _q_hyper_bfs,
+        "hyper_cc": _q_hyper_cc,
         # training-data pipeline: text analysis + dedup
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_count": _q_doc_token_count,
@@ -775,6 +808,69 @@ def _list_lit(words) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
 
+_BIP_SQL = (
+    f"SELECT v AS src, {V} + h AS dst FROM inc "
+    f"UNION ALL SELECT {V} + h AS src, v AS dst FROM inc"
+)
+
+
+def _hyper_bfs_sql(k: int) -> str:
+    """Bipartite BFS from vertex 0 over the incidence-derived node set
+    (vertices 0..V-1, hyperedges V..V+NH-1): vertexProp/hyperedgeProp
+    half-steps ARE single bipartite hops, so levels alternate
+    even=vertex / odd=hyperedge.  Depth = measured (sf0.01: 4) +
+    margin."""
+    sql = (
+        f"WITH inc AS MATERIALIZED ({INC_SQL}),\n"
+        f"bip AS MATERIALIZED ({_BIP_SQL}),\n"
+        "vis0 AS (SELECT CAST(0 AS BIGINT) AS id, 0 AS level)"
+    )
+    prev = "vis0"
+    for i in range(1, k + 1):
+        sql += (
+            f",\nf{i} AS MATERIALIZED (SELECT DISTINCT b.dst AS id FROM bip b "
+            f"JOIN {prev} p ON p.id = b.src AND p.level = {i - 1}),\n"
+            f"nf{i} AS (SELECT id FROM f{i} WHERE id NOT IN (SELECT id FROM {prev})),\n"
+            f"vis{i} AS MATERIALIZED (SELECT id, level FROM {prev} "
+            f"UNION ALL SELECT id, {i} AS level FROM nf{i})"
+        )
+        prev = f"vis{i}"
+    return sql + (
+        f"\nSELECT CASE WHEN id < {V} THEN 'v' ELSE 'h' END AS kind,\n"
+        f"  CASE WHEN id < {V} THEN id ELSE id - {V} END AS id,\n"
+        f"  CAST(level AS INT) AS level FROM {prev}"
+    )
+
+
+def _hyper_cc_sql(k: int) -> str:
+    """Bipartite min-label fixpoint (HyperCC): vertex init = own id,
+    hyperedge init = V + h (never survives a nonempty membership, the
+    UINT_E_MAX analog); memberless hyperedges report NULL.  Depth =
+    measured fixpoint (sf0.01: 5) + margin."""
+    sql = (
+        f"WITH inc AS MATERIALIZED ({INC_SQL}),\n"
+        f"bip AS MATERIALIZED ({_BIP_SQL}),\n"
+        f"v AS (SELECT CAST(range AS BIGINT) AS id FROM range({V + NH})),\n"
+        "l0 AS (SELECT id, id AS label FROM v)"
+    )
+    prev = "l0"
+    for i in range(1, k + 1):
+        sql += (
+            f",\nm{i} AS MATERIALIZED (SELECT bip.dst AS id, min({prev}.label) AS minl\n"
+            f"  FROM bip JOIN {prev} ON {prev}.id = bip.src GROUP BY bip.dst),\n"
+            f"l{i} AS MATERIALIZED (SELECT {prev}.id, least({prev}.label, "
+            f"coalesce(m{i}.minl, {prev}.label)) AS label\n"
+            f"  FROM {prev} LEFT JOIN m{i} ON m{i}.id = {prev}.id)"
+        )
+        prev = f"l{i}"
+    return sql + (
+        f"\nSELECT 'v' AS kind, id, label FROM {prev} WHERE id < {V}\n"
+        f"UNION ALL SELECT 'h' AS kind, id - {V} AS id,\n"
+        f"  CASE WHEN id - {V} IN (SELECT h FROM inc) THEN label END AS label\n"
+        f"FROM {prev} WHERE id >= {V}"
+    )
+
+
 def _cf_sql(iters: int = 5, K: int = 20) -> str:
     """CF-SGD (``apps/CF.C:83-137``): K latent dims in LONG FORM
     (id, k, val) so the per-edge dot product and the per-(dst, dim)
@@ -1023,6 +1119,8 @@ def oracle_sql() -> dict[str, str]:
         "kcore": _kcore_sql(18),
         "setcover": _setcover_sql(72),
         "cf": _cf_sql(5, 20),
+        "hyper_bfs": _hyper_bfs_sql(8),
+        "hyper_cc": _hyper_cc_sql(10),
         "doc_exact_dedup": "SELECT md5(text) AS h, min(doc_id) AS keep_id, "
         "count(*) AS copies FROM documents GROUP BY md5(text)",
         "doc_token_count": "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "

@@ -16,9 +16,12 @@ from .delta_stepping import delta_stepping
 from .kcore_julienne import kcore_julienne
 from .ecc import ecc_estimate
 from .setcover import setcover
+from .hyper import hyper_bfs, hyper_cc
 
 __all__ = [
     "bfscc",
+    "hyper_bfs",
+    "hyper_cc",
     "setcover",
     "delta_stepping",
     "kcore_julienne",

@@ -184,6 +184,13 @@ def _q_ecc_16(spark, sf):
     return out
 
 
+def _q_ecc_fm(spark, sf):
+    from ligra_spark.apps import ecc_fm
+
+    out, _ = ecc_fm(_graph(spark, sf, symmetric=True), length=2, seed=0)
+    return out
+
+
 def _q_setcover(spark, sf):
     from ligra_spark.apps import setcover
 
@@ -408,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": _q_sssp_full,
         "delta_stepping": _q_delta_stepping,
         "ecc_16": _q_ecc_16,
+        "ecc_fm": _q_ecc_fm,
         "setcover": _q_setcover,
         "lp_k2": _q_lp_k2,
         "bc": _q_bc,
@@ -683,6 +691,36 @@ def _radii_sql(depth: int) -> str:
         "SELECT v.id, CAST(coalesce(mx.mx, -1) AS BIGINT) AS radii\n"
         "FROM v LEFT JOIN mx ON mx.id = v.id"
     )
+
+
+def _ecc_fm_sql(rounds: int, length: int = 2, seed: int = 0) -> str:
+    """FM-sketch eccentricity (``apps/eccentricity/FM-Ecc.C``): the
+    packed init masks are embedded as literals from the bit-exact
+    numpy port (``oracle.fm_masks``); per round, full-push OR
+    propagation — equivalent to the engine's changed-frontier gating
+    because a bit reaches v exactly at its origin-set BFS distance
+    either way.  Depth = measured fixpoint (sf0.01: 4) + margin
+    (extra rounds are no-ops at the mask fixpoint)."""
+    from ligra_spark.oracle import fm_masks
+
+    masks = fm_masks(V, length, seed)
+    vals = ", ".join(f"({i}, {int(m)})" for i, m in enumerate(masks))
+    sql = (
+        f"WITH e0 AS MATERIALIZED ({EDGES_SQL}),\n"
+        f"es AS MATERIALIZED ({SYM_SQL}),\n"
+        f"m0 AS MATERIALIZED (SELECT CAST(c0 AS BIGINT) AS id, CAST(c1 AS BIGINT) AS mask,"
+        f" 0 AS ecc FROM (VALUES {vals}) t(c0, c1))"
+    )
+    for r in range(1, rounds + 1):
+        sql += (
+            f",\ng{r} AS MATERIALIZED (SELECT es.dst AS id, bit_or(m.mask) AS agg\n"
+            f"  FROM es JOIN m{r - 1} m ON m.id = es.src GROUP BY es.dst),\n"
+            f"m{r} AS MATERIALIZED (SELECT m.id,\n"
+            "  m.mask | coalesce(g.agg, 0) AS mask,\n"
+            f"  CASE WHEN (m.mask | coalesce(g.agg, 0)) <> m.mask THEN {r} ELSE m.ecc END AS ecc\n"
+            f"  FROM m{r - 1} m LEFT JOIN g{r} g ON g.id = m.id)"
+        )
+    return sql + f"\nSELECT id, CAST(ecc AS BIGINT) AS ecc FROM m{rounds}"
 
 
 def _mis_sql(rounds: int) -> str:
@@ -1115,6 +1153,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_delta": _prdelta_sql(6),
         "bc": _bc_sql(4),
         "radii": _radii_sql(8),
+        "ecc_fm": _ecc_fm_sql(8),
         "mis": _mis_sql(8),
         "kcore": _kcore_sql(18),
         "setcover": _setcover_sql(72),

@@ -17,6 +17,7 @@ from .kcore_julienne import kcore_julienne
 from .ecc import ecc_estimate
 from .setcover import setcover
 from .hyper import hyper_bfs, hyper_cc
+from .ecc_fm import ecc_fm
 
 __all__ = [
     "bfscc",
@@ -26,6 +27,7 @@ __all__ = [
     "delta_stepping",
     "kcore_julienne",
     "ecc_estimate",
+    "ecc_fm",
     "pagerank",
     "pagerank_delta",
     "components",

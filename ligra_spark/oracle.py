@@ -327,6 +327,55 @@ def radii(n: int, src: np.ndarray, dst: np.ndarray, k: int = 64):
     return rad, rounds
 
 
+def fm_masks(n: int, length: int = 2, seed: int = 0) -> np.ndarray:
+    """Packed FM init masks (``FM-Ecc.C:81-85`` with a pinned seed):
+    word j of vertex v = 1 << lowbit(hashInt(v*length + j + seed)),
+    words packed into one int64 (32 bits per word, length <= 2)."""
+    from .hashing import hash_int32
+
+    idx = np.arange(n, dtype=np.int64)
+    out = np.zeros(n, dtype=np.int64)
+    for j in range(length):
+        h = hash_int32((idx * length + j + seed).astype(np.uint32))
+        low = h & (~h + np.uint32(1))
+        pos = np.where(h == 0, 0, np.log2(np.maximum(low, 1).astype(np.float64))).astype(
+            np.int64
+        )
+        out |= np.int64(1) << (pos + 32 * j)
+    return out
+
+
+def ecc_fm(
+    n: int, src: np.ndarray, dst: np.ndarray, length: int = 2, seed: int = 0
+) -> tuple[np.ndarray, int]:
+    """FM-sketch eccentricity (``apps/eccentricity/FM-Ecc.C:66-110``):
+    OR-propagate the packed per-vertex FM masks; ecc[v] = last round
+    v's mask grew (0 if never).  Same loop shape as :func:`radii` with
+    every vertex a source of its own sketch.  Returns (ecc, rounds)."""
+    ecc = np.zeros(n, dtype=np.int64)
+    visited = np.zeros(n, dtype=np.int64)
+    nxt = fm_masks(n, length, seed)
+    order = np.lexsort((dst, src))
+    s, d = src[order], dst[order]
+    offsets = np.searchsorted(s, np.arange(n + 1, dtype=np.int64))
+    frontier = np.arange(n, dtype=np.int64)
+    rounds = 0
+    while frontier.size:
+        rounds += 1
+        visited[frontier] = nxt[frontier]
+        changed = set()
+        for v in frontier:
+            for w in d[offsets[v] : offsets[v + 1]]:
+                to_write = visited[w] | visited[v]
+                if visited[w] != to_write:
+                    nxt[w] |= to_write
+                    if ecc[w] != rounds:
+                        ecc[w] = rounds
+                        changed.add(int(w))
+        frontier = np.array(sorted(changed), dtype=np.int64)
+    return ecc, rounds
+
+
 def mis_lex_first(n: int, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
     """Lexicographically-first maximal independent set — the
     deterministic fixpoint of ``apps/MIS.C`` with priority = vertex id

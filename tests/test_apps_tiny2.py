@@ -59,3 +59,26 @@ def test_cf_matches_oracle(spark, tiny_sym):
     got = np.array([rows[i] for i in range(n)])
     np.testing.assert_allclose(got, expected, atol=1e-9, rtol=0)
     g.unpersist()
+
+
+def test_ecc_fm_matches_oracle(tiny_graph_sym, tiny_sym):
+    from ligra_spark.apps import ecc_fm
+
+    n, src, dst = tiny_sym
+    expected, oracle_rounds = oracle.ecc_fm(n, src, dst, length=2, seed=0)
+    got_df, rounds = ecc_fm(tiny_graph_sym, length=2, seed=0)
+    got = np.array(_by_id(got_df, "ecc", n))
+    assert rounds == oracle_rounds
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_fm_masks_deterministic_and_geometric():
+    m1 = oracle.fm_masks(256, length=2, seed=0)
+    m2 = oracle.fm_masks(256, length=2, seed=0)
+    np.testing.assert_array_equal(m1, m2)
+    # every vertex has exactly one bit per 32-bit word
+    for j in range(2):
+        word = (m1 >> (32 * j)) & 0xFFFFFFFF
+        pop = np.array([bin(int(w)).count("1") for w in word])
+        np.testing.assert_array_equal(pop, np.ones(256))
+    assert len(set(m1.tolist())) > 10  # masks vary across vertices

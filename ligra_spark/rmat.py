@@ -27,7 +27,7 @@ import numpy as np
 
 from .hashing import hash_int32, hash_int32_inplace
 
-__all__ = ["rmat_edges", "make_symmetric", "dedup_edges"]
+__all__ = ["rmat_edges", "make_symmetric", "dedup_edges", "rand_local_edges", "grid_edges"]
 
 
 def rmat_edges(
@@ -148,3 +148,91 @@ def make_symmetric(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.nda
     np.left_shift(d, np.uint64(32), out=rev)
     rev |= s
     return _unpack(_unique_sorted_inplace(packed))
+
+
+def rand_local_edges(
+    n: int, m: int, dim: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """``randLocalGraph`` edge generator — semantics of
+    ``/root/reference/utils/randLocalGraph.C:36-59``
+    (``edgeRandomWithDimension``): edge k has source i = trunc(k /
+    (m/n)); for dim == 0 the target is a rejection-sampled uniform
+    ``hashInt`` chain (reroll while j == i); for dim > 0 the target is
+    a local offset ``(i + hash % 2^pow) % n`` where pow starts at
+    dim+2 and grows by dim for every hash draw with
+    ``hash % 1000003 < 500001`` — giving P(edge (i,j)) roughly
+    ~ (1/|i-j|)^((d+1)/d).  The per-edge hash chain h = hashInt(h)
+    starting at h = k is replayed exactly (pow persists across
+    rejection retries, as in the C loop); shifts use x86 semantics
+    (count & 63), reachable only with probability ~2^-31 per edge.
+
+    Returns the raw (src, dst) multiset — pass through
+    ``make_symmetric`` for the ``-s`` form, as ``graphFromEdges``
+    does."""
+    degree = m / n
+    src = (np.arange(m, dtype=np.float64) / degree).astype(np.int64)
+    h = np.arange(m, dtype=np.uint32)
+    j = np.zeros(m, dtype=np.int64)
+    unresolved = np.ones(m, dtype=bool)
+    if dim == 0:
+        while unresolved.any():
+            idx = np.nonzero(unresolved)[0]
+            h[idx] = hash_int32(h[idx])
+            j[idx] = h[idx].astype(np.int64) % n
+            unresolved[idx] = j[idx] == src[idx]
+    else:
+        pow_ = np.full(m, dim + 2, dtype=np.int64)
+        while unresolved.any():
+            idx = np.nonzero(unresolved)[0]
+            # inner loop: grow pow while hash %% 1000003 < 500001
+            growing = np.ones(len(idx), dtype=bool)
+            while growing.any():
+                gi = idx[growing]
+                h[gi] = hash_int32(h[gi])
+                hit = (h[gi].astype(np.int64) % 1000003) < 500001
+                pow_[gi[hit]] += dim
+                growing[np.nonzero(growing)[0]] = hit
+            h[idx] = hash_int32(h[idx])
+            span = np.int64(1) << (pow_[idx] & 63)
+            j[idx] = (src[idx] + h[idx].astype(np.int64) % span) % n
+            unresolved[idx] = j[idx] == src[idx]
+    return src, j
+
+
+def grid_edges(n: int, dims: int = 2) -> tuple[np.ndarray, np.ndarray]:
+    """``gridGraph`` edge generator — semantics of
+    ``/root/reference/utils/gridGraph.C:35-71`` (``edge2DMesh`` /
+    ``edge3DMesh``): a dn^dims torus (dn = round(n^(1/dims))) with one
+    wrap-around edge per dimension per cell, in the reference's exact
+    edge order (cell-major, dimension-minor)."""
+    if dims == 2:
+        dn = int(round(n ** 0.5))
+        i, jj = np.meshgrid(
+            np.arange(dn, dtype=np.int64), np.arange(dn, dtype=np.int64),
+            indexing="ij",
+        )
+        loc = (i * dn + jj).ravel()
+        right = (((i + 1) % dn) * dn + jj).ravel()
+        down = (i * dn + (jj + 1) % dn).ravel()
+        src = np.repeat(loc, 2)
+        dst = np.empty(2 * dn * dn, dtype=np.int64)
+        dst[0::2] = right
+        dst[1::2] = down
+        return src, dst
+    if dims == 3:
+        dn = int(round(n ** (1.0 / 3.0)))
+        i, jj, k = np.meshgrid(
+            np.arange(dn, dtype=np.int64), np.arange(dn, dtype=np.int64),
+            np.arange(dn, dtype=np.int64), indexing="ij",
+        )
+        loc = ((i * dn + jj) * dn + k).ravel()
+        e1 = ((((i + 1) % dn) * dn + jj) * dn + k).ravel()
+        e2 = ((i * dn + (jj + 1) % dn) * dn + k).ravel()
+        e3 = ((i * dn + jj) * dn + (k + 1) % dn).ravel()
+        src = np.repeat(loc, 3)
+        dst = np.empty(3 * dn * dn * dn, dtype=np.int64)
+        dst[0::3] = e1
+        dst[1::3] = e2
+        dst[2::3] = e3
+        return src, dst
+    raise ValueError("gridGraph supports dims 2 or 3")

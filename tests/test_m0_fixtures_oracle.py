@@ -183,3 +183,30 @@ def test_edges_to_csr_roundtrip():
     off, tgt = edges_to_csr(n, src, dst)
     assert len(tgt) == len(src)
     assert off[0] == 0 and np.all(np.diff(off) >= 0)
+
+
+def test_rand_local_edges_shapes_and_determinism():
+    from ligra_spark.rmat import rand_local_edges
+
+    s0, d0 = rand_local_edges(100, 1000, dim=0)
+    s1, d1 = rand_local_edges(100, 1000, dim=0)
+    assert np.array_equal(s0, s1) and np.array_equal(d0, d1)
+    assert len(s0) == 1000 and s0.max() < 100 and d0.max() < 100
+    assert (s0 != d0).all()  # rejection sampling removes self-loops
+    # locality: dim>0 targets cluster near the source (torus distance)
+    s2, d2 = rand_local_edges(1000, 10000, dim=2)
+    dist = np.minimum((d2 - s2) % 1000, (s2 - d2) % 1000)
+    assert np.median(dist) < 250, np.median(dist)
+
+
+def test_grid_edges_torus_properties():
+    from ligra_spark.rmat import grid_edges, make_symmetric
+
+    s, d = grid_edges(100, dims=2)
+    assert len(s) == 200  # 2 edges per cell
+    deg = np.bincount(np.concatenate([s, d]), minlength=100)
+    np.testing.assert_array_equal(deg, np.full(100, 4))  # 4-regular torus
+    s3, d3 = grid_edges(27, dims=3)
+    assert len(s3) == 81
+    deg3 = np.bincount(np.concatenate([s3, d3]), minlength=27)
+    np.testing.assert_array_equal(deg3, np.full(27, 6))  # 6-regular torus

@@ -191,6 +191,13 @@ def _q_ecc_fm(spark, sf):
     return out
 
 
+def _q_ecc_loglog(spark, sf):
+    from ligra_spark.apps import ecc_loglog
+
+    out, _ = ecc_loglog(_graph(spark, sf, symmetric=True), seed=0)
+    return out
+
+
 def _q_setcover(spark, sf):
     from ligra_spark.apps import setcover
 
@@ -416,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_stepping": _q_delta_stepping,
         "ecc_16": _q_ecc_16,
         "ecc_fm": _q_ecc_fm,
+        "ecc_loglog": _q_ecc_loglog,
         "setcover": _q_setcover,
         "lp_k2": _q_lp_k2,
         "bc": _q_bc,
@@ -719,6 +727,42 @@ def _ecc_fm_sql(rounds: int, length: int = 2, seed: int = 0) -> str:
             "  m.mask | coalesce(g.agg, 0) AS mask,\n"
             f"  CASE WHEN (m.mask | coalesce(g.agg, 0)) <> m.mask THEN {r} ELSE m.ecc END AS ecc\n"
             f"  FROM m{r - 1} m LEFT JOIN g{r} g ON g.id = m.id)"
+        )
+    return sql + f"\nSELECT id, CAST(ecc AS BIGINT) AS ecc FROM m{rounds}"
+
+
+def _ecc_loglog_sql(rounds: int, seed: int = 0) -> str:
+    """LogLog-sketch eccentricity: packed 10x6-bit counters embedded
+    from the bit-exact numpy port (``oracle.loglog_masks``); per round
+    a 10-lane max aggregate + repack.  Depth = measured fixpoint
+    (sf0.01: 5) + margin; extra rounds no-op at the register
+    fixpoint."""
+    from ligra_spark.oracle import loglog_masks
+
+    masks = loglog_masks(V, seed)
+    vals = ", ".join(f"({i}, {int(m)})" for i, m in enumerate(masks))
+    maxes = ",\n".join(
+        f"  max((m.mask >> {6 * j}) & 63) AS a{j}" for j in range(10)
+    )
+    repack = " + ".join(
+        f"(greatest((m.mask >> {6 * j}) & 63, coalesce(g.a{j}, 0)) << {6 * j})"
+        for j in range(10)
+    )
+    sql = (
+        f"WITH e0 AS MATERIALIZED ({EDGES_SQL}),\n"
+        f"es AS MATERIALIZED ({SYM_SQL}),\n"
+        f"m0 AS MATERIALIZED (SELECT CAST(c0 AS BIGINT) AS id, CAST(c1 AS BIGINT) AS mask,"
+        f" 0 AS ecc FROM (VALUES {vals}) t(c0, c1))"
+    )
+    for r in range(1, rounds + 1):
+        sql += (
+            f",\ng{r} AS MATERIALIZED (SELECT es.dst AS id,\n{maxes}\n"
+            f"  FROM es JOIN m{r - 1} m ON m.id = es.src GROUP BY es.dst),\n"
+            f"t{r} AS MATERIALIZED (SELECT m.id, m.mask, m.ecc,\n"
+            f"  CASE WHEN g.id IS NULL THEN m.mask ELSE {repack} END AS nm\n"
+            f"  FROM m{r - 1} m LEFT JOIN g{r} g ON g.id = m.id),\n"
+            f"m{r} AS MATERIALIZED (SELECT id, nm AS mask,\n"
+            f"  CASE WHEN nm <> mask THEN {r} ELSE ecc END AS ecc FROM t{r})"
         )
     return sql + f"\nSELECT id, CAST(ecc AS BIGINT) AS ecc FROM m{rounds}"
 
@@ -1154,6 +1198,7 @@ def oracle_sql() -> dict[str, str]:
         "bc": _bc_sql(4),
         "radii": _radii_sql(8),
         "ecc_fm": _ecc_fm_sql(8),
+        "ecc_loglog": _ecc_loglog_sql(9),
         "mis": _mis_sql(8),
         "kcore": _kcore_sql(18),
         "setcover": _setcover_sql(72),

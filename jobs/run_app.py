@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 APPS = (
     "pagerank pagerank_delta components label_propagation triangle bfs "
     "bellman_ford kcore bc radii mis cf "
-    "bfscc delta_stepping kcore_julienne ecc setcover"
+    "bfscc delta_stepping kcore_julienne ecc ecc_fm ecc_loglog setcover"
 ).split()
 
 
@@ -125,6 +125,10 @@ def main(argv=None):
         out, iters = apps.delta_stepping(g, root=args.root, on_superstep=track)
     elif args.app == "kcore_julienne":
         out, iters = apps.kcore_julienne(g, on_superstep=track)
+    elif args.app == "ecc_fm":
+        out, iters = apps.ecc_fm(g, on_superstep=track)
+    elif args.app == "ecc_loglog":
+        out, iters = apps.ecc_loglog(g, on_superstep=track)
     elif args.app == "ecc":
         out, iters = apps.ecc_estimate(
             g, sources=list(range(min(g.n, 64))), on_superstep=track

@@ -18,6 +18,7 @@ from .ecc import ecc_estimate
 from .setcover import setcover
 from .hyper import hyper_bfs, hyper_cc
 from .ecc_fm import ecc_fm
+from .ecc_loglog import ecc_loglog
 
 __all__ = [
     "bfscc",
@@ -28,6 +29,7 @@ __all__ = [
     "kcore_julienne",
     "ecc_estimate",
     "ecc_fm",
+    "ecc_loglog",
     "pagerank",
     "pagerank_delta",
     "components",

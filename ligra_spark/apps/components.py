@@ -48,10 +48,18 @@ def components(
         manager=checkpoint_mgr,
         name=name,
     )
+    # Convergence-tail rule: once the frontier is below this, persist
+    # only the CHANGED rows per superstep (IterState.advance_sparse)
+    # instead of rewriting the full n-row state — the full-state write
+    # is the dominant fixed cost of late supersteps (BASELINE.md §3).
+    # Durable-checkpoint runs stay dense (the manager owns the layout).
+    sparse_threshold = (
+        0 if checkpoint_mgr is not None else min(max(1024, graph.n // 20), graph.n // 4)
+    )
     it, n_changed = 0, graph.n
+    frontier = init.select("id", "label")
     while n_changed > 0 and it < max_iters:
         it += 1
-        frontier = st.df.filter("changed").select("id", "label")
         msgs = edge_map(
             graph,
             frontier,
@@ -60,23 +68,39 @@ def components(
             frontier_size=n_changed,
             extra_frontier_cols=("label",),
         )
-        new = (
-            st.df.select("id", "label")
-            .join(msgs.hint("shuffle_hash"), "id", "left")
-            .select(
-                "id",
-                F.least("label", F.coalesce("agg", "label")).alias("new_label"),
-                "label",
+        if n_changed > sparse_threshold:
+            new = (
+                st.df.select("id", "label")
+                .join(msgs.hint("shuffle_hash"), "id", "left")
+                .select(
+                    "id",
+                    F.least("label", F.coalesce("agg", "label")).alias("new_label"),
+                    "label",
+                )
+                .select(
+                    "id",
+                    F.col("new_label").alias("label"),
+                    (F.col("new_label") < F.col("label")).alias("changed"),
+                )
             )
-            .select(
-                "id",
-                F.col("new_label").alias("label"),
-                (F.col("new_label") < F.col("label")).alias("changed"),
+            new, n_changed = st.advance(
+                new, action=lambda df: df.filter("changed").count()
             )
-        )
-        new, n_changed = st.advance(
-            new, action=lambda df: df.filter("changed").count()
-        )
+            frontier = st.df.filter("changed").select("id", "label")
+        else:
+            # frontier-delta tail: materialize only improved rows
+            changes = (
+                st.df.select("id", "label")
+                .join(msgs.hint("shuffle_hash"), "id")
+                .filter(F.col("agg") < F.col("label"))
+                .select(
+                    "id",
+                    F.col("agg").alias("label"),
+                    F.lit(True).alias("changed"),
+                )
+            )
+            _, n_changed = st.advance_sparse(changes)
+            frontier = changes.select("id", "label")
         if on_superstep:
             on_superstep(it, {"frontier": n_changed})
     return st.df.select("id", F.col("label").alias("component")), it

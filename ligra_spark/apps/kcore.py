@@ -32,39 +32,60 @@ def kcore(
     )
     st = IterState(init, num_partitions=graph.num_partitions)
     steps = 0
-    n_alive = graph.n
-    for k in range(1, kmax + 1):
-        while True:
-            peel = st.df.filter(F.col("core").isNull() & (F.col("deg") < k))
-            psize = peel.count()
-            if psize == 0:
+
+    def _phase_counts(k):
+        """ONE materializing job per peel step: (peelable at k, alive,
+        min alive degree) — loop and phase-transition decisions come
+        from the same action that persists the state, instead of 2-3
+        separate count jobs per step (the driver-sync tail cost)."""
+        alive = F.col("core").isNull()
+        return lambda df: df.agg(
+            F.sum((alive & (F.col("deg") < k)).cast("long")).alias("p_k"),
+            F.sum(alive.cast("long")).alias("alive"),
+            F.min(F.when(alive, F.col("deg"))).alias("min_deg"),
+        ).first()
+
+    # seed counts for k=1 (one job on the initial state)
+    row = _phase_counts(1)(st.df)
+    psize, n_alive, min_deg = row["p_k"], row["alive"], row["min_deg"]
+    k = 1
+    while k <= kmax and n_alive > 0:
+        if psize is not None and psize == 0:
+            # nothing peelable at k: every alive vertex has deg >=
+            # min_deg >= k, so phases up to min_deg peel nothing —
+            # jump straight to the first non-empty one (semantically
+            # identical to the reference's empty phases, which assign
+            # no core numbers)
+            k = min_deg + 1
+            if k > kmax:
                 break
-            steps += 1
-            msgs = edge_map(
-                graph,
-                peel.select("id"),
-                message=F.lit(1).cast("long"),
-                aggregate=F.sum,
-                frontier_size=psize,
-            )
-            new = (
-                st.df.join(msgs, "id", "left")
-                .select(
-                    "id",
-                    (F.col("deg") - F.coalesce("agg", F.lit(0))).alias("deg"),
-                    F.when(
-                        F.col("core").isNull() & (F.col("deg") < k), F.lit(k - 1)
-                    )
-                    .otherwise(F.col("core"))
-                    .alias("core"),
+            psize = None  # ">0, exact size unknown until next action"
+            continue
+        peel = st.df.filter(F.col("core").isNull() & (F.col("deg") < k))
+        steps += 1
+        msgs = edge_map(
+            graph,
+            peel.select("id"),
+            message=F.lit(1).cast("long"),
+            aggregate=F.sum,
+            frontier_size=psize,
+        )
+        new = (
+            st.df.join(msgs, "id", "left")
+            .select(
+                "id",
+                (F.col("deg") - F.coalesce("agg", F.lit(0))).alias("deg"),
+                F.when(
+                    F.col("core").isNull() & (F.col("deg") < k), F.lit(k - 1)
                 )
+                .otherwise(F.col("core"))
+                .alias("core"),
             )
-            st.advance(new)  # default action (count) materializes
-            if on_superstep:
-                on_superstep(steps, {"k": k, "peeled": psize})
-        n_alive = st.df.filter(F.col("core").isNull()).count()
-        if n_alive == 0:
-            break
+        )
+        _, row = st.advance(new, action=_phase_counts(k))
+        psize, n_alive, min_deg = row["p_k"], row["alive"], row["min_deg"]
+        if on_superstep:
+            on_superstep(steps, {"k": k, "remaining": psize})
     final = st.df.select(
         "id", F.coalesce("core", F.lit(kmax)).cast("long").alias("core")
     )

@@ -44,14 +44,16 @@ def mis(graph, max_iters: int = 10_000, on_superstep=None) -> tuple[DataFrame, i
             ),
         )
         winners = with_min.filter("winner").select("id")
-        n_winners = winners.count()
-        # knock out winners' neighbors
+        # knock out winners' neighbors.  frontier_size uses n_live as a
+        # conservative upper bound (winners ⊆ live) so the broadcast
+        # decision needs no extra count job — this halves the per-round
+        # driver-sync count (the convergence-tail fixed cost).
         knocked = edge_map(
             graph,
             winners,
             message=F.lit(1),
             aggregate=F.min,
-            frontier_size=n_winners,
+            frontier_size=n_live,
         ).select("id")
         new = (
             with_min.join(
@@ -71,5 +73,5 @@ def mis(graph, max_iters: int = 10_000, on_superstep=None) -> tuple[DataFrame, i
         )
         new, n_live = st.advance(new, action=lambda df: df.filter("live").count())
         if on_superstep:
-            on_superstep(it, {"live": n_live, "new_members": n_winners})
+            on_superstep(it, {"live": n_live})
     return st.df.select("id", "in_set"), it

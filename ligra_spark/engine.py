@@ -41,6 +41,7 @@ from pyspark.storagelevel import StorageLevel
 
 __all__ = [
     "edge_map",
+    "edge_map_multi",
     "edge_map_induced",
     "edge_map_filter",
     "pack_edges",
@@ -127,6 +128,55 @@ def edge_map(
     )
 
 
+def edge_map_multi(
+    graph,
+    frontier: DataFrame,
+    aggs: list,
+    frontier_size: int | None = None,
+    in_edges: bool = False,
+    extra_frontier_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """edge_map with a VECTOR monoid: ``aggs`` is a list of
+    ``(name, message_col, aggregate_fn)`` triples reduced in the SAME
+    single groupBy(dst) shuffle — the plan twin of Ligra's
+    ``edgeMapReduce`` over a tuple payload (``edgeMapReduce.h:57-74``
+    with a struct monoid).  Returns (id, <name>...) for every vertex
+    that received at least one message.  Used by apps whose per-vertex
+    state is a small fixed vector (LogLog registers, CF latent dims)."""
+    edges = graph.edges_in if in_edges else graph.edges
+    salted = getattr(graph, "salt_buckets", 1) > 1 and "salt" in edges.columns
+    ecols = [F.col("src").alias("src"), F.col("dst").alias("dst")] + (
+        [F.col("weight").alias("weight")] if "weight" in edges.columns else []
+    ) + ([F.col("salt").alias("salt")] if salted else [])
+    e = edges.select(*ecols)
+    f = frontier.select("id", *extra_frontier_cols)
+    sparse = frontier_size is not None and frontier_size <= max(
+        1024, int(SPARSE_DENSE_FRACTION * graph.m)
+    )
+    if sparse:
+        f = F.broadcast(f)
+        cond = f["id"] == e["src"]
+    elif salted:
+        f = f.select(
+            "*",
+            F.explode(F.sequence(F.lit(0), F.lit(graph.salt_buckets - 1))).alias(
+                "fsalt"
+            ),
+        ).hint("shuffle_hash")
+        cond = (f["id"] == e["src"]) & (f["fsalt"] == e["salt"])
+    else:
+        f = f.hint("shuffle_hash")
+        cond = f["id"] == e["src"]
+    joined = f.join(e, cond)
+    projected = joined.select(
+        e["dst"].alias("_dst"),
+        *[msg.alias(f"_m_{name}") for name, msg, _ in aggs],
+    )
+    return projected.groupBy(F.col("_dst").alias("id")).agg(
+        *[agg(F.col(f"_m_{name}")).alias(name) for name, _, agg in aggs]
+    )
+
+
 def edge_map_induced(
     graph, frontier: DataFrame, select_cols=None, in_edges: bool = False
 ) -> DataFrame:
@@ -208,6 +258,13 @@ class IterState:
 
     def __post_init__(self):
         self.df = self.df.persist(self.storage_level)
+        # sparse-tail bookkeeping (advance_sparse): _base is the last
+        # fully-materialized state, _overlay the accumulated changed
+        # rows since (latest-wins by id); df is their composition
+        self._base: DataFrame | None = None
+        self._overlay: DataFrame | None = None
+        self._overlay_steps = 0
+        self._retired: list[DataFrame] = []
 
     def advance(self, new_df: DataFrame, action=None, metrics: dict | None = None):
         """Persist the next superstep's state, run ``action(new_df)``
@@ -246,4 +303,78 @@ class IterState:
         result = action(new_df) if action is not None else new_df.count()
         self.df = new_df
         old.unpersist()
+        self._drop_sparse_caches()
         return new_df, result
+
+    # ---------------------------------------------------------- sparse tail
+    def advance_sparse(self, changes_df: DataFrame, action=None):
+        """Advance by CHANGED ROWS ONLY (frontier-delta state).
+
+        On a convergence tail the frontier is tiny but ``advance``
+        still writes the full n-row state every superstep — the
+        dominant fixed cost the round-1 scaling runs measured.  Here
+        only ``changes_df`` (rows whose values differ this superstep,
+        full column schema) is persisted; the logical state becomes
+        ``base ∪ overlay`` with latest-wins-by-id overlay semantics.
+        Every ``checkpoint_every`` sparse steps the composition is
+        compacted into a fresh full base, bounding both plan depth and
+        the overlay read cost.  The reference has no analog (arrays
+        mutate in place); this is the Spark-native equivalent of
+        writing only the dirty cache lines.
+
+        Returns (state_view_df, action_result) — action runs on the
+        materialized ``changes_df`` (e.g. ``.count()`` for the next
+        frontier size).
+        """
+        self.superstep += 1
+        if self._base is None:
+            self._base = self.df
+        # localCheckpoint, not persist: the changes plan embeds the
+        # composed view (which embeds the overlay chain) ~3x per step,
+        # so caching alone leaves an exponentially-growing LOGICAL plan
+        # that chokes the analyzer within a handful of supersteps.  The
+        # checkpoint truncates the plan AND only writes the changed
+        # rows — which is the whole point of the sparse tail.
+        changes_df = changes_df.localCheckpoint(eager=False)
+        result = action(changes_df) if action is not None else changes_df.count()
+        if self._overlay is None:
+            new_overlay = changes_df
+        else:
+            # latest wins: this superstep's rows shadow accumulated ones
+            new_overlay = changes_df.unionByName(
+                self._overlay.join(changes_df.select("id"), "id", "left_anti")
+            ).persist(self.storage_level)
+            # keep the constituent caches alive until compaction — the
+            # union's plan reads them; unpersisting now would recompute
+            self._retired.append(self._overlay)
+        self._retired.append(changes_df)
+        self._overlay = new_overlay
+        self._overlay_steps += 1
+        view = self._base.join(new_overlay.select("id"), "id", "left_anti").unionByName(
+            new_overlay
+        )
+        if self._overlay_steps >= self.checkpoint_every:
+            # compact: one full-state write per k sparse steps instead
+            # of one per superstep
+            view = view.localCheckpoint(eager=False)
+            view.count()
+            old_base = self._base
+            self.df = view
+            self._base = view
+            self._overlay = None
+            self._overlay_steps = 0
+            old_base.unpersist()
+            for df in self._retired:
+                df.unpersist()
+            self._retired = []
+        else:
+            self.df = view
+        return self.df, result
+
+    def _drop_sparse_caches(self):
+        if self._base is not None and self._base is not self.df:
+            self._base.unpersist()
+        for df in self._retired:
+            df.unpersist()
+        self._base, self._overlay = None, None
+        self._overlay_steps, self._retired = 0, []

@@ -376,6 +376,69 @@ def ecc_fm(
     return ecc, rounds
 
 
+def loglog_masks(n: int, seed: int = 0) -> np.ndarray:
+    """Packed LogLog init counters (``LogLog-Ecc.C:128-140`` with a
+    pinned seed): register j (6 bits at offset 6j) = lowbit-position
+    of hashInt64(v*10 + j + seed*10), 10 registers per vertex."""
+    from .hashing import hash_int64
+
+    idx = np.arange(n, dtype=np.uint64)
+    out = np.zeros(n, dtype=np.int64)
+    for j in range(10):
+        h = hash_int64(idx * np.uint64(10) + np.uint64(j + seed * 10))
+        low = h & (~h + np.uint64(1))
+        pos = np.where(h == 0, 0, np.log2(np.maximum(low, 1).astype(np.float64))).astype(
+            np.int64
+        )
+        out |= pos << (6 * j)
+    return out
+
+
+def _reg_max(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-register (6-bit lanes) max of packed counters — the
+    deterministic twin of the broadword max (``LogLog-Ecc.C:40-57``)."""
+    out = np.zeros_like(a)
+    for j in range(10):
+        ra = (a >> (6 * j)) & 63
+        rb = (b >> (6 * j)) & 63
+        out |= np.maximum(ra, rb) << (6 * j)
+    return out
+
+
+def ecc_loglog(
+    n: int, src: np.ndarray, dst: np.ndarray, seed: int = 0
+) -> tuple[np.ndarray, int]:
+    """LogLog-sketch eccentricity (``apps/eccentricity/LogLog-Ecc.C``):
+    per-register-max propagation of the packed counters; ecc[v] = last
+    round any register grew (Visited-gated — the deterministic
+    superset of the reference's racy Next-gating, as in radii).
+    Returns (ecc, rounds)."""
+    ecc = np.zeros(n, dtype=np.int64)
+    visited = np.zeros(n, dtype=np.int64)
+    nxt = loglog_masks(n, seed)
+    order = np.lexsort((dst, src))
+    s, d = src[order], dst[order]
+    offsets = np.searchsorted(s, np.arange(n + 1, dtype=np.int64))
+    frontier = np.arange(n, dtype=np.int64)
+    rounds = 0
+    while frontier.size:
+        rounds += 1
+        visited[frontier] = nxt[frontier]
+        changed = set()
+        for v in frontier:
+            for w in d[offsets[v] : offsets[v + 1]]:
+                to_write = _reg_max(
+                    visited[w : w + 1], visited[v : v + 1]
+                )[0]
+                if visited[w] != to_write:
+                    nxt[w] = _reg_max(nxt[w : w + 1], np.array([to_write]))[0]
+                    if ecc[w] != rounds:
+                        ecc[w] = rounds
+                        changed.add(int(w))
+        frontier = np.array(sorted(changed), dtype=np.int64)
+    return ecc, rounds
+
+
 def mis_lex_first(n: int, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
     """Lexicographically-first maximal independent set — the
     deterministic fixpoint of ``apps/MIS.C`` with priority = vertex id

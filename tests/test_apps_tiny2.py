@@ -82,3 +82,14 @@ def test_fm_masks_deterministic_and_geometric():
         pop = np.array([bin(int(w)).count("1") for w in word])
         np.testing.assert_array_equal(pop, np.ones(256))
     assert len(set(m1.tolist())) > 10  # masks vary across vertices
+
+
+def test_ecc_loglog_matches_oracle(tiny_graph_sym, tiny_sym):
+    from ligra_spark.apps import ecc_loglog
+
+    n, src, dst = tiny_sym
+    expected, oracle_rounds = oracle.ecc_loglog(n, src, dst, seed=0)
+    got_df, rounds = ecc_loglog(tiny_graph_sym, seed=0)
+    got = np.array(_by_id(got_df, "ecc", n))
+    assert rounds == oracle_rounds
+    np.testing.assert_array_equal(got, expected)

@@ -289,6 +289,51 @@ def _q_hyper_cc(spark, sf):
     return out
 
 
+def _q_hyper_pagerank(spark, sf):
+    """HyperPageRank (``apps/hyper/HyperPageRank.C:84-121``): 5 mass
+    iterations over the bipartite incidence; hyperedge ranks are the
+    final half-step's pH (memberless slots report the reset 0.0)."""
+    from ligra_spark.apps import hyper_pagerank
+
+    out, _ = hyper_pagerank(_hyper(spark, sf), max_iters=5)
+    return out.select("kind", "id", F.round("rank", 8).alias("rank"))
+
+
+def _q_hyper_kcore(spark, sf):
+    """HyperKCore (``apps/hyper/HyperKCore.C:85-140``): peel vertices
+    with induced degree < k; hyperedges die on first member removal."""
+    from ligra_spark.apps import hyper_kcore
+
+    out, _ = hyper_kcore(_hyper(spark, sf))
+    return out
+
+
+# per-pin weight for the weighted hypergraph: a deterministic function
+# of (vertex, hedge) so Spark and DuckDB derive identical inputs
+HINC_W = "(v * 7 + h * 13) % 10 + 1"
+
+
+def _hyper_w(spark, sf):
+    from ligra_spark.hygra import HyperGraph
+
+    li = _t(spark, sf, "lineitem")
+    inc = li.select(
+        (F.col("l_partkey") % V).alias("vertex"),
+        (F.col("l_orderkey") % NH).alias("hedge"),
+    ).withColumn("w", (F.col("vertex") * 7 + F.col("hedge") * 13) % 10 + 1)
+    return HyperGraph.from_incidence(spark, inc, nv=V, nh=NH, weight_col="w")
+
+
+def _q_hyper_sssp(spark, sf):
+    """HyperSSSP (``apps/hyper/HyperSSSP.C:60-100``): Bellman-Ford
+    over the weighted incidence (weight used in both directions);
+    unreached nodes are absent."""
+    from ligra_spark.apps import hyper_sssp
+
+    out, _ = hyper_sssp(_hyper_w(spark, sf), root=0)
+    return out
+
+
 def _q_cf(spark, sf):
     """CF-SGD over the weighted symmetric derived graph (weight = a
     deterministic function of the undirected pair so both engines see
@@ -433,6 +478,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf": _q_cf,
         "hyper_bfs": _q_hyper_bfs,
         "hyper_cc": _q_hyper_cc,
+        "hyper_pagerank": _q_hyper_pagerank,
+        "hyper_kcore": _q_hyper_kcore,
+        "hyper_sssp": _q_hyper_sssp,
         # training-data pipeline: text analysis + dedup
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_count": _q_doc_token_count,
@@ -953,6 +1001,108 @@ def _hyper_cc_sql(k: int) -> str:
     )
 
 
+def _hyper_pr_sql(iters: int) -> str:
+    """HyperPageRank (``apps/hyper/HyperPageRank.C:107-113``)
+    unrolled: pH[h] = Σ pV[v]/degV(v) over members, pV[v] =
+    d·Σ pH[h]/degH(h) + (1-d)/nv.  Fixed iteration count — exact
+    unroll, no convergence margin needed."""
+    sql = (
+        f"WITH inc AS MATERIALIZED ({INC_SQL}),\n"
+        "dv AS MATERIALIZED (SELECT v AS id, count(*) AS deg FROM inc GROUP BY v),\n"
+        "dh AS MATERIALIZED (SELECT h AS id, count(*) AS deg FROM inc GROUP BY h),\n"
+        f"vv AS (SELECT CAST(range AS BIGINT) AS id FROM range({V})),\n"
+        f"hh AS (SELECT CAST(range AS BIGINT) AS id FROM range({NH})),\n"
+        f"p0 AS (SELECT id, 1.0/{V} AS p FROM vv)"
+    )
+    prev = "p0"
+    for i in range(1, iters + 1):
+        sql += (
+            f",\nph{i} AS MATERIALIZED (SELECT inc.h AS id, sum({prev}.p / dv.deg) AS p\n"
+            f"  FROM inc JOIN {prev} ON {prev}.id = inc.v JOIN dv ON dv.id = inc.v\n"
+            "  GROUP BY inc.h),\n"
+            f"p{i} AS MATERIALIZED (SELECT vv.id,\n"
+            f"  0.85 * coalesce(s.c, 0) + (1.0 - 0.85)/{V} AS p\n"
+            f"  FROM vv LEFT JOIN (SELECT inc.v AS id, sum(ph{i}.p / dh.deg) AS c\n"
+            f"    FROM inc JOIN ph{i} ON ph{i}.id = inc.h JOIN dh ON dh.id = inc.h\n"
+            "    GROUP BY inc.v) s ON s.id = vv.id)"
+        )
+        prev = f"p{i}"
+    return sql + (
+        f"\nSELECT 'v' AS kind, id, round(p, 8) AS rank FROM p{iters}\n"
+        f"UNION ALL SELECT 'h' AS kind, hh.id, round(coalesce(ph{iters}.p, 0.0), 8) AS rank\n"
+        f"FROM hh LEFT JOIN ph{iters} ON ph{iters}.id = hh.id"
+    )
+
+
+def _hyper_kcore_sql(rounds: int) -> str:
+    """HyperKCore peel loop (``apps/hyper/HyperKCore.C:104-131``)
+    unrolled with the scalar k carried as a one-row CTE: remove
+    active deg<k vertices at core k-1, kill touched live hyperedges,
+    decrement surviving members clamped at k-1; k bumps on a
+    no-removal round.  Rounds past the measured schedule are no-ops
+    (rm empty → only k increments)."""
+    sql = (
+        f"WITH inc AS MATERIALIZED ({INC_SQL}),\n"
+        f"vv AS (SELECT CAST(range AS BIGINT) AS id FROM range({V})),\n"
+        "s0 AS MATERIALIZED (SELECT vv.id, CAST(coalesce(d.deg, 0) AS BIGINT) AS deg,\n"
+        "  CAST(NULL AS BIGINT) AS core\n"
+        "  FROM vv LEFT JOIN (SELECT v AS id, count(*) AS deg FROM inc GROUP BY v) d\n"
+        "  ON d.id = vv.id),\n"
+        "dead0 AS (SELECT h FROM inc WHERE FALSE),\n"
+        "k0 AS (SELECT CAST(1 AS BIGINT) AS k)"
+    )
+    for i in range(1, rounds + 1):
+        p, dp, kp = f"s{i - 1}", f"dead{i - 1}", f"k{i - 1}"
+        k = f"(SELECT k FROM {kp})"
+        sql += (
+            f",\nrm{i} AS MATERIALIZED (SELECT id FROM {p} WHERE core IS NULL AND deg < {k}),\n"
+            f"nd{i} AS MATERIALIZED (SELECT DISTINCT inc.h FROM inc JOIN rm{i} ON rm{i}.id = inc.v\n"
+            f"  WHERE inc.h NOT IN (SELECT h FROM {dp})),\n"
+            f"dead{i} AS MATERIALIZED (SELECT h FROM {dp} UNION ALL SELECT h FROM nd{i}),\n"
+            f"cnt{i} AS MATERIALIZED (SELECT inc.v AS id, count(*) AS c FROM inc\n"
+            f"  JOIN nd{i} ON nd{i}.h = inc.h GROUP BY inc.v),\n"
+            f"s{i} AS MATERIALIZED (SELECT s.id,\n"
+            f"  CASE WHEN s.core IS NULL AND s.deg < {k} THEN {k} - 1\n"
+            f"       WHEN s.core IS NULL THEN greatest(s.deg - coalesce(c.c, 0), {k} - 1)\n"
+            f"       ELSE s.deg END AS deg,\n"
+            f"  CASE WHEN s.core IS NULL AND s.deg < {k} THEN {k} - 1 ELSE s.core END AS core\n"
+            f"  FROM {p} s LEFT JOIN cnt{i} c ON c.id = s.id),\n"
+            f"k{i} AS MATERIALIZED (SELECT CASE WHEN (SELECT count(*) FROM rm{i}) = 0\n"
+            f"  THEN k + 1 ELSE k END AS k FROM {kp})"
+        )
+    return sql + f"\nSELECT id, core FROM s{rounds}"
+
+
+def _hyper_sssp_sql(k: int) -> str:
+    """HyperSSSP (``apps/hyper/HyperSSSP.C:60-100``): synchronous
+    Bellman-Ford relaxation over the weighted bipartite expansion
+    (per-pin weight ``HINC_W`` in both directions) to fixpoint —
+    converged writeMin distances ARE bipartite shortest paths.
+    Depth = measured fixpoint + margin; extra steps are idempotent.
+    Unreached nodes never enter the distance table (absent rows)."""
+    sql = (
+        f"WITH inc AS MATERIALIZED ({INC_SQL}),\n"
+        f"bipw AS MATERIALIZED (SELECT v AS src, {V} + h AS dst, CAST({HINC_W} AS BIGINT) AS w FROM inc\n"
+        f"  UNION ALL SELECT {V} + h AS src, v AS dst, CAST({HINC_W} AS BIGINT) AS w FROM inc),\n"
+        "d0 AS (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist)"
+    )
+    prev = "d0"
+    for i in range(1, k + 1):
+        sql += (
+            f",\nr{i} AS MATERIALIZED (SELECT b.dst AS id, min(p.dist + b.w) AS nd\n"
+            f"  FROM bipw b JOIN {prev} p ON p.id = b.src GROUP BY b.dst),\n"
+            f"d{i} AS MATERIALIZED (SELECT coalesce(p.id, r.id) AS id,\n"
+            "  CASE WHEN p.dist IS NULL THEN r.nd WHEN r.nd IS NULL THEN p.dist\n"
+            "       ELSE least(p.dist, r.nd) END AS dist\n"
+            f"  FROM {prev} p FULL OUTER JOIN r{i} r ON r.id = p.id)"
+        )
+        prev = f"d{i}"
+    return sql + (
+        f"\nSELECT CASE WHEN id < {V} THEN 'v' ELSE 'h' END AS kind,\n"
+        f"  CASE WHEN id < {V} THEN id ELSE id - {V} END AS id, dist FROM {prev}"
+    )
+
+
 def _cf_sql(iters: int = 5, K: int = 20) -> str:
     """CF-SGD (``apps/CF.C:83-137``): K latent dims in LONG FORM
     (id, k, val) so the per-edge dot product and the per-(dst, dim)
@@ -1205,6 +1355,11 @@ def oracle_sql() -> dict[str, str]:
         "cf": _cf_sql(5, 20),
         "hyper_bfs": _hyper_bfs_sql(8),
         "hyper_cc": _hyper_cc_sql(10),
+        # exact unroll (fixed 5 iters) / measured schedule + margin
+        # (sf0.01: kcore 24 peel rounds, sssp fixpoint 7 half-steps)
+        "hyper_pagerank": _hyper_pr_sql(5),
+        "hyper_kcore": _hyper_kcore_sql(36),
+        "hyper_sssp": _hyper_sssp_sql(16),
         "doc_exact_dedup": "SELECT md5(text) AS h, min(doc_id) AS keep_id, "
         "count(*) AS copies FROM documents GROUP BY md5(text)",
         "doc_token_count": "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "

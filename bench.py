@@ -71,6 +71,16 @@ def main() -> None:
     g = LinkGraph.from_edges(spark, edges, n=V_BENCH).materialize()
     gsym = LinkGraph.from_edges(spark, edges, n=V_BENCH, make_symmetric=True).materialize()
 
+    # untimed warm-up pass (ligra.h:490-495 runs Compute once untimed
+    # before the timed rounds): first-run JIT + codegen + page-cache
+    # effects measured at 2-2.5x on this box, which would otherwise
+    # drown real regressions in BENCH_r{N} round-over-round diffs
+    pagerank(g, max_iters=2)
+    bfs_levels(g, root=0, max_iters=2)
+    components(gsym, max_iters=2)
+    docs.limit(64).count()
+    emb.limit(64).count()
+
     # phase 1: one-hop neighbor aggregation (TestAll.C:90-118)
     phase("one_hop", lambda: g.edges.groupBy("src").agg(F.count(F.lit(1))).count())
 

@@ -16,7 +16,7 @@ from .delta_stepping import delta_stepping
 from .kcore_julienne import kcore_julienne
 from .ecc import ecc_estimate
 from .setcover import setcover
-from .hyper import hyper_bfs, hyper_cc
+from .hyper import hyper_bfs, hyper_cc, hyper_kcore, hyper_pagerank, hyper_sssp
 from .ecc_fm import ecc_fm
 from .ecc_loglog import ecc_loglog
 
@@ -24,6 +24,9 @@ __all__ = [
     "bfscc",
     "hyper_bfs",
     "hyper_cc",
+    "hyper_kcore",
+    "hyper_pagerank",
+    "hyper_sssp",
     "setcover",
     "delta_stepping",
     "kcore_julienne",

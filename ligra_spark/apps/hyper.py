@@ -20,10 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.storagelevel import StorageLevel
+
 from ..engine import IterState
 from ..hygra import HyperGraph, hyperedge_prop, vertex_prop
 
-__all__ = ["hyper_bfs", "hyper_cc"]
+__all__ = ["hyper_bfs", "hyper_cc", "hyper_pagerank", "hyper_kcore", "hyper_sssp"]
 
 
 def _tagged_union(v_df: DataFrame, h_df: DataFrame, col: str) -> DataFrame:
@@ -176,5 +178,285 @@ def hyper_cc(
         vfront = stv.df.filter("changed").select("id", "label")
     out = _tagged_union(
         stv.df.select("id", "label"), sth.df.select("id", "label"), "label"
+    )
+    return out, steps
+
+
+def hyper_pagerank(
+    hg: HyperGraph,
+    max_iters: int = 5,
+    damping: float = 0.85,
+    on_superstep=None,
+) -> tuple[DataFrame, int]:
+    """HyperPageRank (``apps/hyper/HyperPageRank.C:84-121``): per
+    iteration, hyperedge mass pH = Σ pV[v]/degV(v) over member
+    vertices (after a reset — ``PR_Reset``), then vertex mass
+    pV = damping · Σ pH[h]/degH(h) + (1-damping)/nv (``PR_Update_F``
+    both directions + ``PR_Vertex_F``).  Mass is lost on dangling
+    nodes exactly as in the reference ("assumes connected graph").
+
+    Returns ((kind, id, rank) over all nv + nh nodes, iters run) —
+    hyperedge ranks are the pH of the FINAL iteration (memberless
+    hyperedges report the reset value 0.0).
+
+    Plan shape: two groupBy shuffles per iteration (one per
+    half-step), the incidence table cached in both directions and
+    never moved — the bipartite twin of the plain PageRank superstep.
+    """
+    nv = hg.nv
+    degv = (
+        hg.v2h.edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("src").alias("id"), "deg")
+    )
+    degh = (
+        hg.h2v.edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degh"))
+        .select(F.col("src").alias("id"), "degh")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    init = (
+        hg.vertices.join(degv, "id", "left")
+        .select(
+            "id",
+            F.lit(1.0 / nv).alias("p"),
+            F.coalesce("deg", F.lit(0)).cast("long").alias("deg"),
+        )
+        .repartition(hg.num_partitions, "id")
+    )
+    st = IterState(init, num_partitions=hg.num_partitions)
+    ph_cache: DataFrame | None = None
+    for it in range(1, max_iters + 1):
+        # v -> h: pH[h] = sum of pV/degV over members (deg=0 vertices
+        # have no incidence rows, so the guard is structural)
+        msgs_h = vertex_prop(
+            hg, st.df, F.col("p") / F.col("deg"), F.sum,
+            extra_frontier_cols=("p", "deg"),
+        )
+        phf = (
+            msgs_h.select("id", F.col("agg").alias("ph"))
+            .join(degh, "id")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # h -> v: pV[v] = damping * sum of pH/degH + (1-damping)/nv
+        msgs_v = hyperedge_prop(
+            hg, phf, F.col("ph") / F.col("degh"), F.sum,
+            extra_frontier_cols=("ph", "degh"),
+        )
+        new_v = st.df.join(msgs_v, "id", "left").select(
+            "id",
+            (
+                F.lit(damping) * F.coalesce(F.col("agg"), F.lit(0.0))
+                + F.lit((1.0 - damping) / nv)
+            ).alias("p"),
+            "deg",
+        )
+        # materializing the new state computes phf while the old state
+        # cache is live; phf's cache then outlives st's unpersist
+        st.advance(new_v)
+        if ph_cache is not None:
+            ph_cache.unpersist()
+        ph_cache = phf
+        if on_superstep:
+            on_superstep(it, {})
+    out_v = st.df.select(
+        F.lit("v").alias("kind"), "id", F.col("p").alias("rank")
+    )
+    out_h = (
+        hg.hyperedges.join(ph_cache.select("id", "ph"), "id", "left")
+        .select(
+            F.lit("h").alias("kind"), "id",
+            F.coalesce("ph", F.lit(0.0)).alias("rank"),
+        )
+    )
+    degh.unpersist()
+    return out_v.unionByName(out_h), max_iters
+
+
+def hyper_kcore(
+    hg: HyperGraph,
+    on_superstep=None,
+) -> tuple[DataFrame, int]:
+    """HyperKCore (``apps/hyper/HyperKCore.C:85-140``): peel vertices
+    with induced degree < k for k = 1, 2, …; a hyperedge DIES the
+    first time any member is removed (``Remove_Hyperedge``, cond
+    ``Flags[d] == 0``), and each newly-dead hyperedge decrements its
+    surviving members' degrees, clamped at k-1 (``Update_Deg`` with
+    cond ``Degrees[d] >= k`` — sequential-dense semantics: decrements
+    stop once the degree falls below k).  A vertex removed during
+    phase k has core number k-1 (``Deg_LessThan_K`` writes k-1).
+
+    Returns ((id, core) for all nv vertices, peel rounds run).
+
+    Per round: one broadcast join flags newly-dead hyperedges, one
+    broadcast join counts decrements — the removal frontier is small
+    by construction, so both ride the sparse push path; 2 driver jobs
+    per round (the two state advances).
+    """
+    degv = (
+        hg.v2h.edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("src").alias("id"), "deg")
+    )
+    init_v = (
+        hg.vertices.join(degv, "id", "left")
+        .select(
+            "id",
+            F.coalesce("deg", F.lit(0)).cast("long").alias("deg"),
+            F.lit(None).cast("long").alias("core"),
+        )
+        .repartition(hg.num_partitions, "id")
+    )
+    stv = IterState(init_v, num_partitions=hg.num_partitions)
+    sth = IterState(
+        hg.hyperedges.select("id", F.lit(False).alias("dead")),
+        num_partitions=hg.num_partitions,
+    )
+    k, rounds, n_active = 1, 0, hg.nv
+    # every round peels >= 1 vertex or bumps k; removals <= nv and k
+    # stops growing past the max vertex degree (<= nh incidences)
+    max_rounds = hg.nv + hg.nh + 2
+    while n_active > 0 and rounds < max_rounds:
+        rounds += 1
+        kc = F.lit(k)
+        rm = stv.df.filter(F.col("core").isNull() & (F.col("deg") < kc)).select("id")
+        # newly-dead hyperedges: contain a removed vertex, not yet dead.
+        # ``newly`` is carried as a state column so the decrement
+        # frontier reads the FRESH cache, not the unpersisted old plan.
+        touched = vertex_prop(hg, rm, F.lit(1), F.min, frontier_size=0)
+        new_h = sth.df.join(
+            touched.select("id", F.lit(True).alias("_nd")), "id", "left"
+        ).select(
+            "id",
+            (F.col("dead") | F.coalesce("_nd", F.lit(False))).alias("dead"),
+            (~F.col("dead") & F.coalesce("_nd", F.lit(False))).alias("newly"),
+        )
+        _, n_newly = sth.advance(
+            new_h, action=lambda df: df.filter("newly").count()
+        )
+        # decrement surviving members of newly-dead hyperedges (clamped)
+        cnt = hyperedge_prop(
+            hg, sth.df.filter("newly").select("id"),
+            F.lit(1), F.sum, frontier_size=n_newly,
+        )
+        new_v = stv.df.join(
+            cnt.select("id", F.col("agg").alias("c")), "id", "left"
+        ).select(
+            "id",
+            F.when(F.col("core").isNull() & (F.col("deg") < kc), kc - 1)
+            .when(
+                F.col("core").isNull(),
+                F.greatest(F.col("deg") - F.coalesce("c", F.lit(0)), kc - 1),
+            )
+            .otherwise(F.col("deg"))
+            .cast("long")
+            .alias("deg"),
+            F.when(F.col("core").isNull() & (F.col("deg") < kc), kc - 1)
+            .otherwise(F.col("core"))
+            .cast("long")
+            .alias("core"),
+        )
+        prev_active = n_active
+        _, n_active = stv.advance(
+            new_v,
+            action=lambda df: df.filter(F.col("core").isNull()).count(),
+        )
+        n_removed = prev_active - n_active
+        if on_superstep:
+            on_superstep(rounds, {"k": k, "removed": n_removed, "active": n_active})
+        if n_removed == 0:
+            k += 1
+    return stv.df.select("id", "core"), rounds
+
+
+def hyper_sssp(
+    hg: HyperGraph,
+    root: int = 0,
+    max_iters: int | None = None,
+    on_superstep=None,
+) -> tuple[DataFrame, int]:
+    """HyperSSSP (``apps/hyper/HyperSSSP.C:60-100``): Bellman-Ford
+    relaxation alternating vertexProp / hyperedgeProp half-steps over
+    a WEIGHTED incidence (one weight per pin, used in both
+    directions — ``WeightedHyperReader.C`` semantics).  writeMin
+    becomes the groupBy-min monoid; the frontier is the
+    improved-this-half-step set (``BF_Relax_F``'s Visited CAS).
+
+    Returns ((kind, id, dist) for REACHED nodes, half-steps run).
+    Unreached nodes are absent (the reference leaves INT_MAX/2).
+    Requires ``weight`` on the incidence (``from_incidence(...,
+    weight_col=...)``).
+    """
+    stv = IterState(
+        hg.vertices.select(
+            "id",
+            F.when(F.col("id") == root, F.lit(0)).cast("long").alias("dist"),
+        ),
+        num_partitions=hg.num_partitions,
+    )
+    sth = IterState(
+        hg.hyperedges.select("id", F.lit(None).cast("long").alias("dist")),
+        num_partitions=hg.num_partitions,
+    )
+    steps, fsize = 0, 1
+    frontier = stv.df.filter(F.col("dist").isNotNull()).select("id", "dist")
+    limit = max_iters if max_iters is not None else 2 * hg.nv
+    while fsize > 0 and steps < limit:
+        # vertex -> hyperedge relaxation
+        msgs = vertex_prop(
+            hg, frontier, F.col("dist") + F.col("weight"), F.min,
+            frontier_size=fsize, extra_frontier_cols=("dist",),
+        )
+        newh = sth.df.join(msgs.hint("shuffle_hash"), "id", "left").select(
+            "id",
+            F.when(
+                F.col("agg").isNotNull(),
+                F.least(F.coalesce("dist", F.col("agg")), F.col("agg")),
+            )
+            .otherwise(F.col("dist"))
+            .alias("dist"),
+            (
+                F.col("agg").isNotNull()
+                & (F.col("dist").isNull() | (F.col("agg") < F.col("dist")))
+            ).alias("improved"),
+        )
+        _, fsize = sth.advance(
+            newh, action=lambda df: df.filter("improved").count()
+        )
+        steps += 1
+        if on_superstep:
+            on_superstep(steps, {"phase": "v->h", "frontier": fsize})
+        if fsize == 0:
+            break
+        # hyperedge -> vertex relaxation
+        hfrontier = sth.df.filter("improved").select("id", "dist")
+        msgs = hyperedge_prop(
+            hg, hfrontier, F.col("dist") + F.col("weight"), F.min,
+            frontier_size=fsize, extra_frontier_cols=("dist",),
+        )
+        newv = stv.df.join(msgs.hint("shuffle_hash"), "id", "left").select(
+            "id",
+            F.when(
+                F.col("agg").isNotNull(),
+                F.least(F.coalesce("dist", F.col("agg")), F.col("agg")),
+            )
+            .otherwise(F.col("dist"))
+            .alias("dist"),
+            (
+                F.col("agg").isNotNull()
+                & (F.col("dist").isNull() | (F.col("agg") < F.col("dist")))
+            ).alias("improved"),
+        )
+        _, fsize = stv.advance(
+            newv, action=lambda df: df.filter("improved").count()
+        )
+        steps += 1
+        frontier = stv.df.filter("improved").select("id", "dist")
+        if on_superstep:
+            on_superstep(steps, {"phase": "h->v", "frontier": fsize})
+    out = _tagged_union(
+        stv.df.filter(F.col("dist").isNotNull()).select("id", "dist"),
+        sth.df.filter(F.col("dist").isNotNull()).select("id", "dist"),
+        "dist",
     )
     return out, steps

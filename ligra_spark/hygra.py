@@ -66,24 +66,37 @@ class HyperGraph:
         num_partitions: int | None = None,
         vertex_col: str = "vertex",
         hedge_col: str = "hedge",
+        weight_col: str | None = None,
     ) -> "HyperGraph":
         """Pin an incidence DataFrame.  Duplicate (vertex, hedge) rows
-        are removed (membership is a set, ``hygra.h`` CSR semantics)."""
+        are removed (membership is a set, ``hygra.h`` CSR semantics).
+        ``weight_col`` (optional) attaches a per-incidence weight used
+        in BOTH directions — the undirected weighted hypergraph of
+        ``WeightedHyperReader.C`` (one weight per pin)."""
         p = num_partitions or spark.sparkContext.defaultParallelism
+        wcols = (
+            [F.col(weight_col).cast("long").alias("weight")] if weight_col else []
+        )
         base = (
             inc.select(
                 F.col(vertex_col).cast("long").alias("vertex"),
                 F.col(hedge_col).cast("long").alias("hedge"),
+                *wcols,
             )
             .dropDuplicates(["vertex", "hedge"])
         )
+        w = [F.col("weight")] if weight_col else []
         fwd = (
-            base.select(F.col("vertex").alias("src"), F.col("hedge").alias("dst"))
+            base.select(
+                F.col("vertex").alias("src"), F.col("hedge").alias("dst"), *w
+            )
             .repartition(p, "src")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         rev = (
-            base.select(F.col("hedge").alias("src"), F.col("vertex").alias("dst"))
+            base.select(
+                F.col("hedge").alias("src"), F.col("vertex").alias("dst"), *w
+            )
             .repartition(p, "src")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )

@@ -1,7 +1,9 @@
-"""Hypergraph engine tests: HyperBFS / HyperCC vs numpy bipartite
-oracles (reference semantics: ``apps/hyper/HyperBFS.C``,
-``apps/hyper/HyperCC.C`` — race-free invariants: bipartite levels and
-fixpoint min-labels)."""
+"""Hypergraph engine tests: HyperBFS / HyperCC / HyperPageRank /
+HyperKCore / HyperSSSP vs numpy bipartite oracles (reference
+semantics: ``apps/hyper/HyperBFS.C``, ``HyperCC.C``,
+``HyperPageRank.C``, ``HyperKCore.C``, ``HyperSSSP.C`` — race-free
+invariants: bipartite levels, fixpoint min-labels, mass iteration,
+sequential-dense peel, min-dist relaxation)."""
 
 import numpy as np
 import pytest
@@ -129,3 +131,125 @@ def test_hyper_cc_matches_plain_cc_projection(hg, incidence):
     out, _ = hyper_cc(hg)
     got = {r["id"]: r["label"] for r in out.collect() if r["kind"] == "v"}
     assert got == expect
+
+
+def test_hyper_pagerank_mass(hg, incidence):
+    """HyperPageRank vs a numpy transcription of the reference's
+    iteration (``apps/hyper/HyperPageRank.C:107-113``): reset pH,
+    pH[h] += pV[v]/degV(v), reset pV, pV[v] += pH[h]/degH(h),
+    pV = d*pV + (1-d)/nv."""
+    from ligra_spark.apps import hyper_pagerank
+
+    v, h = incidence
+    degv = np.bincount(v, minlength=NV).astype(np.float64)
+    degh = np.bincount(h, minlength=NH).astype(np.float64)
+    damping, iters = 0.85, 5
+    pv = np.full(NV, 1.0 / NV)
+    ph = np.zeros(NH)
+    for _ in range(iters):
+        ph = np.zeros(NH)
+        np.add.at(ph, h, pv[v] / degv[v])
+        pv = np.zeros(NV)
+        np.add.at(pv, v, ph[h] / degh[h])
+        pv = damping * pv + (1.0 - damping) / NV
+    out, ran = hyper_pagerank(hg, max_iters=iters, damping=damping)
+    assert ran == iters
+    rows = out.collect()
+    assert len(rows) == NV + NH
+    got_v = {r["id"]: r["rank"] for r in rows if r["kind"] == "v"}
+    got_h = {r["id"]: r["rank"] for r in rows if r["kind"] == "h"}
+    for i in range(NV):
+        assert got_v[i] == pytest.approx(pv[i], abs=1e-9)
+    for j in range(NH):
+        assert got_h[j] == pytest.approx(ph[j], abs=1e-9)
+
+
+def test_hyper_kcore_cores(hg, incidence):
+    """HyperKCore vs a sequential transcription of the peel loop
+    (``apps/hyper/HyperKCore.C:104-131``): remove deg<k vertices at
+    core k-1, kill touched live hyperedges, decrement surviving
+    members clamped at k-1 (``Update_Deg`` cond ``Degrees[d]>=k``)."""
+    from ligra_spark.apps import hyper_kcore
+
+    v, h = incidence
+    hedges_of = {}
+    members = {}
+    for vv, hh in zip(v.tolist(), h.tolist()):
+        hedges_of.setdefault(vv, []).append(hh)
+        members.setdefault(hh, []).append(vv)
+    deg = np.bincount(v, minlength=NV).astype(np.int64)
+    core = np.full(NV, -1, dtype=np.int64)
+    dead = np.zeros(NH, dtype=bool)
+    k, active = 1, set(range(NV))
+    while active:
+        rm = sorted(u for u in active if deg[u] < k)
+        if not rm:
+            k += 1
+            continue
+        for u in rm:
+            core[u] = k - 1
+            deg[u] = k - 1
+            active.discard(u)
+        newly = sorted(
+            {hh for u in rm for hh in hedges_of.get(u, []) if not dead[hh]}
+        )
+        cnt = np.zeros(NV, dtype=np.int64)
+        for hh in newly:
+            dead[hh] = True
+            for u in members[hh]:
+                cnt[u] += 1
+        for u in active:
+            deg[u] = max(deg[u] - cnt[u], k - 1)
+    out, _ = hyper_kcore(hg)
+    got = {r["id"]: r["core"] for r in out.collect()}
+    assert len(got) == NV
+    for i in range(NV):
+        assert got[i] == core[i], (i, got[i], core[i])
+
+
+@pytest.fixture(scope="module")
+def whg(spark, incidence):
+    """Weighted hypergraph: per-pin weight (v*7 + h*13) % 10 + 1,
+    used in both directions (``WeightedHyperReader.C`` semantics)."""
+    from ligra_spark.hygra import HyperGraph
+    import pandas as pd
+
+    v, h = incidence
+    w = (v * 7 + h * 13) % 10 + 1
+    inc = spark.createDataFrame(
+        pd.DataFrame({"vertex": v, "hedge": h, "w": w})
+    )
+    return HyperGraph.from_incidence(spark, inc, nv=NV, nh=NH, weight_col="w")
+
+
+def test_hyper_sssp_dists(whg, incidence):
+    """HyperSSSP vs a numpy Bellman-Ford fixpoint over the weighted
+    bipartite expansion (``apps/hyper/HyperSSSP.C:60-100``): the
+    converged writeMin distances are bipartite shortest paths."""
+    from ligra_spark.apps import hyper_sssp
+
+    v, h = incidence
+    w = ((v * 7 + h * 13) % 10 + 1).astype(np.int64)
+    INF = np.iinfo(np.int64).max // 4
+    dv = np.full(NV, INF)
+    dh = np.full(NH, INF)
+    dv[0] = 0
+    changed = True
+    while changed:
+        changed = False
+        # simple per-pin relaxation to fixpoint (small fixture)
+        for vv, hh, ww in zip(v.tolist(), h.tolist(), w.tolist()):
+            if dv[vv] + ww < dh[hh]:
+                dh[hh] = dv[vv] + ww
+                changed = True
+            if dh[hh] + ww < dv[vv]:
+                dv[vv] = dh[hh] + ww
+                changed = True
+    out, _ = hyper_sssp(whg, root=0)
+    rows = out.collect()
+    got_v = {r["id"]: r["dist"] for r in rows if r["kind"] == "v"}
+    got_h = {r["id"]: r["dist"] for r in rows if r["kind"] == "h"}
+    exp_v = {i: int(dv[i]) for i in range(NV) if dv[i] < INF}
+    exp_h = {j: int(dh[j]) for j in range(NH) if dh[j] < INF}
+    assert got_v == exp_v
+    assert got_h == exp_h

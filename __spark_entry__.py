@@ -334,6 +334,16 @@ def _q_hyper_sssp(spark, sf):
     return out
 
 
+def _q_hyper_mis(spark, sf):
+    """HyperMIS (``apps/hyper/HyperMIS.C:119-160``): Beame-Luby with
+    the reference's deterministic hashInt sampling — flags are exact
+    (1 = out, r >= 2 = joined in round r)."""
+    from ligra_spark.apps import hyper_mis
+
+    out, _ = hyper_mis(_hyper(spark, sf))
+    return out
+
+
 def _q_cf(spark, sf):
     """CF-SGD over the weighted symmetric derived graph (weight = a
     deterministic function of the undirected pair so both engines see
@@ -481,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyper_pagerank": _q_hyper_pagerank,
         "hyper_kcore": _q_hyper_kcore,
         "hyper_sssp": _q_hyper_sssp,
+        "hyper_mis": _q_hyper_mis,
         # training-data pipeline: text analysis + dedup
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_count": _q_doc_token_count,
@@ -1103,6 +1114,83 @@ def _hyper_sssp_sql(k: int) -> str:
     )
 
 
+_H64_T = 1 << 64
+_H64_C = [
+    0x7ED55D166BEF7A1D,
+    0xC761C23C510FA2DD,
+    0x165667B183A9C0E1,
+    0xD3A2646CAB3487E3,
+    0xFD7046C5EF9AB54C,
+    0xB55A4F090DD4A67B,
+]
+
+
+def _h64_sql(inner: str) -> str:
+    """``hashInt(ulong)`` (``utils.h:376-384``) in DuckDB: HUGEINT
+    modular arithmetic over ``inner`` (must yield columns (id, a) with
+    a = the HUGEINT hash input).  Yields (id, g).  Verified bit-exact
+    vs ``ligra_spark.hashing.hash_int64`` over [0, 100000)."""
+    T, C = _H64_T, _H64_C
+    return (
+        f"SELECT id, xor(xor(f, CAST({C[5]} AS HUGEINT)), f // {1 << 32}) AS g FROM (\n"
+        f" SELECT id, (e + {C[4]} + (e * {1 << 3}) % {T}) % {T} AS f FROM (\n"
+        f"  SELECT id, xor((d + {C[3]}) % {T}, (d * {1 << 49}) % {T}) AS e FROM (\n"
+        f"   SELECT id, (c + {C[2]} + (c * {1 << 59}) % {T}) % {T} AS d FROM (\n"
+        f"    SELECT id, xor(xor(b, CAST({C[1]} AS HUGEINT)), b // {1 << 9}) AS c FROM (\n"
+        f"     SELECT id, (a + {C[0]} + (a * {1 << 12}) % {T}) % {T} AS b FROM (\n"
+        f"      {inner}))))))"
+    )
+
+
+def _hyper_mis_sql(rounds: int, inverse_prob: int = 3) -> str:
+    """HyperMIS (``apps/hyper/HyperMIS.C:119-160``) unrolled: per
+    round, undecided vertices sample via hashInt(id + off) % p == 0
+    (off = cumulative processed frontier, carried as a one-row CTE);
+    fully-tentative live hyperedges veto their members; survivors
+    join (flag = round); pins to new members are packed away;
+    singleton hyperedges force their member out and leave.  Rounds
+    past the measured schedule are no-ops (no undecided -> no tent,
+    no full, no change)."""
+    sql = (
+        f"WITH inc0 AS MATERIALIZED ({INC_SQL}),\n"
+        f"vv AS (SELECT CAST(range AS BIGINT) AS id FROM range({V})),\n"
+        "s0 AS (SELECT id, CAST(0 AS BIGINT) AS flag FROM vv),\n"
+        "off0 AS (SELECT CAST(0 AS BIGINT) AS o)"
+    )
+    for i in range(1, rounds + 1):
+        p, pinc, poff, r = f"s{i - 1}", f"inc{i - 1}", f"off{i - 1}", i + 1
+        hash_inner = (
+            f"SELECT id, CAST(id + (SELECT o FROM {poff}) AS HUGEINT) AS a\n"
+            f"      FROM {p} WHERE flag = 0"
+        )
+        sql += (
+            f",\ntn{i} AS MATERIALIZED (SELECT id FROM ({_h64_sql(hash_inner)})\n"
+            f"  WHERE g % {inverse_prob} = 0),\n"
+            f"hs{i} AS MATERIALIZED (SELECT i.h, count(*) AS deg, count(t.id) AS tcnt\n"
+            f"  FROM {pinc} i LEFT JOIN tn{i} t ON t.id = i.v GROUP BY i.h),\n"
+            f"vt{i} AS MATERIALIZED (SELECT DISTINCT i.v AS id FROM {pinc} i\n"
+            f"  JOIN hs{i} f ON f.h = i.h AND f.tcnt = f.deg),\n"
+            f"ni{i} AS MATERIALIZED (SELECT id FROM tn{i}\n"
+            f"  WHERE id NOT IN (SELECT id FROM vt{i})),\n"
+            f"pk{i} AS MATERIALIZED (SELECT v, h FROM {pinc}\n"
+            f"  WHERE v NOT IN (SELECT id FROM ni{i})),\n"
+            f"pd{i} AS MATERIALIZED (SELECT h, count(*) AS deg FROM pk{i} GROUP BY h),\n"
+            f"fo{i} AS MATERIALIZED (SELECT DISTINCT p.v AS id FROM pk{i} p\n"
+            f"  JOIN pd{i} d ON d.h = p.h AND d.deg = 1),\n"
+            f"inc{i} AS MATERIALIZED (SELECT p.v, p.h FROM pk{i} p\n"
+            f"  JOIN pd{i} d ON d.h = p.h AND d.deg >= 2),\n"
+            f"s{i} AS MATERIALIZED (SELECT s.id,\n"
+            f"  CAST(CASE WHEN s.flag != 0 THEN s.flag\n"
+            f"       WHEN n.id IS NOT NULL THEN {r}\n"
+            f"       WHEN f.id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS flag\n"
+            f"  FROM {p} s LEFT JOIN ni{i} n ON n.id = s.id\n"
+            f"  LEFT JOIN fo{i} f ON f.id = s.id),\n"
+            f"off{i} AS (SELECT o + (SELECT count(*) FROM {p} WHERE flag = 0) AS o\n"
+            f"  FROM {poff})"
+        )
+    return sql + f"\nSELECT id, flag FROM s{rounds}"
+
+
 def _cf_sql(iters: int = 5, K: int = 20) -> str:
     """CF-SGD (``apps/CF.C:83-137``): K latent dims in LONG FORM
     (id, k, val) so the per-edge dot product and the per-(dst, dim)
@@ -1360,6 +1448,8 @@ def oracle_sql() -> dict[str, str]:
         "hyper_pagerank": _hyper_pr_sql(5),
         "hyper_kcore": _hyper_kcore_sql(36),
         "hyper_sssp": _hyper_sssp_sql(16),
+        # measured schedule at sf0.01: 21 rounds; extras are no-ops
+        "hyper_mis": _hyper_mis_sql(30),
         "doc_exact_dedup": "SELECT md5(text) AS h, min(doc_id) AS keep_id, "
         "count(*) AS copies FROM documents GROUP BY md5(text)",
         "doc_token_count": "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "

@@ -25,7 +25,7 @@ from pyspark.storagelevel import StorageLevel
 from ..engine import IterState
 from ..hygra import HyperGraph, hyperedge_prop, vertex_prop
 
-__all__ = ["hyper_bfs", "hyper_cc", "hyper_pagerank", "hyper_kcore", "hyper_sssp"]
+__all__ = ["hyper_bfs", "hyper_cc", "hyper_pagerank", "hyper_kcore", "hyper_mis", "hyper_sssp"]
 
 
 def _tagged_union(v_df: DataFrame, h_df: DataFrame, col: str) -> DataFrame:
@@ -460,3 +460,124 @@ def hyper_sssp(
         "dist",
     )
     return out, steps
+
+
+def hyper_mis(
+    hg: HyperGraph,
+    inverse_prob: int = 3,
+    max_rounds: int = 300,
+    on_superstep=None,
+) -> tuple[DataFrame, int]:
+    """HyperMIS (Beame-Luby 1990; ``apps/hyper/HyperMIS.C:119-160``):
+    per round, undecided vertices self-sample with probability
+    1/inverse_prob via the reference's deterministic avalanche hash
+    (``hashInt(id + numVerticesProcessed)``, ``utils.h:376-384``);
+    a live hyperedge whose CURRENT members are ALL tentative vetoes
+    them (``MIS_Reset_Neighbors`` — maximal independence = no
+    hyperedge fully inside the set); survivors join the MIS; pins to
+    decided-in vertices are packed away (``hyperedgeFilterNgh``), and
+    a hyperedge down to ONE remaining member forces that member OUT
+    if still undecided, then leaves the frontier
+    (``Filter_Hyperedges``).
+
+    Returns ((id, flag) for all nv vertices, rounds run): flag 1 =
+    out, flag r >= 2 = joined the MIS in round r, 0 = undecided at
+    the round cap (isolated-vertex tail only; expected rounds =
+    log_{3/2}(nv)).
+
+    Plan shape per round: the pin-state join + groupBy(h) fullness
+    count is the one big shuffle; veto/forced sets are small and ride
+    broadcast joins; BOTH states (vertex flags, live incidence)
+    advance once per round with per-round transient caches so no
+    subplan is computed twice.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from ..hashing import unsigned_mod_col, with_hash_int64
+
+    # checkpoint_every=1: a round embeds vt/veto/packed several times
+    # each into BOTH next states, so without a per-round logical-plan
+    # cut the analyzer tree grows ~6x per round and OOMs the driver by
+    # round ~8 even on tiny inputs (same rationale as setcover.py)
+    stv = IterState(
+        hg.vertices.select("id", F.lit(0).cast("long").alias("flag")),
+        num_partitions=hg.num_partitions,
+        checkpoint_every=1,
+    )
+    stinc = IterState(
+        hg.v2h.edges.select(F.col("src").alias("v"), F.col("dst").alias("h")),
+        num_partitions=hg.num_partitions,
+        checkpoint_every=1,
+    )
+    processed, n_undecided, r, rounds = 0, hg.nv, 1, 0
+    while n_undecided > 0 and rounds < max_rounds:
+        r += 1
+        rounds += 1
+        # Random_Sample: hashInt(id + numVerticesProcessed) % p == 0
+        vt = with_hash_int64(stv.df, F.col("id") + F.lit(processed), "hh")
+        vt = vt.select(
+            "id",
+            "flag",
+            (
+                (F.col("flag") == 0)
+                & (unsigned_mod_col(F.col("hh"), inverse_prob) == 0)
+            ).alias("tent"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        processed += n_undecided
+        inc = stinc.df
+        pins = inc.join(
+            vt.select(F.col("id").alias("v"), "tent"), "v"
+        )
+        # fullness count per live hyperedge (MIS_Count_Neighbors +
+        # Check_Independence): all current members tentative -> veto
+        hstat = pins.groupBy("h").agg(
+            F.count(F.lit(1)).alias("deg"),
+            F.sum(F.col("tent").cast("long")).alias("tcnt"),
+        )
+        full = hstat.filter(F.col("tcnt") == F.col("deg")).select("h")
+        veto = (
+            inc.join(F.broadcast(full), "h")
+            .select(F.col("v").alias("id"))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        in_new = vt.filter("tent").join(veto, "id", "left_anti").select("id")
+        # pack pins to freshly-decided-in members (hyperedgeFilterNgh)
+        packed = inc.join(
+            in_new.select(F.col("id").alias("v")), "v", "left_anti"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        pdeg = packed.groupBy("h").agg(F.count(F.lit(1)).alias("deg")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        forced = (
+            packed.join(F.broadcast(pdeg.filter("deg = 1").select("h")), "h")
+            .select(F.col("v").alias("id"))
+            .distinct()
+        )
+        # advance the incidence FIRST: its plan reads the old vertex
+        # cache, which stv.advance below is about to unpersist
+        newinc = packed.join(pdeg.filter("deg >= 2").select("h"), "h").select(
+            "v", "h"
+        )
+        stinc.advance(newinc)
+        newv = (
+            vt.join(in_new.select("id", F.lit(True).alias("_in")), "id", "left")
+            .join(forced.select("id", F.lit(True).alias("_out")), "id", "left")
+            .select(
+                "id",
+                F.when(F.col("flag") != 0, F.col("flag"))
+                .when(F.coalesce("_in", F.lit(False)), F.lit(r))
+                .when(F.coalesce("_out", F.lit(False)), F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("flag"),
+            )
+        )
+        _, n_undecided = stv.advance(
+            newv, action=lambda df: df.filter("flag = 0").count()
+        )
+        for t in (vt, veto, packed, pdeg):
+            t.unpersist()
+        if on_superstep:
+            on_superstep(rounds, {"undecided": n_undecided})
+    return stv.df.select("id", "flag"), rounds

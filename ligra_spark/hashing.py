@@ -16,7 +16,14 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["hash_int32", "hash_int64", "hash_double32", "hash_int32_inplace"]
+__all__ = [
+    "hash_int32",
+    "hash_int64",
+    "hash_double32",
+    "hash_int32_inplace",
+    "with_hash_int64",
+    "unsigned_mod_col",
+]
 
 _U32 = np.uint32
 _U64 = np.uint64
@@ -91,3 +98,78 @@ def hash_double32(i: np.ndarray | int) -> np.ndarray:
     """``hashDouble`` of the generator (``utils/rMatGraph.C:29-30``):
     uniform double in [0, 1] = hash_int32(i) / UINT_MAX."""
     return hash_int32(i).astype(np.float64) / np.float64(0xFFFFFFFF)
+
+
+def _s64(c: int) -> int:
+    """Unsigned 64-bit constant -> its signed two's-complement twin
+    (Spark longs are signed; +, *, <<, ^ wrap identically)."""
+    return c - (1 << 64) if c >= (1 << 63) else c
+
+
+def _wrap_add(a, b):
+    """``(a + b) mod 2^64`` on signed longs WITHOUT tripping Spark 4's
+    ANSI overflow check: split into 32-bit halves (shifts/AND/OR are
+    unchecked; the half-adds stay below 2^33)."""
+    from pyspark.sql import functions as F
+
+    mask = F.lit(0xFFFFFFFF)
+    lo = (a.bitwiseAND(mask)) + (b.bitwiseAND(mask))
+    hi = (
+        F.shiftrightunsigned(a, 32)
+        + F.shiftrightunsigned(b, 32)
+        + F.shiftrightunsigned(lo, 32)
+    )
+    return F.shiftleft(hi, 32).bitwiseOR(lo.bitwiseAND(mask))
+
+
+def with_hash_int64(df, src, out="h64"):
+    """``hashInt(ulong)`` (``utils.h:376-384``) over a long column —
+    bit-exact twin of :func:`hash_int64` on the signed two's-complement
+    representation.  All JVM-side (whole-stage codegen); logical right
+    shifts via ``shiftrightunsigned``, wrapping adds via
+    :func:`_wrap_add` (ANSI-mode-safe).
+
+    Adds column ``out`` to ``df`` via SIX chained projections — one
+    per avalanche stage — rather than one nested Column: each stage
+    references its input ~6x, so a single expression tree would be
+    ~6^6 nodes and takes minutes to analyze/codegen; the staged form
+    is linear (Catalyst keeps the projections apart because the
+    repeated references are non-cheap)."""
+    from pyspark.sql import functions as F
+
+    tmp = f"__{out}_stage"
+    stages = [
+        lambda a: _wrap_add(
+            _wrap_add(a, F.lit(_s64(0x7ED55D166BEF7A1D))), F.shiftleft(a, 12)
+        ),
+        lambda a: a.bitwiseXOR(F.lit(_s64(0xC761C23C510FA2DD))).bitwiseXOR(
+            F.shiftrightunsigned(a, 9)
+        ),
+        lambda a: _wrap_add(
+            _wrap_add(a, F.lit(_s64(0x165667B183A9C0E1))), F.shiftleft(a, 59)
+        ),
+        lambda a: _wrap_add(a, F.lit(_s64(0xD3A2646CAB3487E3))).bitwiseXOR(
+            F.shiftleft(a, 49)
+        ),
+        lambda a: _wrap_add(
+            _wrap_add(a, F.lit(_s64(0xFD7046C5EF9AB54C))), F.shiftleft(a, 3)
+        ),
+        lambda a: a.bitwiseXOR(F.lit(_s64(0xB55A4F090DD4A67B))).bitwiseXOR(
+            F.shiftrightunsigned(a, 32)
+        ),
+    ]
+    df = df.withColumn(tmp, src.cast("long"))
+    for stage in stages:
+        df = df.withColumn(tmp, stage(F.col(tmp)))
+    return df.withColumn(out, F.col(tmp)).drop(tmp)
+
+
+def unsigned_mod_col(col, m: int):
+    """``u % m`` where ``col`` holds the signed representation of an
+    unsigned 64-bit value u: u = col + 2^64 when col < 0, so
+    u % m = (pmod(col, m) + 2^64 % m) % m on the negative branch."""
+    from pyspark.sql import functions as F
+
+    wrap = (1 << 64) % m
+    pm = F.pmod(col, F.lit(m))
+    return F.when(col < 0, F.pmod(pm + F.lit(wrap), F.lit(m))).otherwise(pm)

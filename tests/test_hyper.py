@@ -253,3 +253,56 @@ def test_hyper_sssp_dists(whg, incidence):
     exp_h = {j: int(dh[j]) for j in range(NH) if dh[j] < INF}
     assert got_v == exp_v
     assert got_h == exp_h
+
+
+def test_hyper_mis_flags(hg, incidence):
+    """HyperMIS vs a sequential transcription of the Beame-Luby loop
+    (``apps/hyper/HyperMIS.C:119-160``) using the same bit-exact
+    ``hashInt`` sampling — flags must match EXACTLY (round numbers
+    included) — plus the independence invariant: no live hyperedge
+    fully inside the set."""
+    from ligra_spark.apps import hyper_mis
+    from ligra_spark.hashing import hash_int64
+
+    v, h = incidence
+    inc = set(zip(v.tolist(), h.tolist()))
+    flags = np.zeros(NV, dtype=np.int64)
+    processed, r = 0, 1
+    while (flags == 0).any() and r < 300:
+        r += 1
+        und = np.nonzero(flags == 0)[0]
+        tent = set(
+            int(i)
+            for i in und
+            if int(hash_int64(np.uint64(i + processed))[()]) % 3 == 0
+        )
+        processed += len(und)
+        members = {}
+        for vv, hh in inc:
+            members.setdefault(hh, set()).add(vv)
+        full = {hh for hh, mem in members.items() if mem <= tent}
+        vetoed = set().union(*(members[hh] for hh in full)) if full else set()
+        in_new = tent - vetoed
+        inc = {(vv, hh) for vv, hh in inc if vv not in in_new}
+        pmem = {}
+        for vv, hh in inc:
+            pmem.setdefault(hh, set()).add(vv)
+        forced = {next(iter(mem)) for mem in pmem.values() if len(mem) == 1}
+        inc = {(vv, hh) for vv, hh in inc if len(pmem[hh]) >= 2}
+        for u in in_new:
+            flags[u] = r
+        for u in forced:
+            if flags[u] == 0:
+                flags[u] = 1
+    out, rounds = hyper_mis(hg)
+    got = {row["id"]: row["flag"] for row in out.collect()}
+    assert len(got) == NV
+    for i in range(NV):
+        assert got[i] == flags[i], (i, got[i], flags[i])
+    # independence: no ORIGINAL hyperedge has all members in the MIS
+    in_set = {i for i in range(NV) if flags[i] > 1}
+    omem = {}
+    for vv, hh in zip(v.tolist(), h.tolist()):
+        omem.setdefault(hh, set()).add(vv)
+    for hh, mem in omem.items():
+        assert not (mem <= in_set), (hh, mem)

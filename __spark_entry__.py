@@ -344,6 +344,42 @@ def _q_hyper_mis(spark, sf):
     return out
 
 
+# directed hypergraph for B-path: in-pins fold parts into a SMALL
+# vertex range (so all-in-pins-visited activation actually fires) and
+# NH is larger than the distinct-order count (so a hyperedge is one
+# order's pin set, not a union of ~7 orders with ~20 in-pins that can
+# never complete); out-pins come from suppkey — a genuinely different
+# pin set, which is what makes B-path non-degenerate.
+VB_BP, NH_BP = 32, 32768
+INB_SQL = (
+    f"SELECT DISTINCT l_partkey % {VB_BP} AS v, l_orderkey % {NH_BP} AS h FROM lineitem"
+)
+OUTB_SQL = (
+    f"SELECT DISTINCT l_suppkey % {VB_BP} AS v, l_orderkey % {NH_BP} AS h FROM lineitem"
+)
+
+
+def _q_hyper_bpath(spark, sf):
+    """HyperBPath (``apps/hyper/HyperBPath.C:27-80``): B-connectivity
+    BFS over a DIRECTED hypergraph — a hyperedge activates only when
+    ALL in-pins are visited, then scatters to its out-pins."""
+    from ligra_spark.apps import hyper_bpath
+    from ligra_spark.hygra import HyperGraph
+
+    li = _t(spark, sf, "lineitem")
+    inp = li.select(
+        (F.col("l_partkey") % VB_BP).alias("vertex"),
+        (F.col("l_orderkey") % NH_BP).alias("hedge"),
+    )
+    outp = li.select(
+        (F.col("l_suppkey") % VB_BP).alias("vertex"),
+        (F.col("l_orderkey") % NH_BP).alias("hedge"),
+    )
+    hg = HyperGraph.from_directed_incidence(spark, inp, outp, nv=VB_BP, nh=NH_BP)
+    out, _ = hyper_bpath(hg, root=0)
+    return out
+
+
 def _q_cf(spark, sf):
     """CF-SGD over the weighted symmetric derived graph (weight = a
     deterministic function of the undirected pair so both engines see
@@ -487,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": _q_kcore,
         "cf": _q_cf,
         "hyper_bfs": _q_hyper_bfs,
+        "hyper_bpath": _q_hyper_bpath,
         "hyper_cc": _q_hyper_cc,
         "hyper_pagerank": _q_hyper_pagerank,
         "hyper_kcore": _q_hyper_kcore,
@@ -1045,6 +1082,39 @@ def _hyper_pr_sql(iters: int) -> str:
     )
 
 
+def _hyper_bpath_sql(k: int) -> str:
+    """B-path BFS unrolled: per iteration, hyperedges whose FULL
+    in-pin set is inside the visited-vertex set activate (level
+    2i-1), then their out-pins join the visited set (level 2i).
+    Depth = measured fixpoint (sf0.01: 3 iterations) + margin."""
+    sql = (
+        f"WITH inb AS MATERIALIZED ({INB_SQL}),\n"
+        f"outb AS MATERIALIZED ({OUTB_SQL}),\n"
+        "need AS MATERIALIZED (SELECT h, count(*) AS need FROM inb GROUP BY h),\n"
+        "vis0 AS (SELECT CAST(0 AS BIGINT) AS id, 0 AS level),\n"
+        "hall0 AS (SELECT CAST(NULL AS BIGINT) AS id, 0 AS level WHERE 1=0)"
+    )
+    prevv, prevh = "vis0", "hall0"
+    for i in range(1, k + 1):
+        sql += (
+            f",\nc{i} AS (SELECT inb.h AS id, count(*) AS c FROM inb\n"
+            f"  WHERE inb.v IN (SELECT id FROM {prevv}) GROUP BY inb.h),\n"
+            f"nh{i} AS MATERIALIZED (SELECT c{i}.id, {2 * i - 1} AS level FROM c{i}\n"
+            f"  JOIN need ON need.h = c{i}.id AND need.need = c{i}.c\n"
+            f"  WHERE c{i}.id NOT IN (SELECT id FROM {prevh})),\n"
+            f"hall{i} AS MATERIALIZED (SELECT * FROM {prevh} UNION ALL SELECT * FROM nh{i}),\n"
+            f"nv{i} AS (SELECT DISTINCT outb.v AS id FROM outb JOIN nh{i} ON nh{i}.id = outb.h\n"
+            f"  WHERE outb.v NOT IN (SELECT id FROM {prevv})),\n"
+            f"vis{i} AS MATERIALIZED (SELECT * FROM {prevv} "
+            f"UNION ALL SELECT id, {2 * i} AS level FROM nv{i})"
+        )
+        prevv, prevh = f"vis{i}", f"hall{i}"
+    return sql + (
+        f"\nSELECT 'v' AS kind, id, CAST(level AS INT) AS level FROM {prevv}\n"
+        f"UNION ALL SELECT 'h' AS kind, id, CAST(level AS INT) AS level FROM {prevh}"
+    )
+
+
 def _hyper_kcore_sql(rounds: int) -> str:
     """HyperKCore peel loop (``apps/hyper/HyperKCore.C:104-131``)
     unrolled with the scalar k carried as a one-row CTE: remove
@@ -1442,6 +1512,7 @@ def oracle_sql() -> dict[str, str]:
         "setcover": _setcover_sql(72),
         "cf": _cf_sql(5, 20),
         "hyper_bfs": _hyper_bfs_sql(8),
+        "hyper_bpath": _hyper_bpath_sql(6),
         "hyper_cc": _hyper_cc_sql(10),
         # exact unroll (fixed 5 iters) / measured schedule + margin
         # (sf0.01: kcore 24 peel rounds, sssp fixpoint 7 half-steps)

@@ -16,13 +16,22 @@ from .delta_stepping import delta_stepping
 from .kcore_julienne import kcore_julienne
 from .ecc import ecc_estimate
 from .setcover import setcover
-from .hyper import hyper_bfs, hyper_cc, hyper_kcore, hyper_mis, hyper_pagerank, hyper_sssp
+from .hyper import (
+    hyper_bfs,
+    hyper_bpath,
+    hyper_cc,
+    hyper_kcore,
+    hyper_mis,
+    hyper_pagerank,
+    hyper_sssp,
+)
 from .ecc_fm import ecc_fm
 from .ecc_loglog import ecc_loglog
 
 __all__ = [
     "bfscc",
     "hyper_bfs",
+    "hyper_bpath",
     "hyper_cc",
     "hyper_kcore",
     "hyper_mis",

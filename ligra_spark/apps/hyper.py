@@ -25,7 +25,10 @@ from pyspark.storagelevel import StorageLevel
 from ..engine import IterState
 from ..hygra import HyperGraph, hyperedge_prop, vertex_prop
 
-__all__ = ["hyper_bfs", "hyper_cc", "hyper_pagerank", "hyper_kcore", "hyper_mis", "hyper_sssp"]
+__all__ = [
+    "hyper_bfs", "hyper_cc", "hyper_pagerank", "hyper_kcore",
+    "hyper_mis", "hyper_sssp", "hyper_bpath",
+]
 
 
 def _tagged_union(v_df: DataFrame, h_df: DataFrame, col: str) -> DataFrame:
@@ -77,6 +80,113 @@ def hyper_bfs(
         if fsize == 0:
             break
         # hyperedge → vertex half-step
+        hfrontier = sth.df.filter(F.col("level") == hlvl).select("id")
+        msgs = hyperedge_prop(hg, hfrontier, F.lit(1), F.min, frontier_size=fsize)
+        nxt = hlvl + 1
+        newv = stv.df.join(msgs.hint("shuffle_hash"), "id", "left").select(
+            "id",
+            F.when(F.col("level").isNull() & F.col("agg").isNotNull(), F.lit(nxt))
+            .otherwise(F.col("level"))
+            .cast("int")
+            .alias("level"),
+        )
+        _, fsize = stv.advance(
+            newv, action=lambda df: df.filter(F.col("level") == nxt).count()
+        )
+        steps += 1
+        vlvl = nxt
+        if on_superstep:
+            on_superstep(steps, {"phase": "h->v", "frontier": fsize})
+    out = _tagged_union(
+        stv.df.filter(F.col("level").isNotNull()),
+        sth.df.filter(F.col("level").isNotNull()),
+        "level",
+    )
+    return out, steps
+
+
+def hyper_bpath(
+    hg: HyperGraph,
+    root: int = 0,
+    max_iters: int | None = None,
+    on_superstep=None,
+) -> tuple[DataFrame, int]:
+    """HyperBPath (``apps/hyper/HyperBPath.C:27-80``): B-connectivity
+    BFS — a hyperedge activates only once ALL of its in-pins have been
+    visited (``BVisitH_F``: counter starts at -inDegree, each visited
+    in-pin increments, activation at 0), then scatters to its
+    out-pins, which activate on first touch (``BVisitV_F``).  Needs a
+    DIRECTED hypergraph (``HyperGraph.from_directed_incidence``) —
+    with symmetric pins a singleton root can never light up a
+    multi-pin hyperedge, so the traversal is degenerate.
+
+    The reference stores race-dependent first-visitor parents; as with
+    BFS we output the race-free invariant: the bipartite level
+    (vertices even, hyperedges odd; a hyperedge's level is the
+    half-step its LAST in-pin arrived).
+
+    Returns ((kind, id, level) for REACHED nodes, half-steps run).
+
+    Plan shape per half-step is the engine's: one groupBy(dst) sum
+    shuffle for the in-pin counting (v→h), one first-visit min for the
+    scatter (h→v); the remaining-need counter lives in the hyperedge
+    state so no per-hyperedge member list is ever materialized.
+    """
+    need0 = (
+        hg.v2h.edges.groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("need"))
+        .select(F.col("dst").alias("id"), "need")
+    )
+    stv = IterState(
+        hg.vertices.select(
+            "id",
+            F.when(F.col("id") == root, F.lit(0)).cast("int").alias("level"),
+        ),
+        num_partitions=hg.num_partitions,
+    )
+    sth = IterState(
+        hg.hyperedges.join(need0, "id", "left").select(
+            "id",
+            F.coalesce("need", F.lit(0)).cast("long").alias("need"),
+            F.lit(None).cast("int").alias("level"),
+        ),
+        num_partitions=hg.num_partitions,
+    )
+    steps, fsize, vlvl = 0, 1, 0
+    limit = max_iters if max_iters is not None else hg.nv + hg.nh
+    while fsize > 0 and steps < limit:
+        # v -> h half-step: count newly-visited in-pins; a hyperedge
+        # whose remaining need hits exactly 0 activates this half-step
+        frontier = stv.df.filter(F.col("level") == vlvl).select("id")
+        msgs = vertex_prop(hg, frontier, F.lit(1), F.sum, frontier_size=fsize)
+        hlvl = vlvl + 1
+        newh = sth.df.join(msgs.hint("shuffle_hash"), "id", "left").select(
+            "id",
+            F.when(
+                F.col("level").isNull() & F.col("agg").isNotNull(),
+                F.col("need") - F.col("agg"),
+            )
+            .otherwise(F.col("need"))
+            .alias("need"),
+            F.when(
+                F.col("level").isNull()
+                & F.col("agg").isNotNull()
+                & (F.col("need") - F.col("agg") == 0),
+                F.lit(hlvl),
+            )
+            .otherwise(F.col("level"))
+            .cast("int")
+            .alias("level"),
+        )
+        _, fsize = sth.advance(
+            newh, action=lambda df: df.filter(F.col("level") == hlvl).count()
+        )
+        steps += 1
+        if on_superstep:
+            on_superstep(steps, {"phase": "v->h", "frontier": fsize})
+        if fsize == 0:
+            break
+        # h -> v half-step: first-visit scatter along OUT-pins
         hfrontier = sth.df.filter(F.col("level") == hlvl).select("id")
         msgs = hyperedge_prop(hg, hfrontier, F.lit(1), F.min, frontier_size=fsize)
         nxt = hlvl + 1

@@ -110,6 +110,67 @@ class HyperGraph:
             v2h=_Direction(fwd, int(m)), h2v=_Direction(rev, int(m)),
         )
 
+    @classmethod
+    def from_directed_incidence(
+        cls,
+        spark: SparkSession,
+        in_pins: DataFrame,
+        out_pins: DataFrame,
+        nv: int | None = None,
+        nh: int | None = None,
+        num_partitions: int | None = None,
+        vertex_col: str = "vertex",
+        hedge_col: str = "hedge",
+    ) -> "HyperGraph":
+        """DIRECTED hypergraph (``ligra/graph.h:130-170`` keeps
+        separate in/out CSR halves per hyperedge; ``HyperReader.C``
+        reads them independently): ``in_pins`` are the vertices whose
+        visits gate a hyperedge (its v→h direction), ``out_pins`` the
+        vertices it scatters to (h→v).  Needed by B-path semantics
+        (``HyperBPath.C``) where the two pin sets genuinely differ —
+        the undirected ``from_incidence`` pins one set both ways."""
+        p = num_partitions or spark.sparkContext.defaultParallelism
+
+        def _clean(df: DataFrame) -> DataFrame:
+            return df.select(
+                F.col(vertex_col).cast("long").alias("vertex"),
+                F.col(hedge_col).cast("long").alias("hedge"),
+            ).dropDuplicates(["vertex", "hedge"])
+
+        inp, outp = _clean(in_pins), _clean(out_pins)
+        fwd = (
+            inp.select(F.col("vertex").alias("src"), F.col("hedge").alias("dst"))
+            .repartition(p, "src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        rev = (
+            outp.select(F.col("hedge").alias("src"), F.col("vertex").alias("dst"))
+            .repartition(p, "src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        mv, mh = fwd.count(), rev.count()
+        if nv is None:
+            nv = (
+                max(
+                    fwd.agg(F.max("src")).first()[0] or 0,
+                    rev.agg(F.max("dst")).first()[0] or 0,
+                )
+                + 1
+            )
+        if nh is None:
+            nh = (
+                max(
+                    fwd.agg(F.max("dst")).first()[0] or 0,
+                    rev.agg(F.max("src")).first()[0] or 0,
+                )
+                + 1
+            )
+        return cls(
+            spark=spark, nv=int(nv), nh=int(nh), m=int(mv + mh),
+            num_partitions=p,
+            v2h=_Direction(fwd, int(mv)), h2v=_Direction(rev, int(mh)),
+        )
+
     @property
     def vertices(self) -> DataFrame:
         return self.spark.range(self.nv).select(F.col("id").cast("long").alias("id"))

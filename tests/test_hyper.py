@@ -306,3 +306,75 @@ def test_hyper_mis_flags(hg, incidence):
         omem.setdefault(hh, set()).add(vv)
     for hh, mem in omem.items():
         assert not (mem <= in_set), (hh, mem)
+
+
+def test_hyper_bpath_levels(spark, incidence):
+    """B-path BFS (``apps/hyper/HyperBPath.C:27-80``) on a DIRECTED
+    hypergraph: hyperedges activate when ALL in-pins are visited,
+    then scatter to their out-pins.  In-pins are folded into a small
+    vertex range (0..7) so multi-pin activation actually happens; a
+    single-in-pin bootstrap hyperedge at id NH-4 makes the traversal
+    leave the root (B-path from a singleton root is otherwise stuck)."""
+    import pandas as pd
+
+    from ligra_spark.apps import hyper_bpath
+    from ligra_spark.hygra import HyperGraph
+
+    v, h = incidence
+    boot = NH - 4  # empty slot in the undirected fixture
+    in_v = np.concatenate([(v % 8), [0]])
+    in_h = np.concatenate([h, [boot]])
+    out_v = np.concatenate([v, [1, 2, 3]])
+    out_h = np.concatenate([h, [boot, boot, boot]])
+
+    def _dedup(a, b):
+        pairs = sorted(set(zip(a.tolist(), b.tolist())))
+        return pairs
+
+    inp = _dedup(in_v, in_h)
+    outp = _dedup(out_v, out_h)
+    hg = HyperGraph.from_directed_incidence(
+        spark,
+        spark.createDataFrame(pd.DataFrame(inp, columns=["vertex", "hedge"])),
+        spark.createDataFrame(pd.DataFrame(outp, columns=["vertex", "hedge"])),
+        nv=NV, nh=NH,
+    )
+    # numpy oracle: exact transcription of the counter semantics
+    need = np.zeros(NH, dtype=np.int64)
+    in_pins_of_h, out_pins_of_h, hedges_of_v = {}, {}, {}
+    for vv, hh in inp:
+        need[hh] += 1
+        in_pins_of_h.setdefault(hh, []).append(vv)
+        hedges_of_v.setdefault(vv, []).append(hh)
+    for vv, hh in outp:
+        out_pins_of_h.setdefault(hh, []).append(vv)
+    lvl_v = np.full(NV, -1, dtype=np.int64)
+    lvl_h = np.full(NH, -1, dtype=np.int64)
+    lvl_v[0] = 0
+    frontier, t = [0], 0
+    while frontier:
+        t += 1
+        new_h = []
+        for u in frontier:
+            for hh in hedges_of_v.get(u, ()):
+                if lvl_h[hh] < 0:
+                    need[hh] -= 1
+                    if need[hh] == 0:
+                        lvl_h[hh] = t
+                        new_h.append(hh)
+        if not new_h:
+            break
+        t += 1
+        frontier = []
+        for hh in new_h:
+            for u in out_pins_of_h.get(hh, ()):
+                if lvl_v[u] < 0:
+                    lvl_v[u] = t
+                    frontier.append(u)
+    out, _ = hyper_bpath(hg, root=0)
+    got = {(r["kind"], r["id"]): r["level"] for r in out.collect()}
+    exp = {("v", i): int(lvl_v[i]) for i in range(NV) if lvl_v[i] >= 0}
+    exp.update({("h", j): int(lvl_h[j]) for j in range(NH) if lvl_h[j] >= 0})
+    assert got == exp
+    # the bootstrap worked: traversal left the root
+    assert len(exp) > 1

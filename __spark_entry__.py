@@ -308,6 +308,17 @@ def _q_hyper_kcore(spark, sf):
     return out
 
 
+def _q_hyper_kcore_efficient(spark, sf):
+    """HyperKCore-Efficient (``apps/hyper/HyperKCore-Efficient.C:
+    24-63``): Julienne-bucketed hypergraph coreness — same output as
+    the ``HyperKCore.C`` peel loop (the oracle is shared), work
+    proportional to incidences removed per bucket step."""
+    from ligra_spark.apps import hyper_kcore_efficient
+
+    out, _ = hyper_kcore_efficient(_hyper(spark, sf))
+    return out
+
+
 # per-pin weight for the weighted hypergraph: a deterministic function
 # of (vertex, hedge) so Spark and DuckDB derive identical inputs
 HINC_W = "(v * 7 + h * 13) % 10 + 1"
@@ -527,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyper_cc": _q_hyper_cc,
         "hyper_pagerank": _q_hyper_pagerank,
         "hyper_kcore": _q_hyper_kcore,
+        "hyper_kcore_efficient": _q_hyper_kcore_efficient,
         "hyper_sssp": _q_hyper_sssp,
         "hyper_mis": _q_hyper_mis,
         # training-data pipeline: text analysis + dedup
@@ -1518,6 +1530,9 @@ def oracle_sql() -> dict[str, str]:
         # (sf0.01: kcore 24 peel rounds, sssp fixpoint 7 half-steps)
         "hyper_pagerank": _hyper_pr_sql(5),
         "hyper_kcore": _hyper_kcore_sql(36),
+        # same coreness as hyper_kcore, computed by the Julienne
+        # bucket loop — sharing the peel-loop oracle IS the check
+        "hyper_kcore_efficient": _hyper_kcore_sql(36),
         "hyper_sssp": _hyper_sssp_sql(16),
         # measured schedule at sf0.01: 21 rounds; extras are no-ops
         "hyper_mis": _hyper_mis_sql(30),

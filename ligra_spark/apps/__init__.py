@@ -21,6 +21,7 @@ from .hyper import (
     hyper_bpath,
     hyper_cc,
     hyper_kcore,
+    hyper_kcore_efficient,
     hyper_mis,
     hyper_pagerank,
     hyper_sssp,
@@ -34,6 +35,7 @@ __all__ = [
     "hyper_bpath",
     "hyper_cc",
     "hyper_kcore",
+    "hyper_kcore_efficient",
     "hyper_mis",
     "hyper_pagerank",
     "hyper_sssp",

@@ -22,12 +22,13 @@ from pyspark.sql import functions as F
 
 from pyspark.storagelevel import StorageLevel
 
+from ..buckets import Buckets
 from ..engine import IterState
 from ..hygra import HyperGraph, hyperedge_prop, vertex_prop
 
 __all__ = [
     "hyper_bfs", "hyper_cc", "hyper_pagerank", "hyper_kcore",
-    "hyper_mis", "hyper_sssp", "hyper_bpath",
+    "hyper_kcore_efficient", "hyper_mis", "hyper_sssp", "hyper_bpath",
 ]
 
 
@@ -477,6 +478,93 @@ def hyper_kcore(
         if n_removed == 0:
             k += 1
     return stv.df.select("id", "core"), rounds
+
+
+def hyper_kcore_efficient(
+    hg: HyperGraph,
+    on_superstep=None,
+) -> tuple[DataFrame, int]:
+    """HyperKCore-Efficient (``apps/hyper/HyperKCore-Efficient.C:
+    24-63`` — the Julienne-bucketed hypergraph coreness): bucket every
+    vertex by its current induced degree D, repeatedly peel the
+    smallest non-empty bucket k (those vertices' coreness is k), flag
+    the hyperedges they kill (``Remove_Hyperedge`` — first member
+    peeled), count newly-dead incident hyperedges per surviving
+    member (``hyperedgePropCount``) and move it to bucket
+    ``max(D - removed, k)`` (``apply_f``).  Work is proportional to
+    incidences removed per step — no per-k full passes like the
+    ``HyperKCore.C`` peel loop, which is why this is the scale path.
+
+    Returns ((id, core) over all nv vertices, bucket steps run).
+    Computes the same coreness as ``hyper_kcore`` (cross-checked in
+    tests); the driver oracle is shared with it for that reason.
+
+    Plan shape per step: one broadcast push (small peeled frontier →
+    touched hyperedges), one groupBy(v) count of newly-dead pins —
+    exactly the two half-shuffles of the plain ``kcore_julienne``
+    superstep, plus the one-row driver min() for ``next_bucket``.
+    """
+    degv = (
+        hg.v2h.edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("src").alias("id"), "deg")
+    )
+    init_v = (
+        hg.vertices.join(degv, "id", "left")
+        .select(
+            "id",
+            F.coalesce("deg", F.lit(0)).cast("long").alias("deg"),
+            F.coalesce("deg", F.lit(0)).cast("long").alias("bucket"),
+        )
+        .repartition(hg.num_partitions, "id")
+    )
+    stv = IterState(init_v, num_partitions=hg.num_partitions)
+    sth = IterState(
+        hg.hyperedges.select("id", F.lit(False).alias("dead")),
+        num_partitions=hg.num_partitions,
+    )
+    b = Buckets()
+    steps = 0
+    while True:
+        k = b.next_bucket(stv.df)
+        if k is None:
+            break
+        steps += 1
+        removed = b.active(stv.df, k).select("id")
+        # newly-dead hyperedges: any peeled member, not yet dead
+        # (``newly`` carried as a state column, same pattern as
+        # ``hyper_kcore``: the decrement frontier must read the FRESH
+        # cache, not the about-to-unpersist old plan)
+        touched = vertex_prop(hg, removed, F.lit(1), F.min, frontier_size=0)
+        new_h = sth.df.join(
+            touched.select("id", F.lit(True).alias("_nd")), "id", "left"
+        ).select(
+            "id",
+            (F.col("dead") | F.coalesce("_nd", F.lit(False))).alias("dead"),
+            (~F.col("dead") & F.coalesce("_nd", F.lit(False))).alias("newly"),
+        )
+        _, n_newly = sth.advance(
+            new_h, action=lambda df: df.filter("newly").count()
+        )
+        cnt = hyperedge_prop(
+            hg, sth.df.filter("newly").select("id"),
+            F.lit(1), F.sum, frontier_size=n_newly,
+        )
+        peel = F.col("bucket") == k
+        live = F.col("bucket").isNotNull() & ~peel
+        new_deg = F.greatest(F.col("deg") - F.coalesce("agg", F.lit(0)), F.lit(k))
+        new_v = stv.df.join(cnt.hint("shuffle_hash"), "id", "left").select(
+            "id",
+            F.when(live, new_deg).otherwise(F.col("deg")).cast("long").alias("deg"),
+            F.when(peel, F.lit(None))
+            .otherwise(F.when(live, new_deg).otherwise(F.col("bucket")))
+            .cast("long")
+            .alias("bucket"),
+        )
+        stv.advance(new_v)
+        if on_superstep:
+            on_superstep(steps, {"bucket": k, "newly_dead": n_newly})
+    return stv.df.select("id", F.col("deg").alias("core")), steps
 
 
 def hyper_sssp(

@@ -378,3 +378,44 @@ def test_hyper_bpath_levels(spark, incidence):
     assert got == exp
     # the bootstrap worked: traversal left the root
     assert len(exp) > 1
+
+
+def test_hyper_kcore_efficient_cores(hg, incidence):
+    """HyperKCore-Efficient vs a sequential transcription of the
+    Julienne bucket loop (``apps/hyper/HyperKCore-Efficient.C:24-63``):
+    peel the smallest bucket k (coreness k), kill touched live
+    hyperedges, move each surviving member with D>k to bucket
+    ``max(D - newly_dead_incident, k)`` (``apply_f``)."""
+    from ligra_spark.apps import hyper_kcore, hyper_kcore_efficient
+
+    v, h = incidence
+    hedges_of, members = {}, {}
+    for vv, hh in zip(v.tolist(), h.tolist()):
+        hedges_of.setdefault(vv, []).append(hh)
+        members.setdefault(hh, []).append(vv)
+    D = np.bincount(v, minlength=NV).astype(np.int64)
+    dead = np.zeros(NH, dtype=bool)
+    live = set(range(NV))
+    while live:
+        k = min(D[u] for u in live)
+        rm = sorted(u for u in live if D[u] == k)
+        live -= set(rm)
+        newly = sorted(
+            {hh for u in rm for hh in hedges_of.get(u, []) if not dead[hh]}
+        )
+        cnt = np.zeros(NV, dtype=np.int64)
+        for hh in newly:
+            dead[hh] = True
+            for u in members[hh]:
+                cnt[u] += 1
+        for u in live:
+            if D[u] > k:
+                D[u] = max(D[u] - cnt[u], k)
+    out, _ = hyper_kcore_efficient(hg)
+    got = {r["id"]: r["core"] for r in out.collect()}
+    assert len(got) == NV
+    for i in range(NV):
+        assert got[i] == D[i], (i, got[i], D[i])
+    # both reference variants compute the same coreness
+    peel = {r["id"]: r["core"] for r in hyper_kcore(hg)[0].collect()}
+    assert got == peel

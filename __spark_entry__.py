@@ -308,6 +308,17 @@ def _q_hyper_kcore(spark, sf):
     return out
 
 
+def _q_hyper_bc(spark, sf):
+    """HyperBC (``apps/hyper/HyperBC.C:106-178``): single-source
+    bipartite betweenness dependencies from vertex 0 — forward sigma
+    half-steps, backward dependency rounds; all nv + nh nodes
+    reported (unreached = 0.0)."""
+    from ligra_spark.apps import hyper_bc
+
+    out, _ = hyper_bc(_hyper(spark, sf), root=0)
+    return out.select("kind", "id", F.round("dep", 8).alias("dep"))
+
+
 def _q_hyper_kcore_efficient(spark, sf):
     """HyperKCore-Efficient (``apps/hyper/HyperKCore-Efficient.C:
     24-63``): Julienne-bucketed hypergraph coreness — same output as
@@ -535,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf": _q_cf,
         "hyper_bfs": _q_hyper_bfs,
         "hyper_bpath": _q_hyper_bpath,
+        "hyper_bc": _q_hyper_bc,
         "hyper_cc": _q_hyper_cc,
         "hyper_pagerank": _q_hyper_pagerank,
         "hyper_kcore": _q_hyper_kcore,
@@ -1094,6 +1106,64 @@ def _hyper_pr_sql(iters: int) -> str:
     )
 
 
+def _hyper_bc_sql(d: int) -> str:
+    """HyperBC (``apps/hyper/HyperBC.C:106-178``) unrolled over the
+    bipartite node space: forward sigma accumulation to the measured
+    deepest vertex level d (sf0.01: 4, forward ends on an empty
+    hyperedge frontier so no past-the-end receivers), then backward
+    dependency rounds — vertices at levels d..2 get +1, hyperedges at
+    level r-1 receive Σ depV/σV, vertices at r-2 receive σV · Σ depH.
+    Unreached nodes report 0.0 (zero-initialized reference arrays)."""
+    sql = (
+        f"WITH inc AS MATERIALIZED ({INC_SQL}),\n"
+        f"bip AS MATERIALIZED ({_BIP_SQL}),\n"
+        "a0 AS (SELECT CAST(0 AS BIGINT) AS id, 0 AS level, 1.0 AS sigma)"
+    )
+    for i in range(1, d + 1):
+        sql += (
+            f",\nm{i} AS MATERIALIZED (SELECT b.dst AS id, sum(p.sigma) AS sigma\n"
+            f"  FROM bip b JOIN a{i - 1} p ON p.id = b.src AND p.level = {i - 1}"
+            f" GROUP BY b.dst),\n"
+            f"a{i} AS MATERIALIZED (SELECT id, level, sigma FROM a{i - 1}\n"
+            f"  UNION ALL SELECT m.id, {i} AS level, m.sigma FROM m{i} m\n"
+            f"  WHERE m.id NOT IN (SELECT id FROM a{i - 1}))"
+        )
+    sql += (
+        f",\nvd{d} AS MATERIALIZED (SELECT id, sigma, 1.0 AS dep"
+        f" FROM a{d} WHERE level = {d})"
+    )
+    for r in range(d, 1, -2):
+        plus1 = "1.0" if r - 2 >= 2 else "0.0"
+        sql += (
+            f",\nhd{r - 1} AS MATERIALIZED (SELECT b.dst AS id,"
+            f" sum(v.dep / v.sigma) AS dep\n"
+            f"  FROM bip b JOIN vd{r} v ON v.id = b.src\n"
+            f"  WHERE b.dst IN (SELECT id FROM a{d} WHERE level = {r - 1})"
+            f" GROUP BY b.dst),\n"
+            f"vd{r - 2} AS MATERIALIZED (SELECT a.id, a.sigma,\n"
+            f"  coalesce(s.x, 0) * a.sigma + {plus1} AS dep\n"
+            f"  FROM a{d} a LEFT JOIN (SELECT b.dst AS id, sum(h.dep) AS x\n"
+            f"    FROM bip b JOIN hd{r - 1} h ON h.id = b.src GROUP BY b.dst) s"
+            f" ON s.id = a.id\n"
+            f"  WHERE a.level = {r - 2})"
+        )
+    vparts = " UNION ALL ".join(
+        f"SELECT id, dep FROM vd{r}" for r in range(d, -1, -2)
+    )
+    hparts = " UNION ALL ".join(
+        f"SELECT id, dep FROM hd{r}" for r in range(d - 1, 0, -2)
+    )
+    return sql + (
+        f"\nSELECT 'v' AS kind, vv.id, round(coalesce(dv.dep, 0.0), 8) AS dep\n"
+        f"FROM (SELECT CAST(range AS BIGINT) AS id FROM range({V})) vv\n"
+        f"LEFT JOIN ({vparts}) dv ON dv.id = vv.id\n"
+        f"UNION ALL SELECT 'h' AS kind, hh.id,"
+        f" round(coalesce(dh.dep, 0.0), 8) AS dep\n"
+        f"FROM (SELECT CAST(range AS BIGINT) AS id FROM range({NH})) hh\n"
+        f"LEFT JOIN ({hparts}) dh ON dh.id - {V} = hh.id"
+    )
+
+
 def _hyper_bpath_sql(k: int) -> str:
     """B-path BFS unrolled: per iteration, hyperedges whose FULL
     in-pin set is inside the visited-vertex set activate (level
@@ -1525,6 +1595,8 @@ def oracle_sql() -> dict[str, str]:
         "cf": _cf_sql(5, 20),
         "hyper_bfs": _hyper_bfs_sql(8),
         "hyper_bpath": _hyper_bpath_sql(6),
+        # exact measured forward depth (sf0.01: deepest vertex level 4)
+        "hyper_bc": _hyper_bc_sql(4),
         "hyper_cc": _hyper_cc_sql(10),
         # exact unroll (fixed 5 iters) / measured schedule + margin
         # (sf0.01: kcore 24 peel rounds, sssp fixpoint 7 half-steps)

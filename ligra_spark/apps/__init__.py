@@ -17,6 +17,7 @@ from .kcore_julienne import kcore_julienne
 from .ecc import ecc_estimate
 from .setcover import setcover
 from .hyper import (
+    hyper_bc,
     hyper_bfs,
     hyper_bpath,
     hyper_cc,
@@ -31,6 +32,7 @@ from .ecc_loglog import ecc_loglog
 
 __all__ = [
     "bfscc",
+    "hyper_bc",
     "hyper_bfs",
     "hyper_bpath",
     "hyper_cc",

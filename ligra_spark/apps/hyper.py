@@ -27,7 +27,7 @@ from ..engine import IterState
 from ..hygra import HyperGraph, hyperedge_prop, vertex_prop
 
 __all__ = [
-    "hyper_bfs", "hyper_cc", "hyper_pagerank", "hyper_kcore",
+    "hyper_bfs", "hyper_bc", "hyper_cc", "hyper_pagerank", "hyper_kcore",
     "hyper_kcore_efficient", "hyper_mis", "hyper_sssp", "hyper_bpath",
 ]
 
@@ -478,6 +478,168 @@ def hyper_kcore(
         if n_removed == 0:
             k += 1
     return stv.df.select("id", "core"), rounds
+
+
+def hyper_bc(
+    hg: HyperGraph,
+    root: int = 0,
+    on_superstep=None,
+) -> tuple[DataFrame, int]:
+    """HyperBC (``apps/hyper/HyperBC.C:106-178``): single-source
+    betweenness over the bipartite incidence.  Forward phase —
+    level-synchronous half-steps accumulating shortest-path counts
+    (``BC_F``: sigma sums into unvisited nodes, visited marked per
+    half-step).  Backward phase — dependency accumulation down the
+    level DAG (``BC_Back_VtoH`` / ``BC_Back_HtoV``): vertices at each
+    processed level get +1 (``BC_Back_Vertex_F``), hyperedges receive
+    Σ depV/σV from the level above, vertices receive σV · Σ depH.
+
+    The reference's visited-flag ordering has one quirk we replicate:
+    in the FIRST backward iteration the hyperedges one level BELOW the
+    deepest vertex level (case: forward ended on an empty vertex
+    frontier) are still unmarked, so they receive Σ 1/σV from the
+    deepest vertices even though nothing ever propagates onward from
+    them — their dep is observable state (``HyperBC.C:150-158``: only
+    ``Levels[round]`` is deleted before marking resumes).
+
+    Returns ((kind, id, dep) over ALL nv + nh nodes — unreached nodes
+    report 0.0, matching the zero-initialized reference arrays —
+    and half-steps run across both phases).
+
+    Plan shape: identical to ``hyper_bfs`` forward (one groupBy(dst)
+    sum per half-step, frontier filtered by the level column) plus the
+    same shape backward — the per-level frontiers the reference keeps
+    as a vector of vertexSubsets (``HyperBC.C:124-127``) are recovered
+    by filtering the level column, so no extra state is materialized.
+    """
+    stv = IterState(
+        hg.vertices.select(
+            "id",
+            F.when(F.col("id") == root, F.lit(0)).cast("int").alias("level"),
+            F.when(F.col("id") == root, F.lit(1.0)).otherwise(F.lit(0.0)).alias("sigma"),
+        ),
+        num_partitions=hg.num_partitions,
+    )
+    sth = IterState(
+        hg.hyperedges.select(
+            "id",
+            F.lit(None).cast("int").alias("level"),
+            F.lit(0.0).alias("sigma"),
+        ),
+        num_partitions=hg.num_partitions,
+    )
+    steps, fsize, vlvl = 0, 1, 0
+    deepest_h = 0  # highest hyperedge level that received sigma
+    while fsize > 0:
+        # v -> h: sigma sums into unvisited hyperedges
+        frontier = stv.df.filter(F.col("level") == vlvl).select("id", "sigma")
+        msgs = vertex_prop(
+            hg, frontier, F.col("sigma"), F.sum,
+            frontier_size=fsize, extra_frontier_cols=("sigma",),
+        )
+        hlvl = vlvl + 1
+        newh = sth.df.join(msgs.hint("shuffle_hash"), "id", "left").select(
+            "id",
+            F.when(F.col("level").isNull() & F.col("agg").isNotNull(), F.lit(hlvl))
+            .otherwise(F.col("level"))
+            .cast("int")
+            .alias("level"),
+            F.when(F.col("level").isNull() & F.col("agg").isNotNull(), F.col("agg"))
+            .otherwise(F.col("sigma"))
+            .alias("sigma"),
+        )
+        _, fsize = sth.advance(
+            newh, action=lambda df: df.filter(F.col("level") == hlvl).count()
+        )
+        steps += 1
+        if on_superstep:
+            on_superstep(steps, {"phase": "fwd v->h", "frontier": fsize})
+        if fsize == 0:
+            break
+        deepest_h = hlvl
+        # h -> v: sigma sums into unvisited vertices
+        hfrontier = sth.df.filter(F.col("level") == hlvl).select("id", "sigma")
+        msgs = hyperedge_prop(
+            hg, hfrontier, F.col("sigma"), F.sum,
+            frontier_size=fsize, extra_frontier_cols=("sigma",),
+        )
+        nxt = hlvl + 1
+        newv = stv.df.join(msgs.hint("shuffle_hash"), "id", "left").select(
+            "id",
+            F.when(F.col("level").isNull() & F.col("agg").isNotNull(), F.lit(nxt))
+            .otherwise(F.col("level"))
+            .cast("int")
+            .alias("level"),
+            F.when(F.col("level").isNull() & F.col("agg").isNotNull(), F.col("agg"))
+            .otherwise(F.col("sigma"))
+            .alias("sigma"),
+        )
+        _, fsize = stv.advance(
+            newv, action=lambda df: df.filter(F.col("level") == nxt).count()
+        )
+        steps += 1
+        if on_superstep:
+            on_superstep(steps, {"phase": "fwd h->v", "frontier": fsize})
+        if fsize > 0:
+            vlvl = nxt
+    d = vlvl  # deepest nonempty vertex level
+    # ---- backward phase (HyperBC.C:150-178)
+    st2v = IterState(
+        stv.df.select(
+            "id", "level", "sigma",
+            F.when((F.col("level") == d) & F.lit(d >= 2), F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("dep"),
+        ),
+        num_partitions=hg.num_partitions,
+    )
+    st2h = IterState(
+        sth.df.select("id", "level", F.lit(0.0).alias("dep")),
+        num_partitions=hg.num_partitions,
+    )
+    for r in range(d, 1, -2):
+        steps += 1
+        vf = st2v.df.filter(F.col("level") == r).select("id", "dep", "sigma")
+        msgs = vertex_prop(
+            hg, vf, F.col("dep") / F.col("sigma"), F.sum,
+            extra_frontier_cols=("dep", "sigma"),
+        )
+        # receivers: level r-1 always; level r+1 only on the first
+        # iteration (the not-yet-marked quirk — only exists when the
+        # forward phase actually reached hyperedges past level d)
+        recv = F.col("level") == r - 1
+        if r == d and deepest_h == d + 1:
+            recv = recv | (F.col("level") == d + 1)
+        newh = st2h.df.join(msgs.hint("shuffle_hash"), "id", "left").select(
+            "id", "level",
+            F.when(recv, F.col("dep") + F.coalesce("agg", F.lit(0.0)))
+            .otherwise(F.col("dep"))
+            .alias("dep"),
+        )
+        st2h.advance(newh)
+        hf = st2h.df.filter(F.col("level") == r - 1).select("id", "dep")
+        msgs2 = hyperedge_prop(
+            hg, hf, F.col("dep"), F.sum, extra_frontier_cols=("dep",)
+        )
+        plus1 = F.lit(1.0) if r - 2 >= 2 else F.lit(0.0)
+        newv = st2v.df.join(msgs2.hint("shuffle_hash"), "id", "left").select(
+            "id", "level", "sigma",
+            F.when(
+                F.col("level") == r - 2,
+                F.col("dep")
+                + F.col("sigma") * F.coalesce("agg", F.lit(0.0))
+                + plus1,
+            )
+            .otherwise(F.col("dep"))
+            .alias("dep"),
+        )
+        st2v.advance(newv)
+        if on_superstep:
+            on_superstep(steps, {"phase": "bwd", "level": r})
+    out = _tagged_union(
+        st2v.df.select("id", "dep"), st2h.df.select("id", "dep"), "dep"
+    )
+    return out, steps
 
 
 def hyper_kcore_efficient(

@@ -419,3 +419,86 @@ def test_hyper_kcore_efficient_cores(hg, incidence):
     # both reference variants compute the same coreness
     peel = {r["id"]: r["core"] for r in hyper_kcore(hg)[0].collect()}
     assert got == peel
+
+
+def test_hyper_bc_deps(hg, incidence):
+    """HyperBC vs a sequential transcription of the C code
+    (``apps/hyper/HyperBC.C:106-178``) including the visited-flag
+    ordering: forward sigma half-steps with per-half-step marking,
+    then backward dependency accumulation where hyperedges one level
+    past the deepest vertex level receive (but never propagate)."""
+    from collections import defaultdict
+
+    from ligra_spark.apps import hyper_bc
+
+    v, h = incidence
+    vh, hv = defaultdict(list), defaultdict(list)
+    for vv, hh in zip(v.tolist(), h.tolist()):
+        vh[vv].append(hh)
+        hv[hh].append(vv)
+    sigv = np.zeros(NV)
+    sigh = np.zeros(NH)
+    visv = np.zeros(NV, dtype=bool)
+    vish = np.zeros(NH, dtype=bool)
+    sigv[0] = 1.0
+    visv[0] = True
+    levels, frontier, rnd = [[0]], [0], 0
+    while True:
+        rnd += 1
+        msgs = defaultdict(float)
+        for u in frontier:
+            for hh in vh.get(u, ()):
+                if not vish[hh]:
+                    msgs[hh] += sigv[u]
+        newh = sorted(msgs)
+        for hh in newh:
+            sigh[hh] += msgs[hh]
+            vish[hh] = True
+        levels.append(newh)
+        if not newh:
+            break
+        rnd += 1
+        msgs = defaultdict(float)
+        for hh in newh:
+            for u in hv[hh]:
+                if not visv[u]:
+                    msgs[u] += sigh[hh]
+        newv = sorted(msgs)
+        for u in newv:
+            sigv[u] += msgs[u]
+            visv[u] = True
+        levels.append(newv)
+        if not newv:
+            break
+        frontier = newv
+    if rnd % 2 == 0:
+        rnd -= 1  # ended on empty vertex frontier; drop deepest hyperedge level
+    # Levels[rnd] "deleted": never marked/processed in the backward pass
+    depv, deph = np.zeros(NV), np.zeros(NH)
+    visv[:] = False
+    vish[:] = False
+    for r in range(rnd - 1, 0, -2):
+        for u in levels[r]:
+            visv[u] = True
+            depv[u] += 1.0
+        for u in levels[r]:
+            for hh in vh.get(u, ()):
+                if not vish[hh]:
+                    deph[hh] += depv[u] / sigv[u]
+        for hh in levels[r - 1]:
+            vish[hh] = True
+        for hh in levels[r - 1]:
+            for u in hv[hh]:
+                if not visv[u]:
+                    depv[u] += deph[hh] * sigv[u]
+    out, _ = hyper_bc(hg, root=0)
+    rows = out.collect()
+    assert len(rows) == NV + NH
+    got_v = {r["id"]: r["dep"] for r in rows if r["kind"] == "v"}
+    got_h = {r["id"]: r["dep"] for r in rows if r["kind"] == "h"}
+    for i in range(NV):
+        assert got_v[i] == pytest.approx(depv[i], abs=1e-9), (i, got_v[i], depv[i])
+    for j in range(NH):
+        assert got_h[j] == pytest.approx(deph[j], abs=1e-9), (j, got_h[j], deph[j])
+    # the traversal was nontrivial
+    assert sum(1 for x in depv if x > 0) > 1

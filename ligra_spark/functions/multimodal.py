@@ -108,25 +108,54 @@ def image_features(media: DataFrame, fake: bool = False) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                img = _decode_image_bytes(bytes(payload), fake).astype(np.float64)
-                gray = img.mean(axis=2)
-                bits = (gray > gray.mean()).flatten()[:64]
-                phash = int("".join("1" if b else "0" for b in bits), 2)
-                rows.append(
-                    {
-                        "media_id": mid,
-                        "height": img.shape[0],
-                        "width": img.shape[1],
-                        "channels": img.shape[2],
-                        "mean_r": float(img[:, :, 0].mean()),
-                        "mean_g": float(img[:, :, 1].mean()),
-                        "mean_b": float(img[:, :, 2].mean()),
-                        "phash": f"{phash:016x}",
-                    }
+            n = len(pdf)
+            if n == 0:
+                continue
+            # decode is inherently per-item (variable-size payloads —
+            # the codec boundary); everything after runs as stacked
+            # numpy passes per shape class, not per row
+            imgs = [
+                _decode_image_bytes(bytes(p), fake).astype(np.float64)
+                for p in pdf["payload"]
+            ]
+            hh = np.empty(n, dtype=np.int32)
+            ww = np.empty(n, dtype=np.int32)
+            cc = np.empty(n, dtype=np.int32)
+            means = np.empty((n, 3), dtype=np.float64)
+            phash = np.empty(n, dtype=object)
+            by_shape: dict[tuple, list[int]] = {}
+            for i, im in enumerate(imgs):
+                by_shape.setdefault(im.shape, []).append(i)
+            for shape, idxs in by_shape.items():
+                ix = np.array(idxs)
+                stack = np.stack([imgs[i] for i in idxs])  # (B, H, W, C)
+                hh[ix], ww[ix], cc[ix] = shape[0], shape[1], shape[2]
+                means[ix] = stack.mean(axis=(1, 2))
+                gray = stack.mean(axis=3)  # (B, H, W)
+                nbits = min(64, shape[0] * shape[1])
+                bits = (
+                    gray.reshape(len(idxs), -1)[:, :nbits]
+                    > gray.mean(axis=(1, 2))[:, None]
                 )
-            yield pd.DataFrame(rows)
+                # object dtype from the start: 1 << 63 overflows int64
+                weights = np.array(
+                    [1 << k for k in range(nbits - 1, -1, -1)], dtype=object
+                )
+                vals = (bits.astype(object) * weights).sum(axis=1)
+                for j, i in enumerate(idxs):
+                    phash[i] = f"{int(vals[j]):016x}"
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "height": hh,
+                    "width": ww,
+                    "channels": cc,
+                    "mean_r": means[:, 0],
+                    "mean_g": means[:, 1],
+                    "mean_b": means[:, 2],
+                    "phash": phash,
+                }
+            )
 
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=IMAGE_FEATURES_SCHEMA

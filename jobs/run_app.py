@@ -26,16 +26,33 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 APPS = (
     "pagerank pagerank_delta components label_propagation triangle bfs "
     "bellman_ford kcore bc radii mis cf "
-    "bfscc delta_stepping kcore_julienne ecc ecc_fm ecc_loglog setcover"
+    "bfscc delta_stepping kcore_julienne ecc ecc_fm ecc_loglog setcover "
+    "hyper_bfs hyper_bpath hyper_cc hyper_pagerank hyper_sssp hyper_kcore "
+    "hyper_kcore_efficient hyper_mis hyper_bc"
 ).split()
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--app", required=True, choices=APPS)
-    src = ap.add_mutually_exclusive_group(required=True)
+    src = ap.add_mutually_exclusive_group()
     src.add_argument("--edges", help="parquet edge table (src,dst[,weight])")
     src.add_argument("--pages", help="pages table -> ingest to edges first")
+    src.add_argument(
+        "--incidence",
+        help="parquet incidence table (vertex,hedge[,weight]) for hyper_* apps",
+    )
+    ap.add_argument(
+        "--in-pins", help="directed in-pin incidence parquet (hyper_bpath)"
+    )
+    ap.add_argument(
+        "--out-pins", help="directed out-pin incidence parquet (hyper_bpath)"
+    )
+    ap.add_argument("--nv", type=int, default=None, help="hypergraph vertex slots")
+    ap.add_argument("--nh", type=int, default=None, help="hypergraph hyperedge slots")
+    ap.add_argument(
+        "--weight-col", default=None, help="incidence weight column (hyper_sssp)"
+    )
     ap.add_argument("--n", type=int, default=None, help="vertex count override")
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint", default=None)
@@ -52,6 +69,11 @@ def main(argv=None):
     from ligra_spark.graph import LinkGraph
 
     spark = SparkSession.builder.appName(f"ligra_spark:{args.app}").getOrCreate()
+
+    if args.app.startswith("hyper_"):
+        return _run_hyper(spark, args)
+    if not (args.edges or args.pages):
+        ap.error("--edges or --pages is required for graph apps")
 
     if args.pages:
         from ligra_spark.ingest import build_link_graph
@@ -145,6 +167,77 @@ def main(argv=None):
         "supersteps": iters,
         "sec": round(elapsed, 2),
         "edges_per_sec_per_superstep": round(g.m / (elapsed / max(iters, 1))),
+        "superstep_metrics": metrics[-5:],
+    }
+    print(json.dumps(summary))
+    with open(os.path.join("/tmp", f"ligra_spark_{args.app}_summary.json"), "w") as f:
+        json.dump(summary, f)
+
+
+def _run_hyper(spark, args):
+    """Dispatch for the hypergraph suite: loads the incidence table(s)
+    into a HyperGraph and runs the chosen app."""
+    import ligra_spark.apps as apps
+    from ligra_spark.hygra import HyperGraph
+
+    if args.app == "hyper_bpath":
+        if not (args.in_pins and args.out_pins):
+            raise SystemExit("hyper_bpath needs --in-pins and --out-pins")
+        hg = HyperGraph.from_directed_incidence(
+            spark,
+            spark.read.parquet(args.in_pins),
+            spark.read.parquet(args.out_pins),
+            nv=args.nv, nh=args.nh, num_partitions=args.partitions,
+        )
+    else:
+        if not args.incidence:
+            raise SystemExit(f"{args.app} needs --incidence")
+        hg = HyperGraph.from_incidence(
+            spark,
+            spark.read.parquet(args.incidence),
+            nv=args.nv, nh=args.nh, num_partitions=args.partitions,
+            weight_col=args.weight_col,
+        )
+
+    metrics = []
+
+    def track(it, m):
+        metrics.append({"superstep": it, **m})
+
+    t0 = time.perf_counter()
+    if args.app == "hyper_bfs":
+        out, iters = apps.hyper_bfs(hg, root=args.root, on_superstep=track)
+    elif args.app == "hyper_bpath":
+        out, iters = apps.hyper_bpath(hg, root=args.root, on_superstep=track)
+    elif args.app == "hyper_cc":
+        out, iters = apps.hyper_cc(hg, on_superstep=track)
+    elif args.app == "hyper_pagerank":
+        out, iters = apps.hyper_pagerank(
+            hg, max_iters=args.max_iters, on_superstep=track
+        )
+    elif args.app == "hyper_sssp":
+        out, iters = apps.hyper_sssp(hg, root=args.root, on_superstep=track)
+    elif args.app == "hyper_kcore":
+        out, iters = apps.hyper_kcore(hg, on_superstep=track)
+    elif args.app == "hyper_kcore_efficient":
+        out, iters = apps.hyper_kcore_efficient(hg, on_superstep=track)
+    elif args.app == "hyper_mis":
+        out, iters = apps.hyper_mis(hg, on_superstep=track)
+    elif args.app == "hyper_bc":
+        out, iters = apps.hyper_bc(hg, root=args.root, on_superstep=track)
+
+    out.write.mode("overwrite").parquet(args.output)
+    elapsed = time.perf_counter() - t0
+    summary = {
+        "app": args.app,
+        "nv": hg.nv,
+        "nh": hg.nh,
+        "m": hg.m,
+        "supersteps": iters,
+        "sec": round(elapsed, 2),
+        "incidences_per_sec_per_superstep": round(
+            hg.m / (elapsed / max(iters, 1))
+        ),
         "superstep_metrics": metrics[-5:],
     }
     print(json.dumps(summary))

@@ -693,11 +693,16 @@ def hyper_kcore_efficient(
             break
         steps += 1
         removed = b.active(stv.df, k).select("id")
+        # pay the count: the first buckets can hold a large fraction
+        # of all vertices (every min-degree vertex), so the
+        # sparse/dense switch must see the real size — forcing the
+        # broadcast path would funnel that bucket through the driver
+        fsize = removed.count()
         # newly-dead hyperedges: any peeled member, not yet dead
         # (``newly`` carried as a state column, same pattern as
         # ``hyper_kcore``: the decrement frontier must read the FRESH
         # cache, not the about-to-unpersist old plan)
-        touched = vertex_prop(hg, removed, F.lit(1), F.min, frontier_size=0)
+        touched = vertex_prop(hg, removed, F.lit(1), F.min, frontier_size=fsize)
         new_h = sth.df.join(
             touched.select("id", F.lit(True).alias("_nd")), "id", "left"
         ).select(
@@ -725,7 +730,7 @@ def hyper_kcore_efficient(
         )
         stv.advance(new_v)
         if on_superstep:
-            on_superstep(steps, {"bucket": k, "newly_dead": n_newly})
+            on_superstep(steps, {"bucket": k, "peeled": fsize, "newly_dead": n_newly})
     return stv.df.select("id", F.col("deg").alias("core")), steps
 
 

@@ -99,9 +99,25 @@ def main():
             [sys.executable, script, str(cpus), fixdir],
             capture_output=True, text=True, timeout=6000,
         )
-        line = out.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
+        # console progress fragments can share the last line with the
+        # result — scan backwards for the first parseable JSON object
+        parsed = None
+        for raw in reversed(out.stdout.strip().splitlines()):
+            start = raw.find('{"cpus"')
+            if start < 0:
+                continue
+            try:
+                parsed = json.loads(raw[start:])
+                break
+            except json.JSONDecodeError:
+                continue
+        if parsed is None:
+            sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-2000:])
+            raise SystemExit(f"worker local[{cpus}] produced no result JSON")
+        results[cpus] = parsed
         print(f"local[{cpus}]: {results[cpus]}", file=sys.stderr)
+        with open(out_json + ".partial", "w") as f:
+            json.dump({"raw": results}, f)
 
     med = statistics.median
     levels = sorted(results)

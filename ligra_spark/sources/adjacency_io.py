@@ -26,7 +26,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..adjacency import csr_to_edges, read_adjacency_graph
 
-__all__ = ["read_adjacency_graph_df", "read_binary_csr_df", "write_adjacency_graph"]
+__all__ = [
+    "read_adjacency_graph_df",
+    "read_binary_csr_df",
+    "write_adjacency_graph",
+    "read_adjacency_hypergraph",
+    "read_adjacency_hypergraph_df",
+    "write_adjacency_hypergraph",
+]
 
 
 def _edges_df(spark: SparkSession, src, dst, weight=None) -> DataFrame:
@@ -75,3 +82,98 @@ def write_adjacency_graph(edges: DataFrame, n: int, path: str) -> None:
         f.write("\n".join(map(str, dst.tolist())) + "\n")
         if weighted:
             f.write("\n".join(map(str, pdf["weight"].tolist())) + "\n")
+
+
+def read_adjacency_hypergraph(
+    path: str,
+) -> tuple[int, int, np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+           np.ndarray | None, np.ndarray | None]:
+    """Parse a ``(Weighted)AdjacencyHypergraph`` file
+    (``ligra/hypergraphIO.h:36-115``): header then nv/mv/nh/mh, the
+    vertex CSR half (offsets + hyperedge targets [+ weights]), then
+    the hyperedge CSR half (offsets + vertex targets [+ weights]).
+
+    Returns (nv, nh, v_offsets, v_targets, h_offsets, h_targets,
+    v_weights or None, h_weights or None).
+    """
+    with open(path, "rb") as f:
+        header = f.readline().strip().decode()
+        weighted = header == "WeightedAdjacencyHypergraph"
+        if not weighted and header != "AdjacencyHypergraph":
+            raise ValueError(f"unknown header {header!r}")
+        rest = np.loadtxt(f, dtype=np.int64)
+    nv, mv, nh, mh = (int(x) for x in rest[:4])
+    expect = 4 + nv + mv + nh + mh + (mv + mh if weighted else 0)
+    if len(rest) != expect:
+        raise ValueError(f"bad token count {len(rest)} (expected {expect})")
+    p = 4
+    v_off = rest[p : p + nv]; p += nv
+    v_tgt = rest[p : p + mv]; p += mv
+    v_w = None
+    if weighted:
+        v_w = rest[p : p + mv]; p += mv
+    h_off = rest[p : p + nh]; p += nh
+    h_tgt = rest[p : p + mh]; p += mh
+    h_w = rest[p : p + mh] if weighted else None
+    return nv, nh, v_off, v_tgt, h_off, h_tgt, v_w, h_w
+
+
+def read_adjacency_hypergraph_df(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, int, int]:
+    """Parse ``(Weighted)AdjacencyHypergraph`` → two incidence
+    DataFrames ``(vertex, hedge[, weight])``: the vertex half (a
+    vertex's incident hyperedges — the hyperedges' IN-pins) and the
+    hyperedge half (a hyperedge's member vertices — its OUT-pins).
+    For a symmetric hypergraph the halves encode the same relation;
+    feed either to ``HyperGraph.from_incidence``.  For a directed one
+    feed both to ``HyperGraph.from_directed_incidence``.
+
+    Returns (v_half, h_half, nv, nh)."""
+    nv, nh, v_off, v_tgt, h_off, h_tgt, v_w, h_w = read_adjacency_hypergraph(path)
+    vsrc, vdst = csr_to_edges(nv, v_off, v_tgt)
+    hsrc, hdst = csr_to_edges(nh, h_off, h_tgt)
+    v_half = {"vertex": vsrc.astype("int64"), "hedge": vdst.astype("int64")}
+    if v_w is not None:
+        v_half["weight"] = v_w.astype("int64")
+    h_half = {"vertex": hdst.astype("int64"), "hedge": hsrc.astype("int64")}
+    if h_w is not None:
+        h_half["weight"] = h_w.astype("int64")
+    return (
+        spark.createDataFrame(pd.DataFrame(v_half)),
+        spark.createDataFrame(pd.DataFrame(h_half)),
+        nv,
+        nh,
+    )
+
+
+def write_adjacency_hypergraph(
+    v_half: DataFrame, h_half: DataFrame, nv: int, nh: int, path: str
+) -> None:
+    """Export two incidence halves ``(vertex, hedge[, weight])`` back
+    to ``(Weighted)AdjacencyHypergraph`` text (round-trip against
+    reference binaries; rows sorted as the reference's CSR lays them
+    out).  Pass the same DataFrame twice for a symmetric hypergraph."""
+    vp = v_half.toPandas().sort_values(
+        ["vertex", "hedge"], kind="mergesort"
+    ).reset_index(drop=True)
+    hp = h_half.toPandas().sort_values(
+        ["hedge", "vertex"], kind="mergesort"
+    ).reset_index(drop=True)
+    weighted = "weight" in vp.columns
+    mv, mh = len(vp), len(hp)
+    v_bounds = np.searchsorted(vp["vertex"].to_numpy(), np.arange(nv, dtype=np.int64))
+    h_bounds = np.searchsorted(hp["hedge"].to_numpy(), np.arange(nh, dtype=np.int64))
+    with open(path, "w") as f:
+        f.write(
+            "WeightedAdjacencyHypergraph\n" if weighted else "AdjacencyHypergraph\n"
+        )
+        f.write(f"{nv}\n{mv}\n{nh}\n{mh}\n")
+        f.write("\n".join(map(str, v_bounds.tolist())) + "\n")
+        f.write("\n".join(map(str, vp["hedge"].tolist())) + "\n")
+        if weighted:
+            f.write("\n".join(map(str, vp["weight"].tolist())) + "\n")
+        f.write("\n".join(map(str, h_bounds.tolist())) + "\n")
+        f.write("\n".join(map(str, hp["vertex"].tolist())) + "\n")
+        if weighted:
+            f.write("\n".join(map(str, hp["weight"].tolist())) + "\n")

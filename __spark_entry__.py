@@ -508,6 +508,19 @@ def _q_ann_lsh(spark, sf):
     return lsh_bucket_topk(emb, probes, k=5, bits=8, dim=64, tables=2)
 
 
+def _q_embedding_neardup(spark, sf):
+    """Embedding-cosine near-duplicate pairs — the embedding leg of
+    the dedup suite: LSH-bucketed candidates (never all-pairs),
+    exact-cosine confirm.  bits=4/tables=2 chosen so the synthetic
+    embeddings (max pairwise cosine ~0.51) yield a non-trivial result
+    at threshold 0.35; at real near-dup thresholds (>=0.9) the same
+    plan runs with bits=16+."""
+    from ligra_spark.functions.similarity import lsh_neardup_pairs
+
+    emb = _t(spark, sf, "embeddings")
+    return lsh_neardup_pairs(emb, threshold=0.35, bits=4, dim=64, tables=2)
+
+
 def _q_events_hourly(spark, sf):
     ev = _t(spark, sf, "events")
     return ev.groupBy(
@@ -567,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_probe": _q_cosine_probe,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
+        "embedding_neardup_pairs": _q_embedding_neardup,
         # windowed events (streaming-shaped agg)
         "events_hourly": _q_events_hourly,
     }
@@ -1551,6 +1565,43 @@ def _ann_lsh_sql(bits: int = 8, dim: int = 64, tables: int = 2, k: int = 5) -> s
     )
 
 
+def _neardup_sql(bits: int = 4, dim: int = 64, tables: int = 2, thr: float = 0.35) -> str:
+    """DuckDB twin of ``lsh_neardup_pairs``: same md5-seeded
+    hyperplanes as ``_ann_lsh_sql``, per-table bucket SELF-join
+    (a_id < b_id), distinct union across tables, exact cosine
+    confirmed on the ROUNDED value (both engines round to 6dp before
+    the threshold compare, so the boundary is engine-independent)."""
+    return (
+        "WITH flat AS MATERIALIZED (SELECT vec_id AS vid,\n"
+        "  generate_subscripts(embedding, 1) - 1 AS i,\n"
+        "  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),\n"
+        "planes AS MATERIALIZED (SELECT tt.t, bb.b, ii.i,\n"
+        "  (CAST(('0x' || substring(md5(CAST(tt.t AS VARCHAR) || ':' || CAST(bb.b AS VARCHAR)\n"
+        "     || ':' || CAST(ii.i AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967295.0) * 2.0 - 1.0 AS c\n"
+        f"  FROM (SELECT CAST(range AS INT) AS t FROM range({tables})) tt,\n"
+        f"       (SELECT CAST(range AS INT) AS b FROM range({bits})) bb,\n"
+        f"       (SELECT CAST(range AS INT) AS i FROM range({dim})) ii),\n"
+        "dots AS MATERIALIZED (SELECT f.vid, p.t, p.b, sum(f.x * p.c) AS dot\n"
+        "  FROM flat f JOIN planes p ON p.i = f.i GROUP BY f.vid, p.t, p.b),\n"
+        "sig AS MATERIALIZED (SELECT vid, t,\n"
+        "  sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END) AS bucket\n"
+        "  FROM dots GROUP BY vid, t),\n"
+        "cand AS MATERIALIZED (SELECT DISTINCT a.vid AS a_id, s.vid AS b_id\n"
+        "  FROM sig a JOIN sig s ON s.t = a.t AND s.bucket = a.bucket\n"
+        "  WHERE a.vid < s.vid),\n"
+        "norms AS MATERIALIZED (SELECT vid, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vid),\n"
+        "ds AS (SELECT c.a_id, c.b_id, sum(a.x * b.x) AS dot\n"
+        "  FROM cand c JOIN flat a ON a.vid = c.a_id\n"
+        "  JOIN flat b ON b.vid = c.b_id AND b.i = a.i\n"
+        "  GROUP BY c.a_id, c.b_id)\n"
+        "SELECT a_id, b_id, cos_sim FROM (\n"
+        "  SELECT ds.a_id, ds.b_id, round(ds.dot / (n1.nrm * n2.nrm), 6) AS cos_sim\n"
+        "  FROM ds JOIN norms n1 ON n1.vid = ds.a_id\n"
+        "  JOIN norms n2 ON n2.vid = ds.b_id) r\n"
+        f"WHERE cos_sim >= {thr}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "out_degree": f"WITH e AS ({EDGES_SQL}) "
@@ -1631,6 +1682,7 @@ def oracle_sql() -> dict[str, str]:
             "  FROM cp WHERE vec_id <> probe_id) r WHERE rank <= 5"
         ),
         "ann_lsh_topk": _ann_lsh_sql(8, 64, 2, 5),
+        "embedding_neardup_pairs": _neardup_sql(4, 64, 2, 0.35),
         "events_hourly": "SELECT date_trunc('hour', ts) AS hour, event_type, "
         "count(*) AS n, round(sum(value), 6) AS sum_value FROM events "
         "GROUP BY date_trunc('hour', ts), event_type",

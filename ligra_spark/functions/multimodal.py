@@ -33,10 +33,13 @@ from pyspark.sql import functions as F
 __all__ = [
     "MEDIA_SCHEMA",
     "IMAGE_FEATURES_SCHEMA",
+    "AUDIO_FEATURES_SCHEMA",
     "attach_media_metadata",
     "decode_images",
     "image_features",
     "sample_video_frames",
+    "decode_audio",
+    "audio_features",
 ]
 
 # canonical multimodal table shape: opaque payload + typed metadata
@@ -48,6 +51,11 @@ MEDIA_SCHEMA = (
 IMAGE_FEATURES_SCHEMA = (
     "media_id long, height int, width int, channels int, "
     "mean_r double, mean_g double, mean_b double, phash string"
+)
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, n_samples int, sample_rate int, "
+    "rms double, peak double, zero_crossings int, afp string"
 )
 
 
@@ -159,6 +167,114 @@ def image_features(media: DataFrame, fake: bool = False) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+_FAKE_SAMPLE_RATE = 16_000
+_FAKE_N_SAMPLES = 2_048
+
+
+def _decode_audio_bytes(payload: bytes, fake: bool) -> tuple[np.ndarray, int]:
+    """STUB codec boundary for audio.  Real deployment: soundfile /
+    ffmpeg PCM decode here.  The deterministic fake derives a fixed-
+    length int16 waveform from sha256(payload) so tests can pin the
+    plumbing end-to-end without audio libraries installed."""
+    if not fake:
+        raise NotImplementedError(
+            "audio codecs are not installed in this environment; "
+            "pass fake=True for the deterministic fake decoder"
+        )
+    # aperiodic: per-block hashing (sha256(payload || block)) so band
+    # energies differ and the fingerprint is non-degenerate
+    nblocks = (2 * _FAKE_N_SAMPLES) // 32
+    raw = b"".join(
+        hashlib.sha256(payload + k.to_bytes(4, "little")).digest()
+        for k in range(nblocks)
+    )[: 2 * _FAKE_N_SAMPLES]
+    return np.frombuffer(raw, dtype="<i2").copy(), _FAKE_SAMPLE_RATE
+
+
+def decode_audio(media: DataFrame, fake: bool = False) -> DataFrame:
+    """binary payload → (media_id, n_samples, sample_rate, pcm binary)
+    via Arrow-batched mapInPandas.  PCM is carried as flat
+    little-endian int16 bytes plus scalar metadata — the same
+    flat-bytes contract as ``decode_images`` (zero-copy Arrow, no
+    per-sample python objects)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                wav, sr = _decode_audio_bytes(bytes(payload), fake)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "n_samples": len(wav),
+                        "sample_rate": sr,
+                        "pcm": wav.tobytes(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches,
+        schema="media_id long, n_samples int, sample_rate int, pcm binary",
+    )
+
+
+def audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode + RMS/peak/zero-crossing + a 16-bit band-energy
+    fingerprint in ONE Arrow pass (decode fused with features, like
+    ``image_features``).  Decode is per-item (variable-size payloads);
+    the feature math runs as stacked numpy passes per length class."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            wavs = [
+                _decode_audio_bytes(bytes(p), fake)[0].astype(np.float64)
+                for p in pdf["payload"]
+            ]
+            ns = np.empty(n, dtype=np.int32)
+            rms = np.empty(n, dtype=np.float64)
+            peak = np.empty(n, dtype=np.float64)
+            zc = np.empty(n, dtype=np.int32)
+            afp = np.empty(n, dtype=object)
+            by_len: dict[int, list[int]] = {}
+            for i, w in enumerate(wavs):
+                by_len.setdefault(len(w), []).append(i)
+            for ln, idxs in by_len.items():
+                ix = np.array(idxs)
+                stack = np.stack([wavs[i] for i in idxs])  # (B, ln)
+                ns[ix] = ln
+                rms[ix] = np.sqrt((stack**2).mean(axis=1))
+                peak[ix] = np.abs(stack).max(axis=1)
+                zc[ix] = (np.diff(np.signbit(stack), axis=1) != 0).sum(axis=1)
+                # 16-band energy fingerprint: band mean-square above
+                # the clip's overall mean-square → bit set
+                nb = 16
+                trim = (ln // nb) * nb
+                bands = (stack[:, :trim] ** 2).reshape(len(idxs), nb, -1).mean(axis=2)
+                bits = bands > (stack**2).mean(axis=1)[:, None]
+                vals = (bits.astype(np.int64) << np.arange(nb - 1, -1, -1)).sum(axis=1)
+                for j, i in enumerate(idxs):
+                    afp[i] = f"{int(vals[j]):04x}"
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "n_samples": ns,
+                    "sample_rate": np.full(n, _FAKE_SAMPLE_RATE, dtype=np.int32),
+                    "rms": rms,
+                    "peak": peak,
+                    "zero_crossings": zc,
+                    "afp": afp,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=AUDIO_FEATURES_SCHEMA
     )
 
 

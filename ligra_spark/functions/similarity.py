@@ -23,6 +23,7 @@ __all__ = [
     "cosine_probe",
     "brute_force_topk",
     "lsh_bucket_topk",
+    "lsh_neardup_pairs",
     "lsh_signature_udf",
     "hyperplanes",
 ]
@@ -208,4 +209,74 @@ def lsh_bucket_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("probe_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
+def lsh_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    bits: int = 8,
+    dim: int | None = None,
+    tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS at scale: candidate pairs
+    come from per-table LSH-bucket self-joins (same b-bit hyperplane
+    signature ⇒ candidate — never an all-pairs cross join), unioned
+    across ``tables`` independent plane sets (OR-amplification), then
+    confirmed by exact cosine ≥ ``threshold``.
+
+    The dedup twin of ``lsh_bucket_topk``: where top-k answers "who is
+    near this probe", this answers "which rows are near-duplicates of
+    each other" — the embedding leg of the dedup suite
+    (functions/dedup.py covers the token legs).  Output is one row per
+    unordered pair (a_id < b_id) with the rounded cosine; the
+    threshold is applied to the ROUNDED value so the boundary is
+    reproducible across engines (fp64 sum order differs between
+    engines only below the rounding grain).
+
+    Recall < 1 by construction (bucketing misses some true pairs);
+    precision is exact (every emitted pair really is ≥ threshold).
+    At 10^12 rows the per-table self-join shuffles each row once on
+    its bucket key; hot buckets (near-constant vectors) are the skew
+    risk and tune with ``bits``.
+    """
+    if dim is None:
+        raise ValueError(
+            "lsh_neardup_pairs requires dim= (the embedding length); "
+            "inferring it would run a driver-side job over the table"
+        )
+    base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    per_table = []
+    for t in range(tables):
+        sig = lsh_signature_udf(dim, bits, seed=t)
+        bt = base.select("vec_id", "vec", sig(F.col("vec")).alias("bucket"))
+        left = bt.select(
+            F.col("vec_id").alias("a_id"), F.col("vec").alias("va"), "bucket"
+        )
+        right = bt.select(
+            F.col("vec_id").alias("b_id"), F.col("vec").alias("vb"), "bucket"
+        )
+        per_table.append(
+            left.join(right, "bucket")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", "va", "vb")
+        )
+    cands = per_table[0]
+    for c in per_table[1:]:
+        cands = cands.unionByName(c)
+    if tables > 1:
+        cands = cands.dropDuplicates(["a_id", "b_id"])
+    return (
+        cands.select(
+            "a_id",
+            "b_id",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
     )

@@ -8,10 +8,12 @@ from .stream import (
     stream_pages_to_edges,
     windowed_link_counts,
     incremental_degree_sink,
+    detect_new_hubs,
 )
 
 __all__ = [
     "stream_pages_to_edges",
     "windowed_link_counts",
     "incremental_degree_sink",
+    "detect_new_hubs",
 ]

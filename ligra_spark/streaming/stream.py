@@ -31,7 +31,12 @@ PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
 )
 
-__all__ = ["stream_pages_to_edges", "windowed_link_counts", "incremental_degree_sink"]
+__all__ = [
+    "stream_pages_to_edges",
+    "windowed_link_counts",
+    "incremental_degree_sink",
+    "detect_new_hubs",
+]
 
 
 def stream_pages_to_edges(
@@ -73,6 +78,46 @@ def windowed_link_counts(
             F.col("win.end").alias("window_end"),
             "url",
             "in_links",
+        )
+    )
+
+
+def detect_new_hubs(links: DataFrame, threshold: int = 5) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    cumulative per-target in-link counting with **emit-once hub
+    detection** — the first time a url's cumulative in-degree crosses
+    ``threshold``, emit one (url, in_links) row; never again.
+
+    This is not expressible as a watermarked windowed aggregation: it
+    needs unbounded cross-batch cumulative state plus emit-once
+    semantics, which is exactly what the arbitrary-state operator is
+    for.  State per key is two ints (running total + emitted flag),
+    sharded by the groupBy key across executors via the streaming
+    state store (RocksDB-backed in production) — state size is
+    O(distinct urls), independent of stream length.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        batch = 0
+        for pdf in pdfs:
+            batch += len(pdf)
+        total, emitted = state.get if state.exists else (0, 0)
+        total += batch
+        if not emitted and total >= threshold:
+            emitted = 1
+            yield pd.DataFrame({"url": [key[0]], "in_links": [total]})
+        state.update((total, emitted))
+
+    return (
+        links.groupBy(F.col("href"))
+        .applyInPandasWithState(
+            update,
+            outputStructType="url string, in_links long",
+            stateStructType="total long, emitted int",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
 

@@ -123,3 +123,42 @@ def test_brute_force_vs_lsh_recall(spark):
     assert recall > 0.1, recall
     for r in approx:
         assert r["rank"] >= 1
+
+
+def test_lsh_neardup_pairs_exact_precision(spark):
+    """Every emitted near-dup pair really is >= threshold (precision
+    exact); the emitted set is a subset of the true pair set (recall
+    < 1 allowed); planted near-duplicates are found."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ligra_spark.functions.similarity import lsh_neardup_pairs
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(120, 16)).astype("float32")
+    # plant 10 near-dup pairs: vec[100+j] = vec[j] + tiny noise
+    for j in range(10):
+        vecs[100 + j] = vecs[j] + rng.normal(scale=0.01, size=16).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = lsh_neardup_pairs(emb, threshold=0.95, bits=4, dim=16, tables=3).collect()
+
+    v = vecs.astype(np.float64)
+    nrm = np.linalg.norm(v, axis=1)
+    cos = (v @ v.T) / np.outer(nrm, nrm)
+    true_pairs = {
+        (a, b)
+        for a in range(120)
+        for b in range(a + 1, 120)
+        if round(cos[a, b], 6) >= 0.95
+    }
+    got_pairs = {(r["a_id"], r["b_id"]) for r in got}
+    assert got_pairs, "no near-dup pairs found"
+    assert got_pairs <= true_pairs, got_pairs - true_pairs
+    # 3-table OR-amplification on 4-bit buckets: planted twins
+    # (cos ~0.9999) collide in at least one table w.h.p.
+    assert len(got_pairs) >= 8, got_pairs
+    for r in got:
+        a, b = r["a_id"], r["b_id"]
+        assert a < b
+        assert abs(r["cos_sim"] - round(cos[a, b], 6)) < 1e-6

@@ -147,3 +147,88 @@ def test_incremental_degree_sink(spark, pages_stream_dir, tmp_path):
     with open(os.path.join(out, "_CURRENT")) as fh:
         cur = spark.read.parquet(fh.read().strip())
     assert cur.agg(F.sum("out_links")).first()[0] == 708
+
+
+# ---------------------------------------------------------------- audio
+def test_decode_audio_stub_raises(media):
+    from ligra_spark.functions.multimodal import decode_audio
+
+    with pytest.raises(Exception):  # NotImplementedError inside the UDF
+        decode_audio(media, fake=False).collect()
+
+
+def test_decode_audio_fake_deterministic(media):
+    from ligra_spark.functions.multimodal import decode_audio
+
+    a = {r["media_id"]: r["pcm"] for r in decode_audio(media, fake=True).collect()}
+    b = {r["media_id"]: r["pcm"] for r in decode_audio(media, fake=True).collect()}
+    assert a == b and len(a) == 6
+    wav = np.frombuffer(a[0], dtype="<i2")
+    assert wav.size == 2048
+
+
+def test_audio_features_match_numpy(media):
+    """Feature math pins to a straight numpy transcription of the
+    fake decoder + feature definitions."""
+    import hashlib
+
+    from ligra_spark.functions.multimodal import audio_features
+
+    rows = {r["media_id"]: r for r in audio_features(media, fake=True).collect()}
+    assert len(rows) == 6
+    for i in range(6):
+        payload = bytes([i]) * 32
+        raw = b"".join(
+            hashlib.sha256(payload + k.to_bytes(4, "little")).digest()
+            for k in range(4096 // 32)
+        )[:4096]
+        wav = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+        r = rows[i]
+        assert r["n_samples"] == 2048 and r["sample_rate"] == 16000
+        assert abs(r["rms"] - np.sqrt((wav**2).mean())) < 1e-9
+        assert r["peak"] == np.abs(wav).max()
+        assert r["zero_crossings"] == int((np.diff(np.signbit(wav)) != 0).sum())
+        bands = (wav**2).reshape(16, -1).mean(axis=1)
+        bits = bands > (wav**2).mean()
+        val = int((bits.astype(np.int64) << np.arange(15, -1, -1)).sum())
+        assert r["afp"] == f"{val:04x}"
+
+
+# ------------------------------------------------- stateful streaming
+def test_detect_new_hubs_stateful(spark, pages_stream_dir, tmp_path):
+    """applyInPandasWithState: cumulative cross-batch in-link counts
+    with emit-once threshold crossing.  Regardless of how the stream
+    is batched (maxFilesPerTrigger=1 → 4 micro-batches), the emitted
+    url set must equal the batch-computed set of urls with final
+    in-degree >= threshold, each emitted exactly once."""
+    from ligra_spark.extract import extracted_pages
+    from ligra_spark.streaming import detect_new_hubs, stream_pages_to_edges
+
+    src_dir, pages = pages_stream_dir
+    links = stream_pages_to_edges(spark, src_dir, max_files_per_trigger=1)
+    hubs = detect_new_hubs(links, threshold=8)
+    ck = str(tmp_path / "hubck")
+    q = (
+        hubs.writeStream.format("memory")
+        .queryName("newhubs")
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM newhubs").collect()
+
+    batch = extracted_pages(pages).select(
+        "url", F.explode("links").alias("href")
+    )
+    final = {
+        r["href"]: r["n"]
+        for r in batch.groupBy("href").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    expected = {u for u, n in final.items() if n >= 8}
+    emitted = [r["url"] for r in got]
+    assert sorted(emitted) == sorted(expected)  # each exactly once
+    for r in got:
+        # crossing-time count: >= threshold, <= final total
+        assert 8 <= r["in_links"] <= final[r["url"]]

@@ -508,6 +508,18 @@ def _q_ann_lsh(spark, sf):
     return lsh_bucket_topk(emb, probes, k=5, bits=8, dim=64, tables=2)
 
 
+def _q_ann_ivf(spark, sf):
+    """The IVF ANN path: one cluster per base vector (nearest of 16
+    deterministic centroids), probes expand to their 4 nearest
+    clusters, exact cosine re-rank.  The bucketed-by-proximity
+    alternative to ann_lsh_topk."""
+    from ligra_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    probes = emb.filter(F.col("vec_id").isin(PROBES))
+    return ivf_topk(emb, probes, k=5, nlist=16, nprobe=4, dim=64)
+
+
 def _q_embedding_neardup(spark, sf):
     """Embedding-cosine near-duplicate pairs — the embedding leg of
     the dedup suite: LSH-bucketed candidates (never all-pairs),
@@ -580,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_probe": _q_cosine_probe,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "embedding_neardup_pairs": _q_embedding_neardup,
         # windowed events (streaming-shaped agg)
         "events_hourly": _q_events_hourly,
@@ -1602,6 +1615,53 @@ def _neardup_sql(bits: int = 4, dim: int = 64, tables: int = 2, thr: float = 0.3
     )
 
 
+def _ivf_sql(
+    nlist: int = 16, nprobe: int = 4, dim: int = 64, k: int = 5, seed: int = 100
+) -> str:
+    """DuckDB twin of ``ivf_topk``: centroid j component i =
+    md5-uniform('{seed}:{j}:{i}') (the ``hyperplanes`` codebook),
+    assignment = argmin of (||c||^2 - 2 v·c) with ties by centroid id
+    (matching the numpy stable argsort), probes take nprobe nearest
+    clusters, exact cosine re-rank on the UNROUNDED value."""
+    probes = ", ".join(str(p) for p in PROBES)
+    return (
+        "WITH flat AS MATERIALIZED (SELECT vec_id AS vid,\n"
+        "  generate_subscripts(embedding, 1) - 1 AS i,\n"
+        "  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),\n"
+        "cents AS MATERIALIZED (SELECT jj.j, ii.i,\n"
+        f"  (CAST(('0x' || substring(md5('{seed}' || ':' || CAST(jj.j AS VARCHAR)\n"
+        "     || ':' || CAST(ii.i AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967295.0) * 2.0 - 1.0 AS c\n"
+        f"  FROM (SELECT CAST(range AS INT) AS j FROM range({nlist})) jj,\n"
+        f"       (SELECT CAST(range AS INT) AS i FROM range({dim})) ii),\n"
+        "c2 AS MATERIALIZED (SELECT j, sum(c * c) AS cc FROM cents GROUP BY j),\n"
+        "dist AS MATERIALIZED (SELECT f.vid, c.j,\n"
+        "  any_value(c2.cc) - 2.0 * sum(f.x * c.c) AS d\n"
+        "  FROM flat f JOIN cents c ON c.i = f.i JOIN c2 ON c2.j = c.j\n"
+        "  GROUP BY f.vid, c.j),\n"
+        "assign AS MATERIALIZED (SELECT vid, j AS cluster FROM (\n"
+        "  SELECT vid, j, row_number() OVER (PARTITION BY vid ORDER BY d, j) AS rn\n"
+        "  FROM dist) r WHERE rn = 1),\n"
+        "pclust AS MATERIALIZED (SELECT vid AS probe_id, j AS cluster FROM (\n"
+        "  SELECT vid, j, row_number() OVER (PARTITION BY vid ORDER BY d, j) AS rn\n"
+        f"  FROM dist WHERE vid IN ({probes})) r WHERE rn <= {nprobe}),\n"
+        "cand AS MATERIALIZED (SELECT p.probe_id, a.vid AS vec_id\n"
+        "  FROM pclust p JOIN assign a ON a.cluster = p.cluster\n"
+        "  WHERE a.vid <> p.probe_id),\n"
+        "norms AS MATERIALIZED (SELECT vid, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vid),\n"
+        "ds AS (SELECT c.probe_id, c.vec_id, sum(a.x * b.x) AS dot\n"
+        "  FROM cand c JOIN flat a ON a.vid = c.probe_id\n"
+        "  JOIN flat b ON b.vid = c.vec_id AND b.i = a.i\n"
+        "  GROUP BY c.probe_id, c.vec_id),\n"
+        "scored AS (SELECT ds.probe_id, ds.vec_id,\n"
+        "  ds.dot / (n1.nrm * n2.nrm) AS cs\n"
+        "  FROM ds JOIN norms n1 ON n1.vid = ds.vec_id\n"
+        "  JOIN norms n2 ON n2.vid = ds.probe_id)\n"
+        "SELECT probe_id, vec_id, round(cs, 6) AS cos_sim, CAST(rank AS INT) AS rank FROM (\n"
+        "  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, vec_id) AS rank\n"
+        f"  FROM scored) r WHERE rank <= {k}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "out_degree": f"WITH e AS ({EDGES_SQL}) "
@@ -1682,6 +1742,7 @@ def oracle_sql() -> dict[str, str]:
             "  FROM cp WHERE vec_id <> probe_id) r WHERE rank <= 5"
         ),
         "ann_lsh_topk": _ann_lsh_sql(8, 64, 2, 5),
+        "ann_ivf_topk": _ivf_sql(16, 4, 64, 5),
         "embedding_neardup_pairs": _neardup_sql(4, 64, 2, 0.35),
         "events_hourly": "SELECT date_trunc('hour', ts) AS hour, event_type, "
         "count(*) AS n, round(sum(value), 6) AS sum_value FROM events "

@@ -25,6 +25,8 @@ __all__ = [
     "lsh_bucket_topk",
     "lsh_neardup_pairs",
     "lsh_signature_udf",
+    "ivf_topk",
+    "ivf_assign_udf",
     "hyperplanes",
 ]
 
@@ -279,4 +281,97 @@ def lsh_neardup_pairs(
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def ivf_assign_udf(dim: int, nlist: int, seed: int = 100, nprobe: int = 1):
+    """Vectorized IVF coarse-quantizer assignment: centroids are the
+    deterministic md5-derived matrix ``hyperplanes(dim, nlist, seed)``
+    (reused as a codebook — rows are centroids, not planes), and each
+    vector maps to its ``nprobe`` nearest centroids by squared L2,
+    computed as one numpy matmul per Arrow batch
+    (argmin of ||c||^2 - 2 v·c; the ||v||^2 term is rank-invariant).
+    Returns an ``array<int>`` column of centroid ids, nearest first,
+    ties broken by centroid id (ascending) so the assignment is
+    engine-reproducible."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.array(hyperplanes(dim, nlist, seed), dtype=np.float64)  # nlist x dim
+    c2 = (cents**2).sum(axis=1)  # ||c||^2 per centroid
+
+    def assign(v):
+        mat = np.array(v.tolist(), dtype=np.float64)  # batch x dim
+        # batch x nlist partial squared distances; stable argsort ties
+        # break by centroid id because numpy 'stable' keeps index order
+        d = c2[None, :] - 2.0 * (mat @ cents.T)
+        order = np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    assign.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(assign, "array<int>")
+
+
+def ivf_topk(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    dim: int | None = None,
+    seed: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN via IVF (inverted-file) coarse quantization — the
+    bucketed-by-proximity alternative to ``lsh_bucket_topk``: every
+    base vector lands in ONE cluster (its nearest of ``nlist``
+    deterministic centroids); each probe expands to its ``nprobe``
+    nearest clusters; candidates = base rows in those clusters; exact
+    cosine re-rank takes the top k.
+
+    At 10^12 rows this is the classic IVF scan shape: the base side is
+    partitioned (and at rest, partition-pruned) by cluster id, the
+    probe side is tiny and broadcast, and recall tunes with
+    nprobe/nlist instead of bits/tables.  A trained k-means codebook
+    drops in by replacing ``hyperplanes`` with learned centroids — the
+    plan does not change.
+
+    Returns (probe_id, vec_id, cos_sim, rank), rank by unrounded
+    cosine desc then vec_id, cos_sim rounded to 6dp (engine-portable).
+    """
+    if dim is None:
+        raise ValueError(
+            "ivf_topk requires dim= (the embedding length); "
+            "inferring it would run a driver-side job over the table"
+        )
+    assign1 = ivf_assign_udf(dim, nlist, seed, nprobe=1)
+    assignp = ivf_assign_udf(dim, nlist, seed, nprobe=nprobe)
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        assign1(F.col(vec_col)).getItem(0).alias("cluster"),
+    )
+    p = F.broadcast(
+        probes.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("pvec"),
+            F.explode(assignp(F.col(vec_col))).alias("cluster"),
+        )
+    )
+    cands = base.join(p, "cluster").filter(F.col("vec_id") != F.col("probe_id"))
+    scored = cands.select(
+        "probe_id",
+        "vec_id",
+        (
+            _dot(F.col("vec"), F.col("pvec"))
+            / (_norm(F.col("vec")) * _norm(F.col("pvec")))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
     )

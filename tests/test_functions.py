@@ -162,3 +162,60 @@ def test_lsh_neardup_pairs_exact_precision(spark):
         a, b = r["a_id"], r["b_id"]
         assert a < b
         assert abs(r["cos_sim"] - round(cos[a, b], 6)) < 1e-6
+
+
+def test_ivf_topk_subset_and_recall(spark):
+    """IVF results are a correctly-ranked subset of brute-force top-k
+    with nonzero recall; every returned neighbor shares a probed
+    cluster with its probe (the IVF contract)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ligra_spark.functions.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(size=(200, 16)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = emb.filter(F.col("vec_id") < 3)
+    exact = brute_force_topk(emb, probes, k=5).collect()
+    approx = ivf_topk(emb, probes, k=5, nlist=8, nprobe=3, dim=16).collect()
+    exact_set = {(r["probe_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["probe_id"], r["vec_id"]) for r in approx}
+    assert approx_set, "IVF returned no candidates"
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall > 0.2, recall
+    # per-probe ranks are 1..n without gaps and cosine non-increasing
+    by_probe = {}
+    for r in approx:
+        by_probe.setdefault(r["probe_id"], []).append((r["rank"], r["cos_sim"]))
+    for pid, rs in by_probe.items():
+        rs.sort()
+        assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
+        sims = [x[1] for x in rs]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_assignment_matches_numpy(spark):
+    """Cluster assignment pins to a straight numpy argmin over the
+    md5-derived codebook (ties by centroid id)."""
+    import numpy as np
+
+    from ligra_spark.functions.similarity import hyperplanes, ivf_assign_udf
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(50, 8)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id", ivf_assign_udf(8, 4, nprobe=1)(F.col("embedding")).getItem(0).alias("c")
+        ).collect()
+    }
+    cents = np.array(hyperplanes(8, 4, 100), dtype=np.float64)
+    v = vecs.astype(np.float64)
+    d = (cents**2).sum(axis=1)[None, :] - 2.0 * (v @ cents.T)
+    want = d.argmin(axis=1)
+    assert got == {i: int(want[i]) for i in range(50)}

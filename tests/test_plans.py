@@ -91,3 +91,53 @@ def test_sparse_superstep_broadcasts_frontier(spark, tiny_graph):
     )
     plan = _plan(msgs)
     assert "BroadcastHashJoin" in plan.split("InMemoryRelation")[0], plan
+
+
+@pytest.fixture(scope="module")
+def small_emb(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(2)
+    vecs = rng.normal(size=(64, 8)).astype("float32")
+    return spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(64)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_lsh_neardup_pairs_plan_no_cartesian(spark, small_emb):
+    """The near-dup self-join is a hash equi-join on the bucket key —
+    never a cartesian/nested-loop all-pairs plan."""
+    from ligra_spark.functions.similarity import lsh_neardup_pairs
+
+    plan = _plan(lsh_neardup_pairs(small_emb, threshold=0.5, bits=4, dim=8))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
+
+
+def test_ivf_topk_plan_broadcasts_probes(spark, small_emb):
+    """IVF candidates come from an equi-join on cluster id with the
+    (tiny) probe side broadcast — the base table is never replicated
+    or nested-loop scanned."""
+    from pyspark.sql import functions as F
+
+    from ligra_spark.functions.similarity import ivf_topk
+
+    probes = small_emb.filter(F.col("vec_id") < 2)
+    plan = _plan(ivf_topk(small_emb, probes, k=3, nlist=4, nprobe=2, dim=8))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_lsh_bucket_topk_plan_broadcasts_probes(spark, small_emb):
+    from pyspark.sql import functions as F
+
+    from ligra_spark.functions.similarity import lsh_bucket_topk
+
+    probes = small_emb.filter(F.col("vec_id") < 2)
+    plan = _plan(lsh_bucket_topk(small_emb, probes, k=3, bits=4, dim=8, tables=2))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

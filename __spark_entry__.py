@@ -533,6 +533,19 @@ def _q_embedding_neardup(spark, sf):
     return lsh_neardup_pairs(emb, threshold=0.35, bits=4, dim=64, tables=2)
 
 
+def _q_events_sessions(spark, sf):
+    """Gap-based sessionization of the events table via
+    F.session_window (the same operator the streaming path uses under
+    a watermark): one row per (user, session) with count + value sum;
+    session end = last event + gap."""
+    from ligra_spark.streaming import sessionize
+
+    return sessionize(
+        _t(spark, sf, "events"), ts_col="ts", key_col="user_id",
+        gap="10 minutes", value_col="value",
+    )
+
+
 def _q_events_hourly(spark, sf):
     ev = _t(spark, sf, "events")
     return ev.groupBy(
@@ -594,8 +607,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "embedding_neardup_pairs": _q_embedding_neardup,
-        # windowed events (streaming-shaped agg)
+        # windowed events (streaming-shaped aggs)
         "events_hourly": _q_events_hourly,
+        "events_sessions": _q_events_sessions,
     }
 
 
@@ -1747,4 +1761,19 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": "SELECT date_trunc('hour', ts) AS hour, event_type, "
         "count(*) AS n, round(sum(value), 6) AS sum_value FROM events "
         "GROUP BY date_trunc('hour', ts), event_type",
+        # gap-island sessionization: new session only when the gap to
+        # the previous event EXCEEDS 10 min — session_window merges an
+        # event landing exactly on the session end (closed boundary,
+        # pinned by tests/test_multimodal_streaming.py); end = last + gap
+        "events_sessions": (
+            "WITH o AS (SELECT user_id, ts, value,\n"
+            "  CASE WHEN lag(ts) OVER w IS NULL\n"
+            "       OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s\n"
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),\n"
+            "i AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts\n"
+            "  ROWS UNBOUNDED PRECEDING) AS sid FROM o)\n"
+            "SELECT min(ts) AS session_start, max(ts) + INTERVAL 10 MINUTE AS session_end,\n"
+            "  user_id, count(*) AS n_events, round(sum(value), 6) AS sum_value\n"
+            "FROM i GROUP BY user_id, sid"
+        ),
     }

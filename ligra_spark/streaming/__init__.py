@@ -9,6 +9,7 @@ from .stream import (
     windowed_link_counts,
     incremental_degree_sink,
     detect_new_hubs,
+    sessionize,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "windowed_link_counts",
     "incremental_degree_sink",
     "detect_new_hubs",
+    "sessionize",
 ]

@@ -36,6 +36,7 @@ __all__ = [
     "windowed_link_counts",
     "incremental_degree_sink",
     "detect_new_hubs",
+    "sessionize",
 ]
 
 
@@ -78,6 +79,43 @@ def windowed_link_counts(
             F.col("win.end").alias("window_end"),
             "url",
             "in_links",
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "10 minutes",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Session-window aggregation (``F.session_window``): one row per
+    (key, session), where a session is a maximal run of events each
+    within ``gap`` (INCLUSIVE — an event exactly at the session end
+    merges) of the previous one; the window closes at last-event + gap
+    (Spark's gap-timeout semantics).
+
+    Works on BOTH batch and streaming input — the same expression
+    compiles to a hash aggregate in batch and to the session-window
+    state-store operator under a watermark in streaming (add
+    ``.withWatermark(ts_col, ...)`` upstream and update/append output
+    mode).  At 100 TB this is one shuffle on the key column; the
+    session merge itself is state-store-local per key.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    out = ["n_events"]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 6).alias("sum_value"))
+        out.append("sum_value")
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("sw"), key_col)
+        .agg(*aggs)
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            key_col,
+            *out,
         )
     )
 

@@ -232,3 +232,68 @@ def test_detect_new_hubs_stateful(spark, pages_stream_dir, tmp_path):
     for r in got:
         # crossing-time count: >= threshold, <= final total
         assert 8 <= r["in_links"] <= final[r["url"]]
+
+
+# ---------------------------------------------------------- session windows
+def test_sessionize_batch_semantics(spark):
+    """Gap-based sessionization pins Spark's closed-boundary
+    session_window semantics: an event exactly `gap` after the
+    previous one MERGES into the session; session_end = last + gap."""
+    from datetime import datetime, timedelta
+
+    from ligra_spark.streaming import sessionize
+
+    t0 = datetime(2024, 1, 1)
+    mins = {1: [0, 3, 5, 20, 24], 2: [0, 10, 21]}  # user -> event minutes
+    rows = [
+        (u, t0 + timedelta(minutes=m), 1.0) for u, ms in mins.items() for m in ms
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = sessionize(df, gap="10 minutes").collect()
+    sessions = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in got
+    }
+    mk = lambda s, e: (t0 + timedelta(minutes=s), t0 + timedelta(minutes=e))
+    expected = {
+        # user 1: [0,3,5] merge (gaps 3,2 < 10); 20 is 15 past 5 → new; 24 joins
+        (1, *mk(0, 15), 3),
+        (1, *mk(20, 34), 2),
+        # user 2: 10 is EXACTLY gap after 0 → MERGES (closed boundary,
+        # extends end to 20); 21 is 11 past 10 → new session
+        (2, *mk(0, 20), 2),
+        (2, *mk(21, 31), 1),
+    }
+    assert sessions == expected, sessions
+
+
+def test_sessionize_streaming_smoke(spark, pages_stream_dir, tmp_path):
+    """The same sessionize expression runs as a streaming query under
+    a watermark (session-window state store operator) and emits rows."""
+    from ligra_spark.streaming import sessionize, stream_pages_to_edges
+
+    src_dir, _ = pages_stream_dir
+    links = stream_pages_to_edges(spark, src_dir, max_files_per_trigger=2)
+    # short watermark: the fixture spans only ~3 minutes of event
+    # time, and append mode emits a session only once the watermark
+    # passes its end
+    sess = sessionize(
+        links.withWatermark("warc_ts", "30 seconds"),
+        ts_col="warc_ts", key_col="href", gap="1 minute", value_col=None,
+    )
+    ck = str(tmp_path / "sessck")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("linksessions")
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM linksessions")
+    # append mode emits only watermark-expired sessions; the fixture
+    # spans ~3 minutes of event time, so early 1-minute-gap sessions
+    # must have finalized
+    assert got.count() > 0
+    assert set(got.columns) == {"session_start", "session_end", "href", "n_events"}

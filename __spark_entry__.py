@@ -546,6 +546,21 @@ def _q_events_sessions(spark, sf):
     )
 
 
+def _q_events_asof(spark, sf):
+    """As-of join: every 'click' event gains the user's most recent
+    at-or-before 'view' event (timestamp + value).  Scale-safe union
+    + running-last formulation (one shuffle on user_id) — DuckDB's
+    native ASOF JOIN is the oracle."""
+    from ligra_spark.functions.temporal import asof_join
+
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    return asof_join(clicks, views, on="ts", by="user_id", right_cols=("value",))
+
+
 def _q_events_hourly(spark, sf):
     ev = _t(spark, sf, "events")
     return ev.groupBy(
@@ -610,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # windowed events (streaming-shaped aggs)
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
+        "events_asof_view": _q_events_asof,
     }
 
 
@@ -1775,5 +1791,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(ts) AS session_start, max(ts) + INTERVAL 10 MINUTE AS session_end,\n"
             "  user_id, count(*) AS n_events, round(sum(value), 6) AS sum_value\n"
             "FROM i GROUP BY user_id, sid"
+        ),
+        "events_asof_view": (
+            "SELECT l.event_id, l.user_id, l.ts, l.value,\n"
+            "  r.ts AS asof_ts, r.value AS asof_value\n"
+            "FROM (SELECT event_id, user_id, ts, value FROM events\n"
+            "      WHERE event_type = 'click') l\n"
+            "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events\n"
+            "      WHERE event_type = 'view') r\n"
+            "  ON l.user_id = r.user_id AND l.ts >= r.ts"
         ),
     }

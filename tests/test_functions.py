@@ -219,3 +219,30 @@ def test_ivf_assignment_matches_numpy(spark):
     d = (cents**2).sum(axis=1)[None, :] - 2.0 * (v @ cents.T)
     want = d.argmin(axis=1)
     assert got == {i: int(want[i]) for i in range(50)}
+
+
+def test_asof_join_matches_python(spark):
+    """asof_join pins to a straight python transcription, including
+    the inclusive exact-timestamp match and no-match nulls."""
+    from datetime import datetime, timedelta
+
+    from ligra_spark.functions.temporal import asof_join
+
+    t0 = datetime(2024, 1, 1)
+    mk = lambda m: t0 + timedelta(minutes=m)
+    left = spark.createDataFrame(
+        [(1, 10, mk(5), 1.0), (2, 10, mk(10), 2.0), (3, 10, mk(2), 3.0),
+         (4, 20, mk(7), 4.0), (5, 30, mk(9), 5.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [(10, mk(3), 30.0), (10, mk(10), 31.0), (20, mk(1), 32.0), (20, mk(6), 33.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    got = {r["event_id"]: (r["asof_ts"], r["asof_value"])
+           for r in asof_join(left, right).collect()}
+    assert got[1] == (mk(3), 30.0)     # most recent before 5 is 3
+    assert got[2] == (mk(10), 31.0)    # EXACT timestamp matches (inclusive)
+    assert got[3] == (None, None)      # earliest right row (min 3) is after min 2
+    assert got[4] == (mk(6), 33.0)
+    assert got[5] == (None, None)      # user 30 has no right rows

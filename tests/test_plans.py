@@ -141,3 +141,25 @@ def test_lsh_bucket_topk_plan_broadcasts_probes(spark, small_emb):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_asof_join_plan_single_shuffle(spark):
+    """asof_join plans as union → ONE exchange on the key (the window
+    sort) — never an inequality nested-loop join."""
+    from datetime import datetime
+
+    from ligra_spark.functions.temporal import asof_join
+
+    t0 = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, 1, t0, 1.0)], "event_id long, user_id long, ts timestamp, value double"
+    )
+    right = spark.createDataFrame(
+        [(1, t0, 2.0)], "user_id long, ts timestamp, value double"
+    )
+    plan = _plan(asof_join(left, right))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # exactly one Exchange NODE (the formatted plan prints each node
+    # twice: once in the tree, once in the detail section)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan

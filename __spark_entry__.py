@@ -561,6 +561,32 @@ def _q_events_asof(spark, sf):
     return asof_join(clicks, views, on="ts", by="user_id", right_cols=("value",))
 
 
+def _q_events_range(spark, sf):
+    """Binned range join: per click event, count + value-sum of the
+    same user's views in the following 30 minutes.  Equi-join on
+    (user, time-bucket) + residual filter — no inequality nested-loop.
+    Zero-match clicks kept with 0s (left-join semantics)."""
+    from ligra_spark.functions.temporal import range_join
+
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    pairs = range_join(clicks, views, on="ts", by="user_id", window_s=1800)
+    agg = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.round(F.sum("win_value"), 6).alias("sum_after"),
+    )
+    return clicks.join(agg, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce("n_after", F.lit(0)).alias("n_after"),
+        F.round(F.coalesce("sum_after", F.lit(0.0)), 6).alias("sum_after"),
+    )
+
+
 def _q_events_hourly(spark, sf):
     ev = _t(spark, sf, "events")
     return ev.groupBy(
@@ -626,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
         "events_asof_view": _q_events_asof,
+        "events_range_counts": _q_events_range,
     }
 
 
@@ -1791,6 +1818,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(ts) AS session_start, max(ts) + INTERVAL 10 MINUTE AS session_end,\n"
             "  user_id, count(*) AS n_events, round(sum(value), 6) AS sum_value\n"
             "FROM i GROUP BY user_id, sid"
+        ),
+        # plain inequality join is fine at oracle scale; half-open
+        # (l.ts, l.ts + 30min] matches the binned residual filter
+        "events_range_counts": (
+            "SELECT l.event_id, l.user_id, l.ts,\n"
+            "  count(r.ts) AS n_after,\n"
+            "  round(coalesce(sum(r.value), 0), 6) AS sum_after\n"
+            "FROM (SELECT event_id, user_id, ts FROM events\n"
+            "      WHERE event_type = 'click') l\n"
+            "LEFT JOIN (SELECT user_id, ts, value FROM events\n"
+            "      WHERE event_type = 'view') r\n"
+            "  ON r.user_id = l.user_id AND r.ts > l.ts\n"
+            "  AND r.ts <= l.ts + INTERVAL 30 MINUTE\n"
+            "GROUP BY l.event_id, l.user_id, l.ts"
         ),
         "events_asof_view": (
             "SELECT l.event_id, l.user_id, l.ts, l.value,\n"

@@ -19,10 +19,11 @@ from .dedup import (
     simhash16,
 )
 from .similarity import cosine_probe, brute_force_topk
-from .temporal import asof_join
+from .temporal import asof_join, range_join
 
 __all__ = [
     "asof_join",
+    "range_join",
     "with_token_count",
     "with_quality",
     "with_lang_guess",

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "range_join"]
 
 
 def asof_join(
@@ -72,4 +72,55 @@ def asof_join(
     return filled.filter(F.col("_side") == 1).select(
         *lcols,
         *[F.col(f"_f_{c}").alias(f"{prefix}{c}") for c in (on, *right_cols)],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "user_id",
+    window_s: int = 1800,
+    right_cols: tuple[str, ...] = ("value",),
+    prefix: str = "win_",
+) -> DataFrame:
+    """Binned range join: pairs every left row with the right rows of
+    the same ``by`` key whose ``on`` falls in the half-open interval
+    (left.on, left.on + window_s] — "what happened in the W seconds
+    AFTER each anchor".
+
+    The naive form is an inequality join (nested-loop blowup).  The
+    scalable form bins ``right`` by floor(epoch/W) and explodes each
+    left row to its two candidate buckets (the interval spans at most
+    two W-wide bins), turning the range predicate into an EQUI-join on
+    (key, bucket) + an exact residual filter — right rows shuffle
+    once, left rows twice, no row ever meets more than two buckets.
+    This is the standard binned-range plan (Spark's own range-join
+    hints on Databricks do the same under the hood).
+    """
+    w_us = window_s * 1_000_000
+
+    def epoch_us(c):
+        # unix_micros rejects TIMESTAMP_NTZ (parquet's default); the
+        # session timezone is pinned to UTC so the cast is a bijection
+        return F.unix_micros(c.cast("timestamp"))
+
+    r = right.select(
+        by,
+        F.col(on).alias(f"{prefix}{on}"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+        F.floor(epoch_us(F.col(on)) / w_us).alias("_bkt"),
+    )
+    lb = F.floor(epoch_us(F.col(on)) / w_us)
+    l = left.select("*", F.explode(F.array(lb, lb + 1)).alias("_bkt"))
+    return (
+        l.join(r, [by, "_bkt"])
+        .filter(
+            (F.col(f"{prefix}{on}") > F.col(on))
+            & (
+                epoch_us(F.col(f"{prefix}{on}"))
+                <= epoch_us(F.col(on)) + w_us
+            )
+        )
+        .drop("_bkt")
     )

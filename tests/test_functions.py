@@ -246,3 +246,33 @@ def test_asof_join_matches_python(spark):
     assert got[3] == (None, None)      # earliest right row (min 3) is after min 2
     assert got[4] == (mk(6), 33.0)
     assert got[5] == (None, None)      # user 30 has no right rows
+
+
+def test_range_join_matches_python(spark):
+    """Binned range_join pins the half-open (ts, ts+W] interval,
+    including rows in the NEXT time bucket and excluding exact-anchor
+    and beyond-window rows."""
+    from datetime import datetime, timedelta
+
+    from ligra_spark.functions.temporal import range_join
+
+    t0 = datetime(2024, 1, 1)
+    mk = lambda s: t0 + timedelta(seconds=s)
+    left = spark.createDataFrame(
+        [(1, 7, mk(50)), (2, 7, mk(130)), (3, 8, mk(0))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(7, mk(50), 1.0),   # exact anchor ts → excluded (strict >)
+         (7, mk(51), 2.0),   # in (50, 110]
+         (7, mk(110), 3.0),  # boundary: exactly +60 → included
+         (7, mk(111), 4.0),  # beyond window of event 1; in window of none
+         (7, mk(131), 5.0),  # in window of event 2
+         (8, mk(60), 6.0)],  # boundary +60 AND next time bucket → found
+        "user_id long, ts timestamp, value double",
+    )
+    got = sorted(
+        (r["event_id"], r["win_value"])
+        for r in range_join(left, right, window_s=60).collect()
+    )
+    assert got == [(1, 2.0), (1, 3.0), (2, 5.0), (3, 6.0)], got

@@ -594,6 +594,26 @@ def _q_events_hourly(spark, sf):
     ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
 
 
+def _q_events_rollup(spark, sf):
+    """Hierarchical rollup (day → event_type → grand total) in one
+    pass — Spark's ROLLUP grouping-set expansion is the hypertable
+    continuous-aggregate shape: partial aggs per grouping set, still
+    one shuffle."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.rollup(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        # sentinel for subtotal rows: NULL day/type stringify
+        # differently across engines (None vs NaT)
+        .select(
+            F.coalesce(F.col("day").cast("string"), F.lit("ALL")).alias("day"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # graph engine (SURVEY.md §2.4 apps over the derived link graph)
@@ -650,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs": _q_embedding_neardup,
         # windowed events (streaming-shaped aggs)
         "events_hourly": _q_events_hourly,
+        "events_rollup": _q_events_rollup,
         "events_sessions": _q_events_sessions,
         "events_asof_view": _q_events_asof,
         "events_range_counts": _q_events_range,
@@ -1804,6 +1825,10 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": "SELECT date_trunc('hour', ts) AS hour, event_type, "
         "count(*) AS n, round(sum(value), 6) AS sum_value FROM events "
         "GROUP BY date_trunc('hour', ts), event_type",
+        "events_rollup": "SELECT coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS day, "
+        "coalesce(event_type, 'ALL') AS event_type, "
+        "count(*) AS n, round(sum(value), 6) AS sum_value FROM events "
+        "GROUP BY ROLLUP(CAST(ts AS DATE), event_type)",
         # gap-island sessionization: new session only when the gap to
         # the previous event EXCEEDS 10 min — session_window merges an
         # event landing exactly on the session end (closed boundary,

@@ -106,9 +106,28 @@ def main() -> None:
     probes = emb.filter(F.col("vec_id") < 3)
     phase("cosine_topk", lambda: brute_force_topk(emb, probes, k=10).count())
 
+    # round-2 additions: IVF ANN + temporal operators over events.
+    # NEW phases only — the seven phases above are byte-identical to
+    # BENCH_r01 so round-over-round regression tables stay valid.
+    from ligra_spark.functions.similarity import ivf_topk
+    from ligra_spark.functions.temporal import asof_join, range_join
+    from ligra_spark.streaming import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.limit(64).count()  # warm-up scan
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    phase("ivf_topk", lambda: ivf_topk(emb, probes, k=10, nlist=16, nprobe=4, dim=64).count())
+    phase("asof_join", lambda: asof_join(clicks, views).count())
+    phase("range_join", lambda: range_join(clicks, views, window_s=1800).count())
+    phase("sessionize", lambda: sessionize(ev).count())
+
     total = round(sum(timings.values()), 3)
     result = {
-        "metric": "ligra_spark headline phases (1hop/BFS/PR10/CC/triangle/minhash-LSH/ANN)",
+        "metric": "ligra_spark headline phases (1hop/BFS/PR10/CC/triangle/minhash-LSH/ANN"
+        "/IVF/asof/range/sessions)",
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -601,8 +601,10 @@ def _q_events_rollup(spark, sf):
     one shuffle."""
     ev = _t(spark, sf, "events")
     return (
+        # 4dp, not 6: the () grouping set sums the WHOLE table, where
+        # cross-engine fp64 sum-order noise can exceed the 1e-6 grain
         ev.rollup(F.to_date("ts").alias("day"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
         # sentinel for subtotal rows: NULL day/type stringify
         # differently across engines (None vs NaT)
         .select(
@@ -1827,18 +1829,18 @@ def oracle_sql() -> dict[str, str]:
         "GROUP BY date_trunc('hour', ts), event_type",
         "events_rollup": "SELECT coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS day, "
         "coalesce(event_type, 'ALL') AS event_type, "
-        "count(*) AS n, round(sum(value), 6) AS sum_value FROM events "
+        "count(*) AS n, round(sum(value), 4) AS sum_value FROM events "
         "GROUP BY ROLLUP(CAST(ts AS DATE), event_type)",
         # gap-island sessionization: new session only when the gap to
         # the previous event EXCEEDS 10 min — session_window merges an
         # event landing exactly on the session end (closed boundary,
         # pinned by tests/test_multimodal_streaming.py); end = last + gap
         "events_sessions": (
-            "WITH o AS (SELECT user_id, ts, value,\n"
+            "WITH o AS (SELECT user_id, ts, value, event_id,\n"
             "  CASE WHEN lag(ts) OVER w IS NULL\n"
             "       OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s\n"
             "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),\n"
-            "i AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts\n"
+            "i AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id\n"
             "  ROWS UNBOUNDED PRECEDING) AS sid FROM o)\n"
             "SELECT min(ts) AS session_start, max(ts) + INTERVAL 10 MINUTE AS session_end,\n"
             "  user_id, count(*) AS n_events, round(sum(value), 6) AS sum_value\n"

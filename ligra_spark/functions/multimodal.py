@@ -233,10 +233,9 @@ def audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
             n = len(pdf)
             if n == 0:
                 continue
-            wavs = [
-                _decode_audio_bytes(bytes(p), fake)[0].astype(np.float64)
-                for p in pdf["payload"]
-            ]
+            decoded = [_decode_audio_bytes(bytes(p), fake) for p in pdf["payload"]]
+            wavs = [wav.astype(np.float64) for wav, _ in decoded]
+            srs = np.array([sr for _, sr in decoded], dtype=np.int32)
             ns = np.empty(n, dtype=np.int32)
             rms = np.empty(n, dtype=np.float64)
             peak = np.empty(n, dtype=np.float64)
@@ -265,7 +264,7 @@ def audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
                 {
                     "media_id": pdf["media_id"].to_numpy(),
                     "n_samples": ns,
-                    "sample_rate": np.full(n, _FAKE_SAMPLE_RATE, dtype=np.int32),
+                    "sample_rate": srs,  # per-row, from the decoder
                     "rms": rms,
                     "peak": peak,
                     "zero_crossings": zc,

@@ -46,15 +46,29 @@ def asof_join(
     (inclusive, like DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``).
     Multiple right rows sharing one (by, on) pair are ambiguous —
     pre-dedupe the right side if that can occur.
+
+    The matched right row travels as ONE struct through the running
+    ``last(ignorenulls)`` — per-column fills would tear a right row
+    with a NULL payload apart (timestamp from the newest row, value
+    filled from an older one).
     """
+    clash = {f"{prefix}{c}" for c in (on, *right_cols)} | {"_side", "_p"}
+    bad = clash & set(left.columns)
+    if bad:
+        raise ValueError(
+            f"asof_join output columns {sorted(bad)} already exist on the "
+            "left side (chained asof_join?) — pass a different prefix"
+        )
     lcols = left.columns
     l = left.withColumn("_side", F.lit(1))
     r = right.select(
         by,
-        F.col(on).alias(f"{prefix}{on}"),
-        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
-    ).withColumn("_side", F.lit(0)).withColumn(on, F.col(f"{prefix}{on}"))
-    u = l.unionByName(r, allowMissingColumns=True)
+        F.col(on),
+        F.struct(
+            F.col(on).alias(on), *[F.col(c).alias(c) for c in right_cols]
+        ).alias("_p"),
+    ).withColumn("_side", F.lit(0))
+    u = l.unionByName(r, allowMissingColumns=True)  # left rows: _p IS NULL
     # right rows sort BEFORE left rows at equal timestamps so an
     # exact-timestamp right row is visible to the running last()
     w = (
@@ -62,16 +76,10 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = u.select(
-        "*",
-        *[
-            F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in (on, *right_cols)
-        ],
-    )
+    filled = u.select("*", F.last("_p", ignorenulls=True).over(w).alias("_f"))
     return filled.filter(F.col("_side") == 1).select(
         *lcols,
-        *[F.col(f"_f_{c}").alias(f"{prefix}{c}") for c in (on, *right_cols)],
+        *[F.col("_f").getField(c).alias(f"{prefix}{c}") for c in (on, *right_cols)],
     )
 
 

@@ -276,3 +276,41 @@ def test_range_join_matches_python(spark):
         for r in range_join(left, right, window_s=60).collect()
     )
     assert got == [(1, 2.0), (1, 3.0), (2, 5.0), (3, 6.0)], got
+
+
+def test_asof_join_null_payload_not_torn(spark):
+    """A matched right row with a NULL payload must surface AS the
+    match (null value, its own timestamp) — not be torn apart by
+    per-column fills reaching back to an older non-null row."""
+    from datetime import datetime, timedelta
+
+    from ligra_spark.functions.temporal import asof_join
+
+    t0 = datetime(2024, 1, 1)
+    mk = lambda m: t0 + timedelta(minutes=m)
+    left = spark.createDataFrame(
+        [(1, 10, mk(5), 0.0)], "event_id long, user_id long, ts timestamp, value double"
+    )
+    right = spark.createDataFrame(
+        [(10, mk(1), 5.0), (10, mk(2), None)],
+        "user_id long, ts timestamp, value double",
+    )
+    r = asof_join(left, right).collect()[0]
+    assert r["asof_ts"] == mk(2) and r["asof_value"] is None, r
+
+
+def test_asof_join_chain_collision_raises(spark):
+    from datetime import datetime
+
+    from ligra_spark.functions.temporal import asof_join
+
+    t0 = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0, 1.0)], "user_id long, ts timestamp, value double"
+    )
+    right = spark.createDataFrame(
+        [(1, t0, 2.0)], "user_id long, ts timestamp, value double"
+    )
+    once = asof_join(left, right)
+    with pytest.raises(ValueError, match="prefix"):
+        asof_join(once, right)

@@ -43,6 +43,10 @@ def main() -> None:
         if r > flag_ratio:
             flagged.append((k, r))
         print(f"| {k} | {o:.2f} | {n:.2f} | {r:.2f}{mark} |")
+    for k in oq:
+        if k not in nq:
+            print(f"| {k} | {oq[k]:.2f} | — | REMOVED ⚠ |")
+            flagged.append((k, float("inf")))
     ot, nt = old.get("value"), new.get("value")
     if ot and nt:
         print(f"| **total** | {ot:.2f} | {nt:.2f} | {nt / ot:.2f} |")

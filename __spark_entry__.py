@@ -616,6 +616,114 @@ def _q_events_rollup(spark, sf):
     )
 
 
+def _q_events_hub_onset(spark, sf):
+    """Batch twin of the stateful streaming hub detector
+    (``streaming.detect_new_hubs`` / applyInPandasWithState): for each
+    user whose cumulative event count reaches the threshold, emit one
+    row at the crossing event.  Ordering is (ts, event_id) — the
+    deterministic event-time order the streaming test feeds."""
+    from ligra_spark.streaming import hub_onsets
+
+    ev = _t(spark, sf, "events")
+    return hub_onsets(
+        ev, key_col="user_id", order_cols=("ts", "event_id"), threshold=10
+    ).select("user_id", "onset_ts", "onset_event_id", "in_links")
+
+
+# ---- pages pipeline: the north-rule ingest path over synthesized pages.
+# Both engines derive the SAME deterministic page set from documents:
+# url = 'u' || doc_id, html = title + one <p> (the doc text) + two links
+# whose targets land back inside the page set at the gate scale
+# (closure is enforced by the dictionary inner join either way).
+def _pages_df(spark, sf):
+    docs = _t(spark, sf, "documents")
+    link1 = (F.col("doc_id") * 7 % 97).cast("string")
+    link2 = (F.col("doc_id") * 13 % 89).cast("string")
+    html = F.concat(
+        F.lit("<title>Doc "), F.col("doc_id").cast("string"), F.lit("</title>"),
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.lit('<a href="u'), link1, F.lit('">ref '),
+        F.col("doc_id").cast("string"), F.lit("</a>"),
+        F.lit('<a href="u'), link2, F.lit('">ref2</a>'),
+    )
+    return docs.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+_PAGE_HTML_SQL = (
+    "SELECT 'u' || doc_id AS url,"
+    " '<title>Doc ' || doc_id || '</title><p>' || text || '</p>"
+    '<a href="u\' || (doc_id * 7 % 97) || \'">ref \' || doc_id || \'</a>'
+    '<a href="u\' || (doc_id * 13 % 89) || \'">ref2</a>\' AS html'
+    " FROM documents"
+)
+
+
+def _q_page_extract(spark, sf):
+    """The north-rule per-row invariant, driver-checked: text + link
+    extraction over the pages table (ligra_spark.extract — pure
+    Catalyst regexp), compared against DuckDB running the same
+    extraction spec."""
+    from ligra_spark.extract import extracted_pages
+
+    return extracted_pages(_pages_df(spark, sf)).select(
+        "url",
+        F.col("extracted_text"),
+        F.array_join("links", ",").alias("links"),
+    )
+
+
+def _q_page_link_graph(spark, sf):
+    """The full ingest pipeline driver-checked end-to-end: pages →
+    extract links → dense-id dictionary (lexicographic url rank) →
+    (src, dst) edge table (ligra_spark.ingest.build_link_graph)."""
+    from ligra_spark.ingest import build_link_graph
+
+    g, _ = build_link_graph(spark, _pages_df(spark, sf))
+    return g.edges.select("src", "dst")
+
+
+def _media_df(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+
+def _q_doc_media_decode(spark, sf):
+    """Multimodal decode plumbing through the driver gate: the
+    deterministic fake codec (8x8x3 image from sha256(payload)) runs
+    inside the real Arrow mapInPandas path; DuckDB recomputes the
+    pixel bytes as hex(sha256) repeated."""
+    from ligra_spark.functions.multimodal import decode_images
+
+    return decode_images(_media_df(spark, sf), fake=True).select(
+        "media_id", "height", "width", "channels",
+        F.lower(F.hex("pixels")).alias("pixels_hex"),
+    )
+
+
+def _q_doc_image_features(spark, sf):
+    """Fused decode + feature extraction (per-channel means + 64-bit
+    average-hash) in one Arrow pass, vs a DuckDB transcription of the
+    same math over the sha256-derived fake pixels."""
+    from ligra_spark.functions.multimodal import image_features
+
+    return image_features(_media_df(spark, sf), fake=True).select(
+        "media_id", "height", "width", "channels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "phash",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # graph engine (SURVEY.md §2.4 apps over the derived link graph)
@@ -676,6 +784,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "events_asof_view": _q_events_asof,
         "events_range_counts": _q_events_range,
+        "events_hub_onset": _q_events_hub_onset,
+        # pages pipeline (north-rule ingest) + multimodal plumbing
+        "page_extract": _q_page_extract,
+        "page_link_graph": _q_page_link_graph,
+        "doc_media_decode": _q_doc_media_decode,
+        "doc_image_features": _q_doc_image_features,
     }
 
 
@@ -1742,6 +1856,78 @@ def _ivf_sql(
     )
 
 
+_PAGE_EXTRACT_SQL = (
+    f"WITH p AS ({_PAGE_HTML_SQL})\n"
+    "SELECT url,\n"
+    "  array_to_string(\n"
+    "    regexp_extract_all(html, '<title>(.*?)</title>', 1)\n"
+    "    || regexp_extract_all(html, '<p>(.*?)</p>', 1)\n"
+    "    || regexp_extract_all(html, '<a href=\"[^\"]*\">(.*?)</a>', 1),\n"
+    "    chr(10)) AS extracted_text,\n"
+    "  array_to_string(regexp_extract_all(html, '<a href=\"([^\"]*)\">', 1), ',') AS links\n"
+    "FROM p"
+)
+
+# dictionary = dense lexicographic url rank (binary collation in both
+# engines); inner joins enforce graph closure; duplicate links kept
+_PAGE_LINK_GRAPH_SQL = (
+    f"WITH p AS ({_PAGE_HTML_SQL}),\n"
+    "links AS (SELECT url,\n"
+    "  unnest(regexp_extract_all(html, '<a href=\"([^\"]*)\">', 1)) AS href FROM p),\n"
+    "dict AS (SELECT url, CAST(row_number() OVER (ORDER BY url) - 1 AS BIGINT) AS id\n"
+    "  FROM p)\n"
+    "SELECT ds.id AS src, dd.id AS dst\n"
+    "FROM links JOIN dict ds ON ds.url = links.url\n"
+    "JOIN dict dd ON dd.url = links.href"
+)
+
+# fake codec twin: pixels = (sha256(payload) * 6)[:192], so the hex of
+# the pixel buffer is the digest hex repeated, truncated to 384 chars
+_MEDIA_DECODE_SQL = (
+    "SELECT doc_id AS media_id, 8 AS height, 8 AS width, 3 AS channels,\n"
+    "  substr(repeat(sha256(text), 6), 1, 384) AS pixels_hex\n"
+    "FROM documents"
+)
+
+# image_features twin over the fake pixels: pixel p channel c is digest
+# byte (3p+c) mod 32; gray = ((r+g)+b)/3 (numpy's reduce order); phash
+# bit k set iff gray[k] > mean(gray), packed MSB-first as two 32-bit
+# halves (1<<63 overflows BIGINT sums otherwise)
+_IMAGE_FEATURES_SQL = (
+    "WITH d AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents),\n"
+    "px AS (SELECT media_id, p,\n"
+    "  ('0x' || substr(hx, 2 * ((3 * p) % 32) + 1, 2))::INT AS r,\n"
+    "  ('0x' || substr(hx, 2 * ((3 * p + 1) % 32) + 1, 2))::INT AS g,\n"
+    "  ('0x' || substr(hx, 2 * ((3 * p + 2) % 32) + 1, 2))::INT AS b\n"
+    "  FROM d, generate_series(0, 63) AS t(p)),\n"
+    "gr AS (SELECT media_id, p, r, g, b,\n"
+    "  ((CAST(r AS DOUBLE) + g) + b) / 3.0 AS gray FROM px),\n"
+    "m AS (SELECT media_id, avg(CAST(r AS DOUBLE)) AS mean_r,\n"
+    "  avg(CAST(g AS DOUBLE)) AS mean_g, avg(CAST(b AS DOUBLE)) AS mean_b,\n"
+    "  avg(gray) AS gmean FROM gr GROUP BY media_id),\n"
+    "bits AS (SELECT gr.media_id, gr.p,\n"
+    "  CASE WHEN gr.gray > m.gmean THEN 1 ELSE 0 END AS bit\n"
+    "  FROM gr JOIN m USING (media_id)),\n"
+    "ph AS (SELECT media_id,\n"
+    "  CAST(sum(CASE WHEN p < 32 THEN CAST(bit AS BIGINT) << (31 - p) ELSE 0 END) AS BIGINT) AS hi,\n"
+    "  CAST(sum(CASE WHEN p >= 32 THEN CAST(bit AS BIGINT) << (63 - p) ELSE 0 END) AS BIGINT) AS lo\n"
+    "  FROM bits GROUP BY media_id)\n"
+    "SELECT m.media_id, 8 AS height, 8 AS width, 3 AS channels,\n"
+    "  round(m.mean_r, 6) AS mean_r, round(m.mean_g, 6) AS mean_g,\n"
+    "  round(m.mean_b, 6) AS mean_b,\n"
+    "  printf('%08x%08x', ph.hi, ph.lo) AS phash\n"
+    "FROM m JOIN ph USING (media_id)"
+)
+
+_HUB_ONSET_SQL = (
+    "SELECT user_id, onset_ts, onset_event_id, in_links FROM (\n"
+    "  SELECT user_id, ts AS onset_ts, event_id AS onset_event_id,\n"
+    "    CAST(10 AS BIGINT) AS in_links,\n"
+    "    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn\n"
+    "  FROM events) r WHERE rn = 10"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "out_degree": f"WITH e AS ({EDGES_SQL}) "
@@ -1869,4 +2055,9 @@ def oracle_sql() -> dict[str, str]:
             "      WHERE event_type = 'view') r\n"
             "  ON l.user_id = r.user_id AND l.ts >= r.ts"
         ),
+        "events_hub_onset": _HUB_ONSET_SQL,
+        "page_extract": _PAGE_EXTRACT_SQL,
+        "page_link_graph": _PAGE_LINK_GRAPH_SQL,
+        "doc_media_decode": _MEDIA_DECODE_SQL,
+        "doc_image_features": _IMAGE_FEATURES_SQL,
     }

@@ -9,6 +9,7 @@ from .stream import (
     windowed_link_counts,
     incremental_degree_sink,
     detect_new_hubs,
+    hub_onsets,
     sessionize,
 )
 
@@ -17,5 +18,6 @@ __all__ = [
     "windowed_link_counts",
     "incremental_degree_sink",
     "detect_new_hubs",
+    "hub_onsets",
     "sessionize",
 ]

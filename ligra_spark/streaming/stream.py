@@ -36,6 +36,7 @@ __all__ = [
     "windowed_link_counts",
     "incremental_degree_sink",
     "detect_new_hubs",
+    "hub_onsets",
     "sessionize",
 ]
 
@@ -156,6 +157,39 @@ def detect_new_hubs(links: DataFrame, threshold: int = 5) -> DataFrame:
             stateStructType="total long, emitted int",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def hub_onsets(
+    df: DataFrame,
+    key_col: str = "href",
+    order_cols: tuple[str, ...] = ("ts",),
+    threshold: int = 5,
+) -> DataFrame:
+    """Batch twin of ``detect_new_hubs``: for every key whose total
+    event count reaches ``threshold``, emit ONE row carrying the
+    order-columns of the event that crossed the threshold (the
+    "onset") plus ``in_links = threshold``.
+
+    This is the event-granularity limit of the stateful streaming
+    operator (one row per micro-batch ⇒ the crossing batch total is
+    exactly ``threshold``), so the two are directly comparable — the
+    equivalence is pinned by tests/test_multimodal_streaming.py.  One
+    shuffle (the window partition on the key); the sort is per-key
+    within partitions, never global.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    onset = {f"onset_{c}": F.col(c) for c in order_cols}
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == threshold)
+        .select(
+            F.col(key_col),
+            *[v.alias(k) for k, v in onset.items()],
+            F.lit(threshold).cast("long").alias("in_links"),
         )
     )
 

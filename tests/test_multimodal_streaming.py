@@ -234,6 +234,34 @@ def test_detect_new_hubs_stateful(spark, pages_stream_dir, tmp_path):
         assert 8 <= r["in_links"] <= final[r["url"]]
 
 
+def test_hub_onsets_batch_twin(spark):
+    """hub_onsets is the event-granularity limit of detect_new_hubs:
+    one row per key reaching the threshold, at the crossing event, with
+    in_links == threshold exactly.  Deterministic under ts ties via the
+    secondary order column."""
+    from ligra_spark.streaming import hub_onsets
+
+    rows = (
+        [("a", t, 100 + t) for t in range(7)]          # crosses at t=4
+        + [("b", t, 200 + t) for t in range(3)]        # never crosses
+        + [("c", 0, 301), ("c", 0, 300), ("c", 1, 302),  # ties on ts
+           ("c", 1, 303), ("c", 2, 304), ("c", 2, 305)]  # crosses at (2,304)
+    )
+    df = spark.createDataFrame(rows, "key string, ts int, eid int")
+    out = {
+        r["key"]: (r["onset_ts"], r["onset_eid"], r["in_links"])
+        for r in hub_onsets(
+            df, key_col="key", order_cols=("ts", "eid"), threshold=5
+        ).collect()
+    }
+    assert out == {"a": (4, 104, 5), "c": (2, 304, 5)}
+
+    # the set law shared with the streaming operator's test: emitted
+    # keys == keys whose FINAL count reaches the threshold
+    finals = {k: sum(1 for r in rows if r[0] == k) for k in "abc"}
+    assert set(out) == {k for k, n in finals.items() if n >= 5}
+
+
 # ---------------------------------------------------------- session windows
 def test_sessionize_batch_semantics(spark):
     """Gap-based sessionization pins Spark's closed-boundary

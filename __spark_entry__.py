@@ -616,6 +616,37 @@ def _q_events_rollup(spark, sf):
     )
 
 
+def _q_ecc_kbfs(spark, sf):
+    """Two-phase kBFS eccentricity (kBFS-Ecc.C) over the V=4096
+    symmetric derived graph: per-component hashInt sampling, 64-wave
+    bitmask BFS, fringe re-sample for components > 1024, max merge."""
+    from ligra_spark.apps import ecc_kbfs
+
+    res, _ = ecc_kbfs(_graph(spark, sf, symmetric=True), seed=0)
+    return res
+
+
+V_ECC = 256  # smaller universe for the exact-eccentricity query: the
+# all-sources kBFS is O(n/64) multi-BFS passes by design (kBFS-Exact.C)
+
+
+def _q_ecc_exact(spark, sf):
+    """Exact eccentricity via batched all-sources kBFS
+    (``apps/eccentricity/kBFS-Exact.C``): 4 batches of 64 waves over a
+    V=256 symmetric derived graph, elementwise max across batches."""
+    from ligra_spark.apps import ecc_exact
+    from ligra_spark.graph import LinkGraph
+
+    li = _t(spark, sf, "lineitem")
+    e = li.select(
+        (F.col("l_orderkey") % V_ECC).alias("src"),
+        (F.col("l_partkey") % V_ECC).alias("dst"),
+    )
+    g = LinkGraph.from_edges(spark, e, n=V_ECC, make_symmetric=True)
+    res, _ = ecc_exact(g, batch_size=64)
+    return res
+
+
 def _q_events_hub_onset(spark, sf):
     """Batch twin of the stateful streaming hub detector
     (``streaming.detect_new_hubs`` / applyInPandasWithState): for each
@@ -744,6 +775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": _q_sssp_full,
         "delta_stepping": _q_delta_stepping,
         "ecc_16": _q_ecc_16,
+        "ecc_exact": _q_ecc_exact,
+        "ecc_kbfs": _q_ecc_kbfs,
         "ecc_fm": _q_ecc_fm,
         "ecc_loglog": _q_ecc_loglog,
         "setcover": _q_setcover,
@@ -890,6 +923,126 @@ def _ecc_sql(k: int, n_sources: int = 16) -> str:
         f"WITH e0 AS MATERIALIZED ({EDGES_SQL}),\nes AS MATERIALIZED ({SYM_SQL}),\n"
         f"vis0 AS (SELECT CAST(range AS BIGINT) AS sample, CAST(range AS BIGINT) AS id, "
         f"0 AS level FROM range({n_sources}))"
+    )
+    prev = "vis0"
+    for i in range(1, k + 1):
+        sql += (
+            f",\nf{i} AS MATERIALIZED (SELECT DISTINCT p.sample, e.dst AS id FROM es e "
+            f"JOIN {prev} p ON p.id = e.src AND p.level = {i - 1}),\n"
+            f"nf{i} AS (SELECT sample, id FROM f{i} x WHERE NOT EXISTS "
+            f"(SELECT 1 FROM {prev} v WHERE v.sample = x.sample AND v.id = x.id)),\n"
+            f"vis{i} AS MATERIALIZED (SELECT sample, id, level FROM {prev} "
+            f"UNION ALL SELECT sample, id, {i} AS level FROM nf{i})"
+        )
+        prev = f"vis{i}"
+    return (
+        sql
+        + f"\nSELECT id, CAST(max(level) AS INT) AS ecc FROM {prev} GROUP BY id"
+    )
+
+
+def _ecc_kbfs_sql(
+    kcc: int = 12,
+    kb1: int = 10,
+    kb2: int = 10,
+    seed: int = 0,
+    thresh: int = 1024,
+) -> str:
+    """DuckDB twin of ``apps.ecc.ecc_kbfs``: converged min-label
+    components (chained CTEs), per-component ``hashInt(i + seed) %%
+    size`` sampling with the 64 hash constants inlined (computed by
+    the same bit-exact ``hashing.hash_int32``), multi-source BFS
+    (ecc1 = max level per vertex, size-1 → 0 / size-2 → 1), fringe
+    re-sample (ecc DESC, id DESC) for components above the threshold,
+    second BFS, elementwise max."""
+    import numpy as np
+
+    from ligra_spark.hashing import hash_int32
+
+    hvals = [
+        int(h)
+        for h in hash_int32(np.arange(64, dtype=np.uint32) + np.uint32(seed))
+    ]
+    hs_rows = ", ".join(f"({i}, {h})" for i, h in enumerate(hvals))
+
+    sql = (
+        f"WITH e0 AS MATERIALIZED ({EDGES_SQL}),\n"
+        f"es AS MATERIALIZED ({SYM_SQL}),\n"
+        f"v AS (SELECT CAST(range AS BIGINT) AS id FROM range({V})),\n"
+        "l0 AS (SELECT id, id AS label FROM v)"
+    )
+    prev = "l0"
+    for i in range(1, kcc + 1):
+        sql += (
+            f",\nm{i} AS MATERIALIZED (SELECT es.dst AS id, min({prev}.label) AS minl\n"
+            f"  FROM es JOIN {prev} ON {prev}.id = es.src GROUP BY es.dst),\n"
+            f"l{i} AS MATERIALIZED (SELECT {prev}.id, least({prev}.label, "
+            f"coalesce(m{i}.minl, {prev}.label)) AS label\n"
+            f"  FROM {prev} LEFT JOIN m{i} ON m{i}.id = {prev}.id)"
+        )
+        prev = f"l{i}"
+    sql += (
+        f",\npos AS MATERIALIZED (SELECT id, label AS component,\n"
+        f"  row_number() OVER (PARTITION BY label ORDER BY id) - 1 AS pos,\n"
+        f"  count(*) OVER (PARTITION BY label) AS csize FROM {prev}),\n"
+        f"hs AS (SELECT * FROM (VALUES {hs_rows}) AS t(i, h)),\n"
+        "comps AS (SELECT DISTINCT component, csize FROM pos WHERE csize > 2),\n"
+        "chosen AS (SELECT DISTINCT c.component, h.h % c.csize AS pos\n"
+        "  FROM comps c JOIN hs h ON h.i < least(c.csize, 64)),\n"
+        "src1 AS (SELECT p.id FROM chosen ch JOIN pos p\n"
+        "  ON p.component = ch.component AND p.pos = ch.pos),\n"
+        "w1_0 AS (SELECT id AS sample, id, 0 AS level FROM src1)"
+    )
+    prev = "w1_0"
+    for i in range(1, kb1 + 1):
+        sql += (
+            f",\nf1_{i} AS MATERIALIZED (SELECT DISTINCT p.sample, e.dst AS id FROM es e "
+            f"JOIN {prev} p ON p.id = e.src AND p.level = {i - 1}),\n"
+            f"n1_{i} AS (SELECT sample, id FROM f1_{i} x WHERE NOT EXISTS "
+            f"(SELECT 1 FROM {prev} v WHERE v.sample = x.sample AND v.id = x.id)),\n"
+            f"w1_{i} AS MATERIALIZED (SELECT sample, id, level FROM {prev} "
+            f"UNION ALL SELECT sample, id, {i} AS level FROM n1_{i})"
+        )
+        prev = f"w1_{i}"
+    sql += (
+        f",\necc1 AS MATERIALIZED (SELECT p.id, p.component, p.csize,\n"
+        "  CASE WHEN p.csize = 1 THEN 0 WHEN p.csize = 2 THEN 1\n"
+        "       ELSE coalesce(m.e, 0) END AS ecc\n"
+        f"  FROM pos p LEFT JOIN (SELECT id, max(level) AS e FROM {prev} "
+        "GROUP BY id) m ON m.id = p.id),\n"
+        "src2 AS (SELECT id FROM (SELECT id, csize, ecc,\n"
+        "  row_number() OVER (PARTITION BY component ORDER BY ecc DESC, id DESC) AS rk\n"
+        f"  FROM ecc1 WHERE csize > {thresh}) r WHERE rk <= least(csize, 64)),\n"
+        "w2_0 AS (SELECT id AS sample, id, 0 AS level FROM src2)"
+    )
+    prev = "w2_0"
+    for i in range(1, kb2 + 1):
+        sql += (
+            f",\nf2_{i} AS MATERIALIZED (SELECT DISTINCT p.sample, e.dst AS id FROM es e "
+            f"JOIN {prev} p ON p.id = e.src AND p.level = {i - 1}),\n"
+            f"n2_{i} AS (SELECT sample, id FROM f2_{i} x WHERE NOT EXISTS "
+            f"(SELECT 1 FROM {prev} v WHERE v.sample = x.sample AND v.id = x.id)),\n"
+            f"w2_{i} AS MATERIALIZED (SELECT sample, id, level FROM {prev} "
+            f"UNION ALL SELECT sample, id, {i} AS level FROM n2_{i})"
+        )
+        prev = f"w2_{i}"
+    return sql + (
+        f"\nSELECT e1.id, CAST(greatest(e1.ecc, coalesce(m2.e, 0)) AS INT) AS ecc\n"
+        f"FROM ecc1 e1 LEFT JOIN (SELECT id, max(level) AS e FROM {prev} "
+        "GROUP BY id) m2 ON m2.id = e1.id"
+    )
+
+
+def _ecc_exact_sql(k: int, v: int = V_ECC) -> str:
+    """All-sources multi-BFS over the V=256 symmetric derived graph:
+    exact ecc(u) = max over sources s of dist(s, u).  Same chained-CTE
+    shape as ``_ecc_sql`` with every vertex a source (the kBFS-Exact
+    batching is a Spark-side cost split — the fixpoint is identical)."""
+    edges = f"SELECT l_orderkey % {v} AS src, l_partkey % {v} AS dst FROM lineitem"
+    sql = (
+        f"WITH e0 AS MATERIALIZED ({edges}),\nes AS MATERIALIZED ({SYM_SQL}),\n"
+        f"vis0 AS (SELECT CAST(range AS BIGINT) AS sample, CAST(range AS BIGINT) AS id, "
+        f"0 AS level FROM range({v}))"
     )
     prev = "vis0"
     for i in range(1, k + 1):
@@ -1958,6 +2111,10 @@ def oracle_sql() -> dict[str, str]:
         "sssp": _sssp_sql(18),
         "delta_stepping": _sssp_sql(18),
         "ecc_16": _ecc_sql(12),
+        # measured max distance 2 at sf0.01 (V=256 is dense); 2x margin
+        "ecc_exact": _ecc_exact_sql(4),
+        # cc fixpoint 5, wave depth <= diameter 6 at sf0.01; margins
+        "ecc_kbfs": _ecc_kbfs_sql(12, 10, 10),
         "lp_k2": _lp_sql(2),
         # Formerly rows-only — fixed-depth chained-CTE transcriptions
         # (depths measured at the sf0.01 gate; see each builder):

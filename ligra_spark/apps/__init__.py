@@ -14,7 +14,7 @@ from .cf import cf_sgd
 from .bfscc import bfscc
 from .delta_stepping import delta_stepping
 from .kcore_julienne import kcore_julienne
-from .ecc import ecc_estimate
+from .ecc import ecc_estimate, ecc_exact, ecc_kbfs
 from .setcover import setcover
 from .hyper import (
     hyper_bc,
@@ -28,6 +28,7 @@ from .hyper import (
     hyper_sssp,
 )
 from .ecc_fm import ecc_fm
+from .ecc_tk import ecc_tk
 from .ecc_loglog import ecc_loglog
 
 __all__ = [
@@ -45,6 +46,9 @@ __all__ = [
     "delta_stepping",
     "kcore_julienne",
     "ecc_estimate",
+    "ecc_exact",
+    "ecc_kbfs",
+    "ecc_tk",
     "ecc_fm",
     "ecc_loglog",
     "pagerank",

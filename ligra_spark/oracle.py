@@ -345,6 +345,145 @@ def fm_masks(n: int, length: int = 2, seed: int = 0) -> np.ndarray:
     return out
 
 
+def ecc_exact(
+    n: int, src: np.ndarray, dst: np.ndarray, batch_size: int = 64
+) -> tuple[np.ndarray, int]:
+    """Exact eccentricity (``apps/eccentricity/kBFS-Exact.C:87-135``):
+    every vertex is a BFS source in exactly one batch of
+    ``batch_size`` consecutive ids; ecc[v] = max over reaching sources
+    of dist(s, v) (0-init for never-reached, as the reference).
+    Rounds per batch = last mask-change round + 1 (the empty closing
+    superstep the wave loop runs to detect quiescence); returned total
+    is the sum across batches."""
+    ecc = np.zeros(n, dtype=np.int64)
+    total_rounds = 0
+    for start in range(0, n, batch_size):
+        batch_max = 0
+        for s in range(start, min(start + batch_size, n)):
+            lv = bfs_levels(n, src, dst, root=s)
+            reach = lv >= 0
+            ecc[reach] = np.maximum(ecc[reach], lv[reach])
+            if reach.any():
+                batch_max = max(batch_max, int(lv[reach].max()))
+        total_rounds += batch_max + 1
+    return ecc, total_rounds
+
+
+def ecc_kbfs(
+    n: int,
+    src: np.ndarray,
+    dst: np.ndarray,
+    seed: int = 0,
+    phase2_threshold: int | None = 1024,
+) -> tuple[np.ndarray, int]:
+    """Two-phase kBFS eccentricity (``kBFS-Ecc.C:110-290``;
+    ``phase2_threshold=None`` = ``kBFS-1Phase-Ecc.C``), combined-run
+    formulation: all components' waves in one pass, so rounds = (max
+    wave depth + 1) per phase.  Size-1 components → 0, size-2 → 1;
+    phase-1 sources per larger component = the DISTINCT positions
+    ``hashInt(i + seed) %% size`` for i < min(size, 64); phase-2
+    sources (components larger than the threshold) = the min(size, 64)
+    members with highest phase-1 ecc, ties to larger id."""
+    from .hashing import hash_int32
+
+    comp = components(n, src, dst)
+    ecc = np.zeros(n, dtype=np.int64)
+    hvals = hash_int32(np.arange(64, dtype=np.uint32) + np.uint32(seed))
+
+    def wave(source_ids: np.ndarray) -> tuple[np.ndarray, int]:
+        e = np.zeros(n, dtype=np.int64)
+        depth = -1
+        for s in source_ids:
+            lv = bfs_levels(n, src, dst, root=int(s))
+            reach = lv >= 0
+            e[reach] = np.maximum(e[reach], lv[reach])
+            if reach.any():
+                depth = max(depth, int(lv[reach].max()))
+        # rounds = max wave depth + 1 (the closing no-change superstep)
+        return e, (depth + 1 if len(source_ids) else 0)
+
+    members_by_comp: dict[int, np.ndarray] = {}
+    for c in np.unique(comp):
+        members_by_comp[int(c)] = np.flatnonzero(comp == c)
+
+    src1 = []
+    for c, members in members_by_comp.items():
+        size = len(members)
+        if size == 1:
+            continue
+        if size == 2:
+            ecc[members] = 1
+            continue
+        k = min(size, 64)
+        idxs = sorted({int(hvals[i]) % size for i in range(k)})
+        src1.extend(int(members[j]) for j in idxs)
+    e1, r1 = wave(np.array(sorted(src1), dtype=np.int64))
+    for c, members in members_by_comp.items():
+        if len(members) > 2:
+            ecc[members] = e1[members]
+
+    r2 = 0
+    if phase2_threshold is not None:
+        src2 = []
+        for c, members in members_by_comp.items():
+            size = len(members)
+            if size <= phase2_threshold:
+                continue
+            order = sorted(members, key=lambda v: (-ecc[v], -v))
+            src2.extend(int(v) for v in order[: min(size, 64)])
+        if src2:
+            e2, r2 = wave(np.array(sorted(src2), dtype=np.int64))
+            for c, members in members_by_comp.items():
+                if len(members) > phase2_threshold:
+                    ecc[members] = np.maximum(ecc[members], e2[members])
+    return ecc, r1 + r2
+
+
+def ecc_tk(n: int, src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, int]:
+    """Takes-Kosters exact eccentricity (``TK.C:74-206``): per
+    component bound loop — odd iterations BFS from the argmax-upper
+    vertex, even from argmin-lower (ties to largest id, the
+    reference's rightmost-reduce over the ascending-id active list);
+    v converges when lower == upper.  Returns (ecc, max per-component
+    iteration count — the combined-run schedule)."""
+    INF = (1 << 31) - 1
+    comp = components(n, src, dst)
+    ecc = np.zeros(n, dtype=np.int64)
+    iters_max = 0
+    for c in np.unique(comp):
+        members = np.flatnonzero(comp == c)
+        size = len(members)
+        if size == 1:
+            continue
+        if size == 2:
+            ecc[members] = 1
+            continue
+        W = list(members)
+        lower = {int(v): 0 for v in W}
+        upper = {int(v): INF for v in W}
+        t = 0
+        while W:
+            t += 1
+            if t % 2 == 1:
+                w = max(W, key=lambda v: (upper[v], v))
+            else:
+                w = max(W, key=lambda v: (-lower[v], v))
+            lv = bfs_levels(n, src, dst, root=int(w))
+            ecc_w = int(lv[members].max())
+            nw = []
+            for v in W:
+                d = int(lv[v])
+                lower[v] = max(lower[v], ecc_w - d, d)
+                upper[v] = min(upper[v], ecc_w + d)
+                if lower[v] == upper[v]:
+                    ecc[v] = lower[v]
+                else:
+                    nw.append(v)
+            W = nw
+        iters_max = max(iters_max, t)
+    return ecc, iters_max
+
+
 def ecc_fm(
     n: int, src: np.ndarray, dst: np.ndarray, length: int = 2, seed: int = 0
 ) -> tuple[np.ndarray, int]:

@@ -93,3 +93,84 @@ def test_ecc_loglog_matches_oracle(tiny_graph_sym, tiny_sym):
     got = np.array(_by_id(got_df, "ecc", n))
     assert rounds == oracle_rounds
     np.testing.assert_array_equal(got, expected)
+
+
+def test_ecc_exact_matches_oracle(tiny_graph_sym, tiny_sym):
+    """kBFS-Exact: batched all-sources kBFS with elementwise max merge
+    equals per-source BFS eccentricity on the sample graph, including
+    the per-batch round schedule (2 batches at n=128)."""
+    from ligra_spark.apps import ecc_exact
+
+    n, src, dst = tiny_sym
+    expected, oracle_rounds = oracle.ecc_exact(n, src, dst, batch_size=64)
+    got_df, rounds = ecc_exact(tiny_graph_sym, batch_size=64)
+    got = np.array(_by_id(got_df, "ecc", n, fill=0))
+    assert rounds == oracle_rounds
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_ecc_kbfs_matches_oracle(tiny_graph_sym, tiny_sym):
+    """kBFS-Ecc phase 1 (hashed per-component sampling) on the sample
+    graph: values and combined-run round count match the numpy
+    transcription.  Default threshold (1024) means no phase 2 at
+    n=128 — the two-phase path is pinned by the test below."""
+    from ligra_spark.apps import ecc_kbfs
+
+    n, src, dst = tiny_sym
+    expected, oracle_rounds = oracle.ecc_kbfs(n, src, dst, seed=5)
+    got_df, rounds = ecc_kbfs(tiny_graph_sym, seed=5)
+    got = np.array(_by_id(got_df, "ecc", n, fill=0))
+    assert rounds == oracle_rounds
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_ecc_kbfs_two_phase_matches_oracle(tiny_graph_sym, tiny_sym):
+    """Lowering the phase-2 trigger exercises the fringe re-sample
+    (highest phase-1 ecc, ties to larger id) and the max-merge."""
+    from ligra_spark.apps import ecc_kbfs
+
+    n, src, dst = tiny_sym
+    expected, oracle_rounds = oracle.ecc_kbfs(n, src, dst, seed=5, phase2_threshold=16)
+    got_df, rounds = ecc_kbfs(tiny_graph_sym, seed=5, phase2_threshold=16)
+    got = np.array(_by_id(got_df, "ecc", n, fill=0))
+    assert rounds == oracle_rounds
+    np.testing.assert_array_equal(got, expected)
+
+
+def _tk_case(spark, n, src, dst):
+    from ligra_spark.apps import ecc_tk
+    from ligra_spark.graph import LinkGraph
+    from tests.conftest import edges_df
+
+    g = LinkGraph.from_edges(spark, edges_df(spark, src, dst), n=n, symmetric=True)
+    expected, oracle_iters = oracle.ecc_tk(n, src, dst)
+    got_df, iters = ecc_tk(g)
+    got = np.array(_by_id(got_df, "ecc", n, fill=0))
+    assert iters == oracle_iters
+    np.testing.assert_array_equal(got, expected)
+    # TK is exact: cross-check against the all-sources oracle
+    exact, _ = oracle.ecc_exact(n, src, dst)
+    np.testing.assert_array_equal(got, exact)
+
+
+def test_ecc_tk_multi_component(spark):
+    """TK on a path + triangle + isolated vertices: exercises the
+    size-1/size-2 shortcuts and simultaneous multi-component
+    candidate selection (4 combined iterations)."""
+    from ligra_spark.rmat import make_symmetric
+
+    src = np.concatenate([np.arange(9), [20, 21, 22]])
+    dst = np.concatenate([np.arange(1, 10), [21, 22, 20]])
+    s, d = make_symmetric(src, dst)
+    _tk_case(spark, 23, s, d)
+
+
+def test_ecc_tk_rmat(spark):
+    """TK on a 64-vertex rMat graph (10 iterations): pins the
+    odd/even argmax-upper/argmin-lower alternation and the
+    largest-id tie-break against the transcription."""
+    from ligra_spark.rmat import make_symmetric, rmat_edges
+
+    src, dst = rmat_edges(64, 160, seed=1)
+    s, d = make_symmetric(src, dst)
+    _tk_case(spark, 64, s, d)

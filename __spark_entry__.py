@@ -616,6 +616,35 @@ def _q_events_rollup(spark, sf):
     )
 
 
+def _q_ecc_simple_approx(spark, sf):
+    """Simple 2-approx eccentricity (Simple-Approx-Ecc.C): one pinned
+    BFS per component over the V=4096 symmetric derived graph, depth
+    assigned to every member."""
+    from ligra_spark.apps import ecc_simple_approx
+
+    res, _ = ecc_simple_approx(_graph(spark, sf, symmetric=True), seed=0)
+    return res
+
+
+def _q_ecc_clrstv(spark, sf):
+    """CLRSTV eccentricity estimator (CLRSTV.C) over the V=4096
+    symmetric derived graph: sample/w/Ngh BFS scaffold, all-source
+    max(d, ecc-d) combination for non-BFS'd vertices."""
+    from ligra_spark.apps import ecc_clrstv
+
+    res, _ = ecc_clrstv(_graph(spark, sf, symmetric=True), seed=0)
+    return res
+
+
+def _q_ecc_rv(spark, sf):
+    """RV eccentricity estimator (RV.C): the CLRSTV scaffold plus
+    min-parent Ngh-index propagation and the vt consult rule."""
+    from ligra_spark.apps import ecc_rv
+
+    res, _ = ecc_rv(_graph(spark, sf, symmetric=True), seed=0)
+    return res
+
+
 def _q_ecc_kbfs(spark, sf):
     """Two-phase kBFS eccentricity (kBFS-Ecc.C) over the V=4096
     symmetric derived graph: per-component hashInt sampling, 64-wave
@@ -777,6 +806,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ecc_16": _q_ecc_16,
         "ecc_exact": _q_ecc_exact,
         "ecc_kbfs": _q_ecc_kbfs,
+        "ecc_simple_approx": _q_ecc_simple_approx,
+        "ecc_clrstv": _q_ecc_clrstv,
+        "ecc_rv": _q_ecc_rv,
         "ecc_fm": _q_ecc_fm,
         "ecc_loglog": _q_ecc_loglog,
         "setcover": _q_setcover,
@@ -1030,6 +1062,260 @@ def _ecc_kbfs_sql(
         f"\nSELECT e1.id, CAST(greatest(e1.ecc, coalesce(m2.e, 0)) AS INT) AS ecc\n"
         f"FROM ecc1 e1 LEFT JOIN (SELECT id, max(level) AS e FROM {prev} "
         "GROUP BY id) m2 ON m2.id = e1.id"
+    )
+
+
+def _ecc_simple_approx_sql(kcc: int = 12, kb: int = 12, seed: int = 0) -> str:
+    """DuckDB twin of ``apps.ecc.ecc_simple_approx``: converged
+    components, per-component source at position hashInt(seed) %% size,
+    one multi-source BFS, per-component max level assigned to every
+    member (size-1 → 0, size-2 → 1)."""
+    import numpy as np
+
+    from ligra_spark.hashing import hash_int32
+
+    h = int(hash_int32(np.uint32(seed)))
+    sql = (
+        f"WITH e0 AS MATERIALIZED ({EDGES_SQL}),\n"
+        f"es AS MATERIALIZED ({SYM_SQL}),\n"
+        f"v AS (SELECT CAST(range AS BIGINT) AS id FROM range({V})),\n"
+        "l0 AS (SELECT id, id AS label FROM v)"
+    )
+    prev = "l0"
+    for i in range(1, kcc + 1):
+        sql += (
+            f",\nm{i} AS MATERIALIZED (SELECT es.dst AS id, min({prev}.label) AS minl\n"
+            f"  FROM es JOIN {prev} ON {prev}.id = es.src GROUP BY es.dst),\n"
+            f"l{i} AS MATERIALIZED (SELECT {prev}.id, least({prev}.label, "
+            f"coalesce(m{i}.minl, {prev}.label)) AS label\n"
+            f"  FROM {prev} LEFT JOIN m{i} ON m{i}.id = {prev}.id)"
+        )
+        prev = f"l{i}"
+    sql += (
+        f",\npos AS MATERIALIZED (SELECT id, label AS component,\n"
+        f"  row_number() OVER (PARTITION BY label ORDER BY id) - 1 AS pos,\n"
+        f"  count(*) OVER (PARTITION BY label) AS csize FROM {prev}),\n"
+        f"src AS (SELECT id FROM pos WHERE csize > 2 AND pos = {h} % csize),\n"
+        "w0 AS (SELECT id AS sample, id, 0 AS level FROM src)"
+    )
+    prev = "w0"
+    for i in range(1, kb + 1):
+        sql += (
+            f",\nf{i} AS MATERIALIZED (SELECT DISTINCT p.sample, e.dst AS id FROM es e "
+            f"JOIN {prev} p ON p.id = e.src AND p.level = {i - 1}),\n"
+            f"nf{i} AS (SELECT sample, id FROM f{i} x WHERE NOT EXISTS "
+            f"(SELECT 1 FROM {prev} v WHERE v.sample = x.sample AND v.id = x.id)),\n"
+            f"w{i} AS MATERIALIZED (SELECT sample, id, level FROM {prev} "
+            f"UNION ALL SELECT sample, id, {i} AS level FROM nf{i})"
+        )
+        prev = f"w{i}"
+    return sql + (
+        f",\nce AS (SELECT p.component, max(w.level) AS ecc_w\n"
+        f"  FROM {prev} w JOIN pos p ON p.id = w.id GROUP BY p.component)\n"
+        "SELECT p.id, CAST(CASE WHEN p.csize = 1 THEN 0 WHEN p.csize = 2 THEN 1\n"
+        "  ELSE coalesce(ce.ecc_w, 0) END AS INT) AS ecc\n"
+        "FROM pos p LEFT JOIN ce ON ce.component = p.component"
+    )
+
+
+_H32_T = 1 << 32
+_H32_C = [0x7ED55D16, 0xC761C23C, 0x165667B1, 0xD3A2646C, 0xFD7046C5, 0xB55A4F09]
+
+
+def _h32_sql(inner: str, keep: str) -> str:
+    """``hashInt(uint)`` (``utils.h:366-374``) in DuckDB: BIGINT
+    modular arithmetic over ``inner`` (must yield ``keep`` columns plus
+    ``a`` in [0, 2^32)).  Yields (keep..., g).  Bit-exact twin of
+    ``ligra_spark.hashing.hash_int32`` (tested there vs Spark)."""
+    T, C = _H32_T, _H32_C
+    return (
+        f"SELECT {keep}, xor(xor(f, {C[5]}), f // {1 << 16}) AS g FROM (\n"
+        f" SELECT {keep}, (e + {C[4]} + e * {1 << 3}) % {T} AS f FROM (\n"
+        f"  SELECT {keep}, xor((d + {C[3]}) % {T}, (d * {1 << 9}) % {T}) AS e FROM (\n"
+        f"   SELECT {keep}, (c + {C[2]} + c * {1 << 5}) % {T} AS d FROM (\n"
+        f"    SELECT {keep}, xor(xor(b, {C[1]}), b // {1 << 19}) AS c FROM (\n"
+        f"     SELECT {keep}, (a + {C[0]} + a * {1 << 12}) % {T} AS b FROM (\n"
+        f"      {inner}))))))"
+    )
+
+
+def _rv_scaffold_sql(kcc: int, kb: int, seed: int) -> str:
+    """Shared WITH-chain for the RV/CLRSTV oracles (components,
+    positional hashInt sampling with fallback + cap, per-sample BFS
+    pair tables, furthest-w, w-BFS, Ngh ranking, per-Ngh BFS pair
+    tables) — see ``apps.ecc_rv`` for the pinned semantics.  Ends
+    after CTE definitions; callers append their final select."""
+    import numpy as np
+
+    from ligra_spark.apps.ecc_rv import _max_sample_size, _params
+    from ligra_spark.hashing import hash_int32
+
+    h0 = int(hash_int32(np.uint32(seed)))
+    cap = _max_sample_size(V)
+    par_rows = ", ".join(
+        f"({c}, {_params(c)[1]}, {_params(c)[2]})" for c in range(3, V + 1)
+    )
+
+    sql = (
+        f"WITH e0 AS MATERIALIZED ({EDGES_SQL}),\n"
+        f"es AS MATERIALIZED ({SYM_SQL}),\n"
+        f"v AS (SELECT CAST(range AS BIGINT) AS id FROM range({V})),\n"
+        "l0 AS (SELECT id, id AS label FROM v)"
+    )
+    prev = "l0"
+    for i in range(1, kcc + 1):
+        sql += (
+            f",\ncm{i} AS MATERIALIZED (SELECT es.dst AS id, min({prev}.label) AS minl\n"
+            f"  FROM es JOIN {prev} ON {prev}.id = es.src GROUP BY es.dst),\n"
+            f"l{i} AS MATERIALIZED (SELECT {prev}.id, least({prev}.label, "
+            f"coalesce(cm{i}.minl, {prev}.label)) AS label\n"
+            f"  FROM {prev} LEFT JOIN cm{i} ON cm{i}.id = {prev}.id)"
+        )
+        prev = f"l{i}"
+    hash_inner = (
+        f"SELECT id, component, pos, csize, (pos + {seed}) % {_H32_T} AS a\n"
+        "      FROM pos WHERE csize > 2"
+    )
+    sql += (
+        f",\npos AS MATERIALIZED (SELECT id, label AS component,\n"
+        f"  row_number() OVER (PARTITION BY label ORDER BY id) - 1 AS pos,\n"
+        f"  count(*) OVER (PARTITION BY label) AS csize FROM {prev}),\n"
+        f"par AS (SELECT * FROM (VALUES {par_rows}) AS t(csize, ssize, nsize)),\n"
+        f"hh AS MATERIALIZED ({_h32_sql(hash_inner, 'id, component, pos, csize')}),\n"
+        "samp0 AS (SELECT hh.id, hh.component, hh.pos FROM hh JOIN par USING (csize)\n"
+        "  WHERE g % csize < ssize),\n"
+        "sampcap AS (SELECT id, component FROM (SELECT id, component,\n"
+        "  row_number() OVER (PARTITION BY component ORDER BY pos) AS rk FROM samp0) r\n"
+        f"  WHERE rk <= {cap}),\n"
+        "fb AS (SELECT p.id, p.component FROM pos p JOIN (\n"
+        f"  SELECT component, {h0} % csize AS pos FROM\n"
+        "    (SELECT DISTINCT component, csize FROM pos WHERE csize > 2) c\n"
+        "  WHERE component NOT IN (SELECT DISTINCT component FROM sampcap)) m\n"
+        "  ON m.component = p.component AND m.pos = p.pos),\n"
+        "src1 AS MATERIALIZED (SELECT * FROM sampcap UNION ALL SELECT * FROM fb),\n"
+        "p1_0 AS (SELECT id AS sample, id, 0 AS level FROM src1)"
+    )
+    prev = "p1_0"
+    for i in range(1, kb + 1):
+        sql += (
+            f",\npf1_{i} AS MATERIALIZED (SELECT DISTINCT p.sample, e.dst AS id FROM es e "
+            f"JOIN {prev} p ON p.id = e.src AND p.level = {i - 1}),\n"
+            f"pn1_{i} AS (SELECT sample, id FROM pf1_{i} x WHERE NOT EXISTS "
+            f"(SELECT 1 FROM {prev} v WHERE v.sample = x.sample AND v.id = x.id)),\n"
+            f"p1_{i} AS MATERIALIZED (SELECT sample, id, level FROM {prev} "
+            f"UNION ALL SELECT sample, id, {i} AS level FROM pn1_{i})"
+        )
+        prev = f"p1_{i}"
+    p1 = prev
+    sql += (
+        f",\nsample_ecc AS MATERIALIZED (SELECT sample, max(level) AS se FROM {p1} GROUP BY sample),\n"
+        f"mind AS (SELECT id, min(level) AS mind FROM {p1} GROUP BY id),\n"
+        "wt AS MATERIALIZED (SELECT id, component FROM (SELECT p.id, p.component,\n"
+        "  row_number() OVER (PARTITION BY p.component ORDER BY m.mind DESC, p.id DESC) AS rk\n"
+        "  FROM pos p JOIN mind m ON m.id = p.id WHERE p.csize > 2) r WHERE rk = 1),\n"
+        "w_0 AS (SELECT id, 0 AS level FROM wt)"
+    )
+    prev = "w_0"
+    for i in range(1, kb + 1):
+        sql += (
+            f",\nwf{i} AS MATERIALIZED (SELECT DISTINCT e.dst AS id FROM es e "
+            f"JOIN {prev} p ON p.id = e.src AND p.level = {i - 1}),\n"
+            f"wn{i} AS (SELECT id FROM wf{i} WHERE id NOT IN (SELECT id FROM {prev})),\n"
+            f"w_{i} AS MATERIALIZED (SELECT id, level FROM {prev} "
+            f"UNION ALL SELECT id, {i} AS level FROM wn{i})"
+        )
+        prev = f"w_{i}"
+    wk = prev
+    sql += (
+        f",\nw_ecc AS (SELECT p.component, max(w.level) AS we FROM {wk} w "
+        "JOIN pos p USING (id) GROUP BY p.component),\n"
+        f"ngh AS MATERIALIZED (SELECT id, component, level, rk - 1 AS ngh_idx FROM (\n"
+        f"  SELECT p.id, p.component, w.level, pp.nsize,\n"
+        "  row_number() OVER (PARTITION BY p.component ORDER BY w.level, p.id) AS rk\n"
+        f"  FROM pos p JOIN {wk} w USING (id) JOIN par pp USING (csize)) r\n"
+        "  WHERE rk <= nsize),\n"
+        "p2_0 AS (SELECT id AS sample, id, 0 AS level FROM ngh)"
+    )
+    prev = "p2_0"
+    for i in range(1, kb + 1):
+        sql += (
+            f",\npf2_{i} AS MATERIALIZED (SELECT DISTINCT p.sample, e.dst AS id FROM es e "
+            f"JOIN {prev} p ON p.id = e.src AND p.level = {i - 1}),\n"
+            f"pn2_{i} AS (SELECT sample, id FROM pf2_{i} x WHERE NOT EXISTS "
+            f"(SELECT 1 FROM {prev} v WHERE v.sample = x.sample AND v.id = x.id)),\n"
+            f"p2_{i} AS MATERIALIZED (SELECT sample, id, level FROM {prev} "
+            f"UNION ALL SELECT sample, id, {i} AS level FROM pn2_{i})"
+        )
+        prev = f"p2_{i}"
+    p2 = prev
+    sql += (
+        f",\nngh_ecc AS MATERIALIZED (SELECT sample, max(level) AS ne FROM {p2} GROUP BY sample),\n"
+        "exact AS MATERIALIZED (SELECT id, max(ex) AS exact FROM (\n"
+        "  SELECT s.id, e.se AS ex FROM src1 s JOIN sample_ecc e ON e.sample = s.id\n"
+        "  UNION ALL SELECT wt.id, w_ecc.we AS ex FROM wt JOIN w_ecc USING (component)\n"
+        "  UNION ALL SELECT n.id, e.ne AS ex FROM ngh n JOIN ngh_ecc e ON e.sample = n.id) u\n"
+        "  GROUP BY id)"
+    )
+    return sql, p1, p2, wk
+
+
+def _ecc_clrstv_sql(kcc: int = 12, kb: int = 10, seed: int = 0) -> str:
+    sql, p1, p2, wk = _rv_scaffold_sql(kcc, kb, seed)
+    return sql + (
+        f",\nest1 AS (SELECT p.id, max(greatest(p.level, e.se - p.level)) AS e1\n"
+        f"  FROM {p1} p JOIN sample_ecc e USING (sample) GROUP BY p.id),\n"
+        f"est2 AS (SELECT p.id, max(greatest(p.level, e.ne - p.level)) AS e2\n"
+        f"  FROM {p2} p JOIN ngh_ecc e USING (sample) GROUP BY p.id)\n"
+        "SELECT p.id, CAST(CASE WHEN p.csize = 1 THEN 0 WHEN p.csize = 2 THEN 1\n"
+        "  WHEN x.exact IS NOT NULL THEN x.exact\n"
+        "  ELSE greatest(e1.e1, greatest(wl.level, we.we - wl.level), e2.e2) END AS INT) AS ecc\n"
+        "FROM pos p LEFT JOIN exact x USING (id)\n"
+        "LEFT JOIN est1 e1 USING (id) LEFT JOIN est2 e2 USING (id)\n"
+        f"LEFT JOIN {wk} wl USING (id) LEFT JOIN w_ecc we USING (component)"
+    )
+
+
+def _ecc_rv_sql(kcc: int = 12, kb: int = 10, seed: int = 0) -> str:
+    sql, p1, p2, wk = _rv_scaffold_sql(kcc, kb, seed)
+    # min-parent Ngh-index propagation down the w-BFS tree
+    sql += ",\neff0 AS (SELECT id, ngh_idx AS eff FROM ngh WHERE level = 0)"
+    sec_names = []
+    for i in range(1, kb + 1):
+        prev_eff = f"eff{i - 1}"
+        sql += (
+            f",\nsc{i} AS MATERIALIZED (SELECT c.id, min(e.eff) AS sec\n"
+            f"  FROM {prev_eff} e JOIN es ON es.src = e.id\n"
+            f"  JOIN (SELECT id FROM {wk} WHERE level = {i}) c ON c.id = es.dst\n"
+            "  GROUP BY c.id),\n"
+            f"eff{i} AS (SELECT s.id, coalesce(n.ngh_idx, s.sec) AS eff\n"
+            f"  FROM sc{i} s LEFT JOIN ngh n USING (id))"
+        )
+        sec_names.append(f"SELECT id, sec FROM sc{i}")
+    sec_union = " UNION ALL ".join(sec_names)
+    return sql + (
+        f",\nsec_all AS MATERIALIZED ({sec_union}),\n"
+        f"maxd1 AS (SELECT id, max(level) AS maxd1 FROM {p1} GROUP BY id),\n"
+        "minr AS (SELECT s.component, min(e.se) AS min_r FROM src1 s\n"
+        "  JOIN sample_ecc e ON e.sample = s.id GROUP BY s.component),\n"
+        "vt AS (SELECT s.id, n.id AS vt_id FROM sec_all s\n"
+        "  JOIN pos p USING (id)\n"
+        "  JOIN ngh n ON n.component = p.component AND n.ngh_idx = s.sec),\n"
+        f"dvtw AS (SELECT p2.sample AS vt_id, p2.level AS d_vt_w FROM {p2} p2\n"
+        "  JOIN wt ON wt.id = p2.id),\n"
+        f"est AS (SELECT vt.id, d.level AS d_vt_v, dw.d_vt_w, ne.ne AS vt_ecc\n"
+        f"  FROM vt JOIN {p2} d ON d.sample = vt.vt_id AND d.id = vt.id\n"
+        "  JOIN dvtw dw ON dw.vt_id = vt.vt_id\n"
+        "  JOIN ngh_ecc ne ON ne.sample = vt.vt_id)\n"
+        "SELECT p.id, CAST(CASE WHEN p.csize = 1 THEN 0 WHEN p.csize = 2 THEN 1\n"
+        "  WHEN x.exact IS NOT NULL THEN x.exact\n"
+        "  WHEN est.d_vt_v <= est.d_vt_w\n"
+        "    THEN greatest(greatest(m.maxd1, wl.level), est.vt_ecc)\n"
+        "  ELSE greatest(greatest(m.maxd1, wl.level), mr.min_r) END AS INT) AS ecc\n"
+        "FROM pos p LEFT JOIN exact x USING (id)\n"
+        "LEFT JOIN maxd1 m USING (id)\n"
+        f"LEFT JOIN {wk} wl USING (id)\n"
+        "LEFT JOIN est USING (id)\n"
+        "LEFT JOIN minr mr USING (component)"
     )
 
 
@@ -2115,6 +2401,9 @@ def oracle_sql() -> dict[str, str]:
         "ecc_exact": _ecc_exact_sql(4),
         # cc fixpoint 5, wave depth <= diameter 6 at sf0.01; margins
         "ecc_kbfs": _ecc_kbfs_sql(12, 10, 10),
+        "ecc_simple_approx": _ecc_simple_approx_sql(12, 12),
+        "ecc_clrstv": _ecc_clrstv_sql(12, 10),
+        "ecc_rv": _ecc_rv_sql(12, 10),
         "lp_k2": _lp_sql(2),
         # Formerly rows-only — fixed-depth chained-CTE transcriptions
         # (depths measured at the sf0.01 gate; see each builder):

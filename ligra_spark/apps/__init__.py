@@ -14,7 +14,7 @@ from .cf import cf_sgd
 from .bfscc import bfscc
 from .delta_stepping import delta_stepping
 from .kcore_julienne import kcore_julienne
-from .ecc import ecc_estimate, ecc_exact, ecc_kbfs
+from .ecc import ecc_estimate, ecc_exact, ecc_kbfs, ecc_simple_approx
 from .setcover import setcover
 from .hyper import (
     hyper_bc,
@@ -28,6 +28,7 @@ from .hyper import (
     hyper_sssp,
 )
 from .ecc_fm import ecc_fm
+from .ecc_rv import ecc_clrstv, ecc_rv
 from .ecc_tk import ecc_tk
 from .ecc_loglog import ecc_loglog
 
@@ -48,6 +49,9 @@ __all__ = [
     "ecc_estimate",
     "ecc_exact",
     "ecc_kbfs",
+    "ecc_simple_approx",
+    "ecc_clrstv",
+    "ecc_rv",
     "ecc_tk",
     "ecc_fm",
     "ecc_loglog",

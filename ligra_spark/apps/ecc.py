@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..engine import IterState, edge_map
 
-__all__ = ["ecc_estimate", "ecc_exact", "ecc_kbfs"]
+__all__ = ["ecc_estimate", "ecc_exact", "ecc_kbfs", "ecc_simple_approx"]
 
 
 def _signed64(bit: int) -> int:
@@ -171,6 +171,64 @@ def _with_bits(src: DataFrame) -> DataFrame:
         "id",
         F.expr("shiftleft(CAST(1 AS BIGINT), _bit)").alias("init_mask"),
     )
+
+
+def ecc_simple_approx(graph, seed: int = 0) -> tuple[DataFrame, int]:
+    """Simple 2-approximation — ``Simple-Approx-Ecc.C:122-154``: per
+    component of size > 2, BFS from ONE pseudo-random member and
+    assign that member's eccentricity (the BFS depth) to EVERY member;
+    size-1 → 0, size-2 → 1.
+
+    The reference draws the member with ``rand() %% CCsize`` after
+    ``srand(time(NULL))`` — inherently nondeterministic — so the pick
+    is pinned as position ``hashInt(seed) %% size`` in component-id
+    order (the same pinned-sampling convention as ``apps.radii`` and
+    ``ecc_kbfs``; RV.C:170 uses this exact fallback expression).  All
+    components BFS simultaneously (one source per component, one
+    shared distance column — waves cannot cross components).  Returns
+    ((id, ecc) for all n, BFS supersteps)."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from ..hashing import hash_int32
+    from .components import components as components_app
+    from .ecc_tk import _combined_bfs
+
+    labels, _ = components_app(graph)
+    pos_w = Window.partitionBy("component").orderBy("id")
+    pos = (
+        labels.select(
+            "id", "component", (F.row_number().over(pos_w) - 1).alias("pos")
+        )
+        .join(
+            labels.groupBy("component").agg(F.count(F.lit(1)).alias("csize")),
+            "component",
+        )
+        .localCheckpoint(eager=True)
+    )
+    h = int(hash_int32(np.uint32(seed)))
+    sources = pos.filter(
+        (F.col("csize") > 2) & (F.col("pos") == F.pmod(F.lit(h), F.col("csize")))
+    ).select("id", "component")
+    if sources.count() == 0:  # every component is size <= 2
+        levels, rounds = sources.select("id", F.lit(0).alias("level")), 0
+    else:
+        levels, rounds = _combined_bfs(graph, sources)
+    comp_ecc = (
+        levels.join(pos.select("id", "component"), "id")
+        .groupBy("component")
+        .agg(F.max("level").alias("ecc_w"))
+    )
+    out = pos.join(comp_ecc, "component", "left").select(
+        "id",
+        F.when(F.col("csize") == 1, 0)
+        .when(F.col("csize") == 2, 1)
+        .otherwise(F.coalesce("ecc_w", F.lit(0)))
+        .cast("int")
+        .alias("ecc"),
+    )
+    return out, rounds
 
 
 def ecc_kbfs(

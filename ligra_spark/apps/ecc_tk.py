@@ -37,9 +37,10 @@ __all__ = ["ecc_tk"]
 _INF = (1 << 31) - 1  # stand-in for the reference's UINT_E_MAX upper
 
 
-def _combined_bfs(graph, sources: DataFrame) -> DataFrame:
-    """Multi-source BFS, ONE source per component: (id, level) for
-    reached vertices (per-component distances, shared column)."""
+def _combined_bfs(graph, sources: DataFrame) -> tuple[DataFrame, int]:
+    """Multi-source BFS, ONE source per component: ((id, level) for
+    reached vertices — per-component distances, shared column — and
+    supersteps run = max per-component depth + 1)."""
     init = graph.vertices.join(
         sources.select("id", F.lit(0).alias("level")), "id", "left"
     ).select("id", F.col("level").cast("int").alias("level"))
@@ -64,7 +65,7 @@ def _combined_bfs(graph, sources: DataFrame) -> DataFrame:
             new, action=lambda df: df.filter(F.col("level") == nxt).count()
         )
         lvl = nxt
-    return st.df.filter(F.col("level").isNotNull())
+    return st.df.filter(F.col("level").isNotNull()), lvl
 
 
 def ecc_tk(graph, on_iteration=None) -> tuple[DataFrame, int]:
@@ -109,7 +110,7 @@ def ecc_tk(graph, on_iteration=None) -> tuple[DataFrame, int]:
             .select("id", "component")
             .localCheckpoint(eager=True)  # pin the pick; feeds BFS + merge
         )
-        levels = _combined_bfs(graph, sources)
+        levels, _ = _combined_bfs(graph, sources)
         # ecc of each component's candidate = max BFS level in it
         comp_ecc = (
             levels.join(st.df.select("id", "component"), "id")

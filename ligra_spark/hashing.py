@@ -22,6 +22,7 @@ __all__ = [
     "hash_double32",
     "hash_int32_inplace",
     "with_hash_int64",
+    "with_hash_int32",
     "unsigned_mod_col",
 ]
 
@@ -159,6 +160,36 @@ def with_hash_int64(df, src, out="h64"):
         ),
     ]
     df = df.withColumn(tmp, src.cast("long"))
+    for stage in stages:
+        df = df.withColumn(tmp, stage(F.col(tmp)))
+    return df.withColumn(out, F.col(tmp)).drop(tmp)
+
+
+def with_hash_int32(df, src, out="h32"):
+    """``hashInt(uint)`` (``utils.h:366-374``) over a column — bit-exact
+    twin of :func:`hash_int32`, carried in a long kept in [0, 2^32)
+    (so every op is ANSI-overflow-safe; adds stay below 2^34 and are
+    wrapped with ``& 0xFFFFFFFF``).  Same staged-projection layout as
+    :func:`with_hash_int64`."""
+    from pyspark.sql import functions as F
+
+    m = F.lit(0xFFFFFFFF)
+    stages = [
+        lambda a: (a + F.lit(0x7ED55D16) + F.shiftleft(a, 12)).bitwiseAND(m),
+        lambda a: a.bitwiseXOR(F.lit(0xC761C23C)).bitwiseXOR(
+            F.shiftrightunsigned(a, 19)
+        ),
+        lambda a: (a + F.lit(0x165667B1) + F.shiftleft(a, 5)).bitwiseAND(m),
+        lambda a: (a + F.lit(0xD3A2646C))
+        .bitwiseAND(m)
+        .bitwiseXOR(F.shiftleft(a, 9).bitwiseAND(m)),
+        lambda a: (a + F.lit(0xFD7046C5) + F.shiftleft(a, 3)).bitwiseAND(m),
+        lambda a: a.bitwiseXOR(F.lit(0xB55A4F09)).bitwiseXOR(
+            F.shiftrightunsigned(a, 16)
+        ),
+    ]
+    tmp = f"__{out}_stage"
+    df = df.withColumn(tmp, src.cast("long").bitwiseAND(m))
     for stage in stages:
         df = df.withColumn(tmp, stage(F.col(tmp)))
     return df.withColumn(out, F.col(tmp)).drop(tmp)

@@ -439,6 +439,206 @@ def ecc_kbfs(
     return ecc, r1 + r2
 
 
+def ecc_simple_approx(
+    n: int, src: np.ndarray, dst: np.ndarray, seed: int = 0
+) -> tuple[np.ndarray, int]:
+    """Simple 2-approx (``Simple-Approx-Ecc.C:122-154``) with the
+    pinned pick: per component of size > 2, BFS from the member at
+    position hashInt(seed) %% size (ascending-id order); every member
+    gets that BFS's depth.  Returns (ecc, max depth + 1 across
+    components — the combined-run supersteps)."""
+    from .hashing import hash_int32
+
+    comp = components(n, src, dst)
+    ecc = np.zeros(n, dtype=np.int64)
+    h = int(hash_int32(np.uint32(seed)))
+    rounds = 0
+    for c in np.unique(comp):
+        members = np.flatnonzero(comp == c)
+        size = len(members)
+        if size == 1:
+            continue
+        if size == 2:
+            ecc[members] = 1
+            continue
+        w = int(members[h % size])
+        lv = bfs_levels(n, src, dst, root=w)
+        ew = int(lv[members].max())
+        ecc[members] = ew
+        rounds = max(rounds, ew + 1)
+    return ecc, rounds
+
+
+def _rv_scaffold(n, src, dst, seed):
+    """Shared RV/CLRSTV steps (see ``apps.ecc_rv``): per size>2
+    component — hashInt positional samples (fallback + global cap),
+    per-sample BFS, furthest-from-samples w, w-BFS, Ngh = first
+    nghSize by (level, id), per-Ngh BFS.  Combined-run rounds."""
+    from .apps.ecc_rv import _max_sample_size, _params
+    from .hashing import hash_int32
+
+    comp = components(n, src, dst)
+    by_comp = {int(c): np.flatnonzero(comp == c) for c in np.unique(comp)}
+    cap = _max_sample_size(n)
+    h = hash_int32(np.arange(max(len(m) for m in by_comp.values()), dtype=np.uint32) + np.uint32(seed))
+    h0 = int(hash_int32(np.uint32(seed)))
+
+    samples, big = [], {}
+    for c, members in by_comp.items():
+        size = len(members)
+        if size <= 2:
+            continue
+        big[c] = members
+        _, ssize, _ = _params(size)
+        picked = [int(members[i]) for i in range(size) if int(h[i]) % size < ssize]
+        if not picked:
+            picked = [int(members[h0 % size])]
+        samples.extend(picked[:cap])
+    if not samples:
+        return comp, by_comp, None
+    d1 = {s: bfs_levels(n, src, dst, root=s) for s in samples}
+    r1 = 1 + max(int(lv[lv >= 0].max()) for lv in d1.values())
+    sample_ecc = {s: int(lv[lv >= 0].max()) for s, lv in d1.items()}
+
+    ws, wlv = {}, None
+    wdist = np.full(n, -1, dtype=np.int64)
+    rw = 0
+    for c, members in big.items():
+        mind = np.full(n, 1 << 30, dtype=np.int64)
+        for s in samples:
+            if comp[s] != c:
+                continue
+            mind[members] = np.minimum(mind[members], d1[s][members])
+        w = int(max(members, key=lambda v: (mind[v], v)))
+        ws[c] = w
+        lv = bfs_levels(n, src, dst, root=w)
+        wdist[members] = lv[members]
+        rw = max(rw, 1 + int(lv[members].max()))
+    w_ecc = {c: int(wdist[m].max()) for c, m in big.items()}
+
+    nghs = {}
+    for c, members in big.items():
+        _, _, nsize = _params(len(members))
+        order = sorted(members, key=lambda v: (wdist[v], v))
+        nghs[c] = [int(v) for v in order[:nsize]]
+    all_ngh = [v for lst in nghs.values() for v in lst]
+    d2 = {v: bfs_levels(n, src, dst, root=v) for v in all_ngh}
+    r2 = 1 + max(int(lv[lv >= 0].max()) for lv in d2.values())
+    ngh_ecc = {v: int(lv[lv >= 0].max()) for v, lv in d2.items()}
+    return comp, by_comp, (
+        samples, d1, sample_ecc, ws, wdist, w_ecc, nghs, d2, ngh_ecc,
+        r1 + rw + r2,
+    )
+
+
+def ecc_clrstv(
+    n: int, src: np.ndarray, dst: np.ndarray, seed: int = 0
+) -> tuple[np.ndarray, int]:
+    """CLRSTV (``CLRSTV.C:145-300``) with the pinned choices of
+    ``apps.ecc_rv``: non-BFS'd v takes max over all BFS'd u of
+    max(d(u,v), ecc(u) − d(u,v))."""
+    comp, by_comp, sc = _rv_scaffold(n, src, dst, seed)
+    ecc = np.zeros(n, dtype=np.int64)
+    for c, members in by_comp.items():
+        if len(members) == 2:
+            ecc[members] = 1
+    if sc is None:
+        return ecc, 0
+    samples, d1, sample_ecc, ws, wdist, w_ecc, nghs, d2, ngh_ecc, rounds = sc
+    for c, members in by_comp.items():
+        if len(members) <= 2:
+            continue
+        for v in members:
+            v = int(v)
+            if v in sample_ecc:
+                ecc[v] = sample_ecc[v]
+            elif v == ws[c]:
+                ecc[v] = w_ecc[c]
+            elif v in ngh_ecc:
+                ecc[v] = ngh_ecc[v]
+            else:
+                best = max(wdist[v], w_ecc[c] - wdist[v])
+                for s in samples:
+                    if comp[s] != c:
+                        continue
+                    d = int(d1[s][v])
+                    best = max(best, d, sample_ecc[s] - d)
+                for u in nghs[c]:
+                    d = int(d2[u][v])
+                    best = max(best, d, ngh_ecc[u] - d)
+                ecc[v] = best
+    return ecc, rounds
+
+
+def ecc_rv(
+    n: int, src: np.ndarray, dst: np.ndarray, seed: int = 0
+) -> tuple[np.ndarray, int]:
+    """RV (``RV.C:148-330``) with the pinned choices of
+    ``apps.ecc_rv``: non-BFS'd v uses rv = max(max sample dist, d_w)
+    and the path-recorded Ngh vertex vt (min-parent index
+    propagation); ecc(v) = max(rv, ecc(vt)) when d(vt,v) <= d(vt,w),
+    else max(rv, min sample ecc)."""
+    comp, by_comp, sc = _rv_scaffold(n, src, dst, seed)
+    ecc = np.zeros(n, dtype=np.int64)
+    for c, members in by_comp.items():
+        if len(members) == 2:
+            ecc[members] = 1
+    if sc is None:
+        return ecc, 0
+    samples, d1, sample_ecc, ws, wdist, w_ecc, nghs, d2, ngh_ecc, rounds = sc
+
+    # wDist.second: min-parent propagation of the effective Ngh index
+    order = np.lexsort((dst, src))
+    s_e, d_e = src[order], dst[order]
+    offsets = np.searchsorted(s_e, np.arange(n + 1, dtype=np.int64))
+    sec = np.full(n, -1, dtype=np.int64)
+    eff = np.full(n, -1, dtype=np.int64)
+    ngh_idx = {}
+    for c, lst in nghs.items():
+        for j, v in enumerate(lst):
+            ngh_idx[v] = j
+    for c, members in by_comp.items():
+        if len(members) <= 2:
+            continue
+        eff[ws[c]] = 0  # w is Ngh_s[0]
+        maxlvl = int(wdist[members].max())
+        for lvl in range(maxlvl):
+            parents = [int(v) for v in members if wdist[v] == lvl]
+            for p in parents:
+                for child in d_e[offsets[p] : offsets[p + 1]]:
+                    child = int(child)
+                    if wdist[child] == lvl + 1:
+                        if sec[child] < 0 or eff[p] < sec[child]:
+                            sec[child] = eff[p]
+            for v in members:
+                if wdist[v] == lvl + 1:
+                    eff[v] = ngh_idx.get(int(v), sec[v])
+
+    for c, members in by_comp.items():
+        if len(members) <= 2:
+            continue
+        min_r = min(sample_ecc[s] for s in samples if comp[s] == c)
+        for v in members:
+            v = int(v)
+            if v in sample_ecc:
+                ecc[v] = sample_ecc[v]
+            elif v == ws[c]:
+                ecc[v] = w_ecc[c]
+            elif v in ngh_ecc:
+                ecc[v] = ngh_ecc[v]
+            else:
+                rv = max(
+                    max(int(d1[s][v]) for s in samples if comp[s] == c),
+                    int(wdist[v]),
+                )
+                vt = nghs[c][sec[v]]
+                if int(d2[vt][v]) <= int(d2[vt][ws[c]]):
+                    ecc[v] = max(rv, ngh_ecc[vt])
+                else:
+                    ecc[v] = max(rv, min_r)
+    return ecc, rounds
+
+
 def ecc_tk(n: int, src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, int]:
     """Takes-Kosters exact eccentricity (``TK.C:74-206``): per
     component bound loop — odd iterations BFS from the argmax-upper

@@ -174,3 +174,44 @@ def test_ecc_tk_rmat(spark):
     src, dst = rmat_edges(64, 160, seed=1)
     s, d = make_symmetric(src, dst)
     _tk_case(spark, 64, s, d)
+
+
+def test_ecc_simple_approx_matches_oracle(tiny_graph_sym, tiny_sym):
+    """Simple-Approx-Ecc: one pinned-pick BFS per component, its depth
+    assigned to every member; size-1/size-2 shortcuts."""
+    from ligra_spark.apps import ecc_simple_approx
+
+    n, src, dst = tiny_sym
+    expected, oracle_rounds = oracle.ecc_simple_approx(n, src, dst, seed=3)
+    got_df, rounds = ecc_simple_approx(tiny_graph_sym, seed=3)
+    got = np.array(_by_id(got_df, "ecc", n, fill=0))
+    assert rounds == oracle_rounds
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_ecc_clrstv_matches_oracle(tiny_graph_sym, tiny_sym):
+    """CLRSTV: sample + w + Ngh BFS scaffold with the pinned choices
+    (hashInt positional sampling, largest-id furthest tie-break,
+    (level,id)-ordered Ngh fill); every non-BFS'd vertex combines
+    max(d, ecc_src - d) over all BFS'd sources."""
+    from ligra_spark.apps import ecc_clrstv
+
+    n, src, dst = tiny_sym
+    expected, oracle_rounds = oracle.ecc_clrstv(n, src, dst, seed=4)
+    got_df, rounds = ecc_clrstv(tiny_graph_sym, seed=4)
+    got = np.array(_by_id(got_df, "ecc", n, fill=0))
+    assert rounds == oracle_rounds
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_ecc_rv_matches_oracle(tiny_graph_sym, tiny_sym):
+    """RV: the CLRSTV scaffold plus min-parent Ngh-index propagation
+    down the w-BFS tree and the vt consult rule."""
+    from ligra_spark.apps import ecc_rv
+
+    n, src, dst = tiny_sym
+    expected, oracle_rounds = oracle.ecc_rv(n, src, dst, seed=4)
+    got_df, rounds = ecc_rv(tiny_graph_sym, seed=4)
+    got = np.array(_by_id(got_df, "ecc", n, fill=0))
+    assert rounds == oracle_rounds
+    np.testing.assert_array_equal(got, expected)

@@ -1,5 +1,6 @@
 """Graph sources/sinks: Ligra-format import/export plus the parquet
-native layout (SURVEY.md §2.3)."""
+native layout (SURVEY.md §2.3), and the utils/ converter tools
+(SNAP/KONECT readers, weight stamping, random hypergraph)."""
 
 from .adjacency_io import (
     read_adjacency_graph_df,
@@ -8,6 +9,13 @@ from .adjacency_io import (
     write_adjacency_graph,
     write_adjacency_hypergraph,
 )
+from .convert import (
+    add_log_weights,
+    rand_hypergraph,
+    read_konect_bipartite,
+    read_snap_edges,
+    snap_to_adjacency,
+)
 
 __all__ = [
     "read_adjacency_graph_df",
@@ -15,4 +23,9 @@ __all__ = [
     "read_binary_csr_df",
     "write_adjacency_graph",
     "write_adjacency_hypergraph",
+    "read_snap_edges",
+    "snap_to_adjacency",
+    "add_log_weights",
+    "read_konect_bipartite",
+    "rand_hypergraph",
 ]

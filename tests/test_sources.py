@@ -116,3 +116,97 @@ def test_adjacency_hypergraph_roundtrip(spark, tmp_path):
     hg = HyperGraph.from_incidence(spark, v2.drop("weight"), nv=nv, nh=nh)
     out, _ = hyper_bfs(hg, root=int(v_half["vertex"].iloc[0]))
     assert out.count() > 0
+
+
+# ------------------------------------------------- utils/ converters
+def test_snap_to_adjacency_roundtrip(spark, tmp_path):
+    """SNAPtoAdj: leading-#-comments skipped, duplicates/self-loops
+    preserved, within-source input order preserved (graphFromEdges is
+    a stable source-only sort); -s routes through makeSymmetric."""
+    from ligra_spark.sources import read_adjacency_graph_df, snap_to_adjacency
+
+    snap = tmp_path / "g.snap"
+    snap.write_text("# comment\n# another\n0 2\n2 1\n0 1\n0 2\n1 1\n")
+    out = tmp_path / "g.adj"
+    n = snap_to_adjacency(str(snap), str(out))
+    assert n == 3
+    df, n2 = read_adjacency_graph_df(spark, str(out))
+    assert n2 == 3
+    got = [(r["src"], r["dst"]) for r in df.collect()]
+    # stable by src: vertex 0 keeps file order 2,1,2; dup + self-loop kept
+    assert got == [(0, 2), (0, 1), (0, 2), (1, 1), (2, 1)]
+
+    out_s = tmp_path / "gs.adj"
+    snap_to_adjacency(str(snap), str(out_s), sym=True)
+    dfs, _ = read_adjacency_graph_df(spark, str(out_s))
+    gs = sorted((r["src"], r["dst"]) for r in dfs.collect())
+    assert gs == [(0, 1), (0, 2), (1, 0), (1, 2), (2, 0), (2, 1)]
+
+
+def test_add_log_weights_formula(spark, tmp_path):
+    """adjGraphAddWeights: weight of CSR edge i is
+    hashInt(i) % (2*trunc(log2(n))) // 2 + 1."""
+    import numpy as np
+
+    from ligra_spark.hashing import hash_int32
+    from ligra_spark.sources import add_log_weights, read_adjacency_graph_df
+    from ligra_spark.sources.convert import _write_adjacency_arrays
+
+    n = 16
+    src = np.repeat(np.arange(n, dtype=np.int64), 2)
+    dst = (src * 3 + 1) % n
+    plain = tmp_path / "p.adj"
+    _write_adjacency_arrays(str(plain), n, src, dst)
+    out = tmp_path / "w.adj"
+    add_log_weights(str(plain), str(out))
+    df, _ = read_adjacency_graph_df(spark, str(out))
+    got = [r["weight"] for r in df.collect()]
+    L = int(np.log2(n))
+    want = ((hash_int32(np.arange(2 * n, dtype=np.uint32)).astype(np.int64)
+             % (2 * L)) // 2 + 1).tolist()
+    assert got == want
+
+
+def test_read_konect_bipartite_compression(tmp_path):
+    """readKONECT: %-comments, both id spaces dense-ranked over USED
+    ids, duplicates preserved."""
+    import numpy as np
+
+    from ligra_spark.sources import read_konect_bipartite
+
+    f = tmp_path / "k.tsv"
+    f.write_text("% meta\n% more\n5 100\n9 100\n5 300\n9 300\n5 100\n")
+    v, h, nv, nh = read_konect_bipartite(str(f))
+    assert (nv, nh) == (2, 2)
+    assert v.tolist() == [0, 1, 0, 1, 0]  # 5->0, 9->1
+    assert h.tolist() == [0, 0, 1, 1, 0]  # 100->0, 300->1
+    assert len(v) == 5  # duplicate row kept
+
+
+def test_rand_hypergraph_pins(spark):
+    """hyperedgeRandom: pins of hyperedge i = {hashInt(i*c+j) % nv},
+    per-hyperedge sorted unique; feeds the hypergraph engine."""
+    import numpy as np
+
+    from ligra_spark.hashing import hash_int32
+    from ligra_spark.hygra import HyperGraph
+    from ligra_spark.sources import rand_hypergraph
+
+    nv, nh, c = 20, 8, 3
+    h, v = rand_hypergraph(nv, nh, c)
+    want = {
+        i: sorted({int(hash_int32(np.uint32(i * c + j))) % nv for j in range(c)})
+        for i in range(nh)
+    }
+    got: dict[int, list[int]] = {}
+    for hh, vv in zip(h.tolist(), v.tolist()):
+        got.setdefault(hh, []).append(vv)
+    assert got == {i: p for i, p in want.items()}
+
+    import pandas as pd
+
+    inc = spark.createDataFrame(
+        pd.DataFrame({"vertex": v.astype("int64"), "hedge": h.astype("int64")})
+    )
+    hg = HyperGraph.from_incidence(spark, inc, nv=nv, nh=nh)
+    assert hg.m == len(v)  # generator output is already duplicate-free

@@ -11,10 +11,15 @@ from .adjacency_io import (
 )
 from .convert import (
     add_log_weights,
+    clique_expand,
     rand_hypergraph,
+    read_community_hypergraph,
     read_konect_bipartite,
     read_snap_edges,
+    read_wgh_snap_edges,
     snap_to_adjacency,
+    write_binary_csr,
+    write_mesh_csv,
 )
 
 __all__ = [
@@ -27,5 +32,10 @@ __all__ = [
     "snap_to_adjacency",
     "add_log_weights",
     "read_konect_bipartite",
+    "read_community_hypergraph",
+    "read_wgh_snap_edges",
+    "clique_expand",
+    "write_mesh_csv",
+    "write_binary_csr",
     "rand_hypergraph",
 ]

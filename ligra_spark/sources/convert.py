@@ -21,9 +21,14 @@ from ..hashing import hash_int32
 
 __all__ = [
     "read_snap_edges",
+    "read_wgh_snap_edges",
     "snap_to_adjacency",
     "add_log_weights",
     "read_konect_bipartite",
+    "read_community_hypergraph",
+    "clique_expand",
+    "write_mesh_csv",
+    "write_binary_csr",
     "rand_hypergraph",
 ]
 
@@ -114,6 +119,95 @@ def read_konect_bipartite(path: str) -> tuple[np.ndarray, np.ndarray, int, int]:
     v = np.searchsorted(v_ids, v_raw)
     h = np.searchsorted(h_ids, h_raw)
     return v, h, len(v_ids), len(h_ids)
+
+
+def read_wgh_snap_edges(
+    path: str,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """``readWghSNAP`` (weighted SNAP, ``wghSNAPtoAdj.C``): leading
+    '#' comments, (u, v, w) triples.  Returns (src, dst, w, n)."""
+    toks = _strip_leading_comments(path, "#").split()
+    tri = np.array(toks, dtype=np.int64).reshape(-1, 3)
+    src, dst, w = tri[:, 0], tri[:, 1], tri[:, 2]
+    n = int(max(src.max(initial=-1), dst.max(initial=-1))) + 1
+    return src, dst, w, n
+
+
+def read_community_hypergraph(
+    path: str,
+) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """``readHyperedges`` (``graphIO.h:894-941``, community format):
+    leading '#' comments, ONE LINE PER HYPEREDGE listing its member
+    vertices; vertex ids dense-rank compressed over used ids,
+    hyperedge id = line index.  Returns (v, h, nv, nh)."""
+    text = _strip_leading_comments(path, "#")
+    vs, hs = [], []
+    nh = 0
+    for line in text.splitlines():
+        members = line.split()
+        if not members:
+            continue
+        vs.extend(int(t) for t in members)
+        hs.extend([nh] * len(members))
+        nh += 1
+    v_raw = np.array(vs, dtype=np.int64)
+    h = np.array(hs, dtype=np.int64)
+    v_ids = np.unique(v_raw)
+    return np.searchsorted(v_ids, v_raw), h, len(v_ids), nh
+
+
+def clique_expand(
+    v: np.ndarray, h: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """``cliquesFromHyperedges`` (``KONECTtoClique.C:30-80``): every
+    hyperedge of degree l contributes all l·(l−1) ordered pin pairs;
+    pairs repeat across hyperedges (the reference keeps them).
+    Returns the (src, dst) edge multiset."""
+    order = np.argsort(h, kind="stable")
+    hs, vs = h[order], v[order]
+    srcs, dsts = [], []
+    bounds = np.flatnonzero(np.concatenate([[True], hs[1:] != hs[:-1], [True]]))
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        pins = vs[a:b]
+        l = len(pins)
+        if l < 2:
+            continue
+        srcs.append(np.repeat(pins, l - 1))
+        tile = np.tile(pins, l).reshape(l, l)
+        dsts.append(tile[~np.eye(l, dtype=bool)])
+    if not srcs:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy()
+    return np.concatenate(srcs), np.concatenate(dsts)
+
+
+def write_mesh_csv(h: np.ndarray, v: np.ndarray, path: str) -> None:
+    """``KONECTtoMESH.C`` / ``communityToMESH.C``: the (hyperedge,
+    vertex) incidence pairs as ``h,v`` CSV lines (input shape for
+    external mesh partitioners)."""
+    with open(path, "w") as f:
+        f.write("".join(f"{int(a)},{int(b)}\n" for a, b in zip(h, v)))
+
+
+def write_binary_csr(
+    path_config: str,
+    path_idx: str,
+    path_adj: str,
+    n: int,
+    src: np.ndarray,
+    dst: np.ndarray,
+) -> None:
+    """``adjToBinary.C``: the binary CSR triple (config = n text, idx =
+    int64 offsets, adj = int64 targets) — the inverse of
+    ``read_binary_csr_df``.  Edges must be grouped by src ascending
+    (stable within-source order is preserved)."""
+    order = np.argsort(src, kind="stable")
+    src, dst = src[order], dst[order]
+    offsets = np.searchsorted(src, np.arange(n, dtype=np.int64))
+    with open(path_config, "w") as f:
+        f.write(f"{n}\n")
+    offsets.astype(np.int64).tofile(path_idx)
+    dst.astype(np.int64).tofile(path_adj)
 
 
 def rand_hypergraph(

@@ -210,3 +210,54 @@ def test_rand_hypergraph_pins(spark):
     )
     hg = HyperGraph.from_incidence(spark, inc, nv=nv, nh=nh)
     assert hg.m == len(v)  # generator output is already duplicate-free
+
+
+def test_community_clique_mesh_binary(spark, tmp_path):
+    """Community hypergraph reader (dense-rank, line = hyperedge),
+    clique expansion multiset, MESH CSV dump, and the binary CSR
+    writer round-tripping through read_binary_csr_df."""
+    import numpy as np
+
+    from ligra_spark.sources import (
+        clique_expand,
+        read_binary_csr_df,
+        read_community_hypergraph,
+        write_binary_csr,
+        write_mesh_csv,
+    )
+
+    f = tmp_path / "c.txt"
+    f.write_text("# comment\n10 30 20\n30 40\n50\n")
+    v, h, nv, nh = read_community_hypergraph(str(f))
+    assert (nv, nh) == (5, 3)  # used ids 10,20,30,40,50 -> 0..4
+    assert v.tolist() == [0, 2, 1, 2, 3, 4]
+    assert h.tolist() == [0, 0, 0, 1, 1, 2]
+
+    s, d = clique_expand(v, h)
+    got = sorted(zip(s.tolist(), d.tolist()))
+    want = sorted(
+        [(0, 2), (0, 1), (2, 0), (2, 1), (1, 0), (1, 2),  # hyperedge 0
+         (2, 3), (3, 2)]                                   # hyperedge 1
+    )
+    assert got == want  # singleton hyperedge 2 contributes nothing
+
+    mesh = tmp_path / "m.csv"
+    write_mesh_csv(h, v, str(mesh))
+    assert mesh.read_text().splitlines()[0] == "0,0"
+    assert len(mesh.read_text().splitlines()) == 6
+
+    cfg, idx, adj = (str(tmp_path / x) for x in ("cfg", "idx", "adj"))
+    write_binary_csr(cfg, idx, adj, 5, np.asarray(s), np.asarray(d))
+    df, n = read_binary_csr_df(spark, cfg, idx, adj)
+    assert n == 5
+    back = sorted((r["src"], r["dst"]) for r in df.collect())
+    assert back == want
+
+
+def test_read_wgh_snap_edges(tmp_path):
+    from ligra_spark.sources import read_wgh_snap_edges
+
+    f = tmp_path / "w.snap"
+    f.write_text("# c\n0 1 7\n1 2 3\n")
+    s, d, w, n = read_wgh_snap_edges(str(f))
+    assert (s.tolist(), d.tolist(), w.tolist(), n) == ([0, 1], [1, 2], [7, 3], 3)

@@ -133,13 +133,22 @@ def ecc_exact(
     if batch_size < 1 or batch_size > 64:
         raise ValueError("batch_size must be in 1..64 (64-bit masks)")
     n = graph.n
+    spark = graph.spark
     acc: DataFrame | None = None
     total_rounds = 0
     for start in range(0, n, batch_size):
         sources = list(range(start, min(start + batch_size, n)))
-        res, rounds = ecc_estimate(graph, sources, on_superstep=on_superstep)
+        starts = spark.createDataFrame(
+            [(v, _signed64(1 << i)) for i, v in enumerate(sources)],
+            "id long, init_mask long",
+        )
+        wave, rounds = _kbfs_wave(
+            graph, starts, len(sources), on_superstep=on_superstep
+        )
         total_rounds += rounds
-        batch = res.select("id", F.col("ecc").alias("becc"))
+        batch = wave.filter(F.col("ecc").isNotNull()).select(
+            "id", F.col("ecc").alias("becc")
+        )
         if acc is None:
             merged = graph.vertices.join(batch, "id", "left").select(
                 "id", F.coalesce("becc", F.lit(0)).cast("int").alias("ecc")
@@ -152,6 +161,9 @@ def ecc_exact(
                 .alias("ecc"),
             )
         acc = merged.localCheckpoint(eager=True)
+        # O(n/64) batches: this batch's cached wave state is dead once
+        # the accumulator checkpoint above materializes — free it
+        wave.unpersist()
     if acc is None:  # n == 0
         return graph.vertices.select("id", F.lit(0).cast("int").alias("ecc")), 0
     return acc, total_rounds
@@ -189,32 +201,15 @@ def ecc_simple_approx(graph, seed: int = 0) -> tuple[DataFrame, int]:
     ((id, ecc) for all n, BFS supersteps)."""
     import numpy as np
 
-    from pyspark.sql import Window
-
     from ..hashing import hash_int32
-    from .components import components as components_app
-    from .ecc_tk import _combined_bfs
+    from .ecc_tk import _cc_positions, _combined_bfs
 
-    labels, _ = components_app(graph)
-    pos_w = Window.partitionBy("component").orderBy("id")
-    pos = (
-        labels.select(
-            "id", "component", (F.row_number().over(pos_w) - 1).alias("pos")
-        )
-        .join(
-            labels.groupBy("component").agg(F.count(F.lit(1)).alias("csize")),
-            "component",
-        )
-        .localCheckpoint(eager=True)
-    )
+    pos = _cc_positions(graph)
     h = int(hash_int32(np.uint32(seed)))
     sources = pos.filter(
         (F.col("csize") > 2) & (F.col("pos") == F.pmod(F.lit(h), F.col("csize")))
     ).select("id", "component")
-    if sources.count() == 0:  # every component is size <= 2
-        levels, rounds = sources.select("id", F.lit(0).alias("level")), 0
-    else:
-        levels, rounds = _combined_bfs(graph, sources)
+    levels, rounds, _ = _combined_bfs(graph, sources, sources.count())
     comp_ecc = (
         levels.join(pos.select("id", "component"), "id")
         .groupBy("component")
@@ -268,20 +263,9 @@ def ecc_kbfs(
     from pyspark.sql import Window
 
     from ..hashing import hash_int32
-    from .components import components as components_app
+    from .ecc_tk import _cc_positions
 
-    labels, _ = components_app(graph)
-    pos_w = Window.partitionBy("component").orderBy("id")
-    pos = (
-        labels.select(
-            "id", "component", (F.row_number().over(pos_w) - 1).alias("pos")
-        )
-        .join(
-            labels.groupBy("component").agg(F.count(F.lit(1)).alias("csize")),
-            "component",
-        )
-        .localCheckpoint(eager=True)  # reused by sampling + both merges
-    )
+    pos = _cc_positions(graph)
 
     hvals = [
         int(h)

@@ -43,8 +43,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..engine import IterState
-from .ecc_tk import _combined_bfs
+from .ecc_tk import _cc_positions, _combined_bfs
 
 __all__ = ["ecc_clrstv", "ecc_rv"]
 
@@ -65,41 +64,18 @@ def _max_sample_size(n: int) -> int:
     return max(10, max(int((n // max_s) * math.log2(n)), max_s))
 
 
-def _cc_positions(graph) -> DataFrame:
-    """(id, component, pos, csize): converged components + the
-    ascending-id rank within each (the reference's stable CC order)."""
-    from .components import components as components_app
-
-    labels, _ = components_app(graph)
-    pos_w = Window.partitionBy("component").orderBy("id")
-    return (
-        labels.select(
-            "id", "component", (F.row_number().over(pos_w) - 1).alias("pos")
-        )
-        .join(
-            labels.groupBy("component").agg(F.count(F.lit(1)).alias("csize")),
-            "component",
-        )
-        .localCheckpoint(eager=True)
-    )
-
-
-def _sample_sources(graph, pos: DataFrame, seed: int) -> DataFrame:
-    """Phase-1 samples: (id, component).  Distinct component sizes are
-    collected to the driver to evaluate the C float expressions with
-    python doubles (bounded by the number of DISTINCT sizes, not
-    components)."""
+def _sample_sources(
+    graph, pos: DataFrame, seed: int, sizes: list[int]
+) -> DataFrame:
+    """Phase-1 samples: (id, component).  ``sizes`` = the distinct
+    size>2 component sizes (collected ONCE by ``_scaffold`` — bounded
+    by the number of DISTINCT sizes, not components) so the C float
+    expressions evaluate with python doubles."""
     import numpy as np
 
     from ..hashing import hash_int32, with_hash_int32
 
     spark = graph.spark
-    sizes = [
-        int(r["csize"])
-        for r in pos.select("csize").filter(F.col("csize") > 2).distinct().collect()
-    ]
-    if not sizes:
-        return pos.select("id", "component").limit(0)
     params = spark.createDataFrame(
         [(c, _params(c)[1]) for c in sizes], "csize long, ssize long"
     )
@@ -180,15 +156,13 @@ def _furthest_from_samples(pos: DataFrame, pair1: DataFrame) -> DataFrame:
     )
 
 
-def _ngh_table(pos: DataFrame, wlevels: DataFrame) -> DataFrame:
+def _ngh_table(
+    pos: DataFrame, wlevels: DataFrame, sizes: list[int]
+) -> DataFrame:
     """Ngh per component: first nghSize vertices of the w-BFS in
-    (level, id) order, with their 0-based Ngh index.  nghSize is
-    evaluated per distinct size driver-side like the sampler."""
+    (level, id) order, with their 0-based Ngh index.  ``sizes`` as in
+    ``_sample_sources`` (one driver collect, shared)."""
     spark = pos.sparkSession
-    sizes = [
-        int(r["csize"])
-        for r in pos.select("csize").filter(F.col("csize") > 2).distinct().collect()
-    ]
     nghp = spark.createDataFrame(
         [(c, _params(c)[2]) for c in sizes], "csize long, nsize long"
     )
@@ -210,9 +184,15 @@ def _scaffold(graph, seed: int):
     w table, w levels, w eccs per component, ngh table, pair2 levels,
     ngh eccs, total rounds)."""
     pos = _cc_positions(graph)
-    samples = _sample_sources(graph, pos, seed)
-    if samples.count() == 0:  # every component has size <= 2
+    sizes = [
+        int(r["csize"])
+        for r in pos.select("csize").filter(F.col("csize") > 2).distinct().collect()
+    ]
+    if not sizes:  # every component has size <= 2
         return pos, None
+    # the per-component fallback guarantees >= 1 sample per size>2 CC,
+    # so the sample set is non-empty by construction — no count needed
+    samples = _sample_sources(graph, pos, seed, sizes)
     pair1, r1 = _pair_bfs(
         graph, samples.select(F.col("id").alias("sample"), "id")
     )
@@ -220,15 +200,17 @@ def _scaffold(graph, seed: int):
     sample_ecc = _exact_ecc_of(pair1)
 
     wtab = _furthest_from_samples(pos, pair1).localCheckpoint(eager=True)
-    wlevels, rw = _combined_bfs(graph, wtab)
+    # >= 1 component with size > 2 ⇒ >= 1 w source
+    wlevels, rw, wst = _combined_bfs(graph, wtab, 1)
     wlevels = wlevels.localCheckpoint(eager=True)
+    wst.df.unpersist()  # wlevels is materialized; the BFS state is dead
     w_ecc = (
         wlevels.join(pos.select("id", "component"), "id")
         .groupBy("component")
         .agg(F.max("level").alias("w_ecc"))
     )
 
-    ngh = _ngh_table(pos, wlevels)
+    ngh = _ngh_table(pos, wlevels, sizes)
     pair2, r2 = _pair_bfs(graph, ngh.select(F.col("id").alias("sample"), "id"))
     pair2 = pair2.localCheckpoint(eager=True)
     ngh_ecc = _exact_ecc_of(pair2)

@@ -37,15 +37,46 @@ __all__ = ["ecc_tk"]
 _INF = (1 << 31) - 1  # stand-in for the reference's UINT_E_MAX upper
 
 
-def _combined_bfs(graph, sources: DataFrame) -> tuple[DataFrame, int]:
+def _cc_positions(graph) -> DataFrame:
+    """(id, component, pos, csize): converged components + the
+    ascending-id rank within each (the reference's stable CC order).
+    Shared by the kBFS/Simple-Approx/RV/CLRSTV estimators — the rank
+    tie-break here is what their pinned position-sampling resolves
+    against, so there is exactly one copy."""
+    from pyspark.sql import Window
+
+    from .components import components as components_app
+
+    labels, _ = components_app(graph)
+    pos_w = Window.partitionBy("component").orderBy("id")
+    return (
+        labels.select(
+            "id", "component", (F.row_number().over(pos_w) - 1).alias("pos")
+        )
+        .join(
+            labels.groupBy("component").agg(F.count(F.lit(1)).alias("csize")),
+            "component",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _combined_bfs(
+    graph, sources: DataFrame, n_sources: int
+) -> tuple[DataFrame, int, "IterState"]:
     """Multi-source BFS, ONE source per component: ((id, level) for
-    reached vertices — per-component distances, shared column — and
-    supersteps run = max per-component depth + 1)."""
+    reached vertices — per-component distances, shared column —
+    supersteps run = max per-component depth + 1, and the IterState
+    whose ``.df.unpersist()`` releases the cached BFS state once the
+    caller has materialized everything derived from the levels).
+    ``n_sources`` must be the true source count: 0 skips the loop
+    entirely (0 rounds, empty result) instead of running a wasted
+    superstep."""
     init = graph.vertices.join(
         sources.select("id", F.lit(0).alias("level")), "id", "left"
     ).select("id", F.col("level").cast("int").alias("level"))
     st = IterState(init, num_partitions=graph.num_partitions)
-    lvl, fsize = 0, 1
+    lvl, fsize = 0, n_sources
     while fsize > 0:
         frontier = st.df.filter(F.col("level") == lvl).select("id")
         msgs = edge_map(
@@ -65,7 +96,7 @@ def _combined_bfs(graph, sources: DataFrame) -> tuple[DataFrame, int]:
             new, action=lambda df: df.filter(F.col("level") == nxt).count()
         )
         lvl = nxt
-    return st.df.filter(F.col("level").isNotNull()), lvl
+    return st.df.filter(F.col("level").isNotNull()), lvl, st
 
 
 def ecc_tk(graph, on_iteration=None) -> tuple[DataFrame, int]:
@@ -103,14 +134,22 @@ def ecc_tk(graph, on_iteration=None) -> tuple[DataFrame, int]:
             else [F.asc("lower"), F.desc("id")]
         )
         w = Window.partitionBy("component").orderBy(*order)
+        # localCheckpoint is load-bearing here: it CUTS the logical
+        # plan (the pick feeds the BFS init AND the bounds merge; a
+        # mere persist leaves both re-embedding st.df's plan, which
+        # compounds per TK iteration until the analyzer OOMs —
+        # observed at 4 iterations on a 23-vertex test).  The
+        # checkpointed RDD itself is freed by the ContextCleaner once
+        # the loop rebinds `sources` and the driver GCs.
         sources = (
             st.df.filter("active")
             .withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") == 1)
             .select("id", "component")
-            .localCheckpoint(eager=True)  # pin the pick; feeds BFS + merge
+            .localCheckpoint(eager=True)
         )
-        levels, _ = _combined_bfs(graph, sources)
+        # n_active > 0 guarantees at least one active component = one source
+        levels, _, bfs_st = _combined_bfs(graph, sources, 1)
         # ecc of each component's candidate = max BFS level in it
         comp_ecc = (
             levels.join(st.df.select("id", "component"), "id")
@@ -163,6 +202,10 @@ def ecc_tk(graph, on_iteration=None) -> tuple[DataFrame, int]:
         new, n_active = st.advance(
             upd, action=lambda df: df.filter("active").count()
         )
+        # the advanced state is materialized — this iteration's cached
+        # BFS state is dead; free it now (TK runs up to n iterations,
+        # so leaking one n-row cache per iteration is not an option)
+        bfs_st.df.unpersist()
         if on_iteration:
             on_iteration(iters, {"active": n_active})
     return st.df.select("id", "ecc"), iters

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..adjacency import read_adjacency_graph
+from ..adjacency import csr_to_edges, read_adjacency_graph
 from ..hashing import hash_int32
 
 __all__ = [
@@ -99,10 +99,7 @@ def add_log_weights(in_path: str, out_path: str) -> None:
     m = len(targets)
     L = max(1, int(np.log2(n)))
     w = (hash_int32(np.arange(m, dtype=np.uint32)).astype(np.int64) % (2 * L)) // 2 + 1
-    src = np.repeat(
-        np.arange(n, dtype=np.int64),
-        np.diff(np.concatenate([offsets, [m]])),
-    )
+    src, _ = csr_to_edges(n, offsets, targets)
     _write_adjacency_arrays(out_path, n, src, targets, w)
 
 

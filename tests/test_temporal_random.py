@@ -113,17 +113,21 @@ def test_range_join_random_vs_bruteforce(spark, temporal_data):
     right2 = pd.concat([right, extra], ignore_index=True)
 
     sl, sr = _spark_frames(spark, left, right2)
-    got = sorted(
+    got = [
         (r["event_id"], r["win_ts"], r["win_value"])
         for r in range_join(sl, sr, window_s=W).collect()
-    )
+    ]
 
     merged = left.merge(right2, on="user_id", suffixes=("", "_r"))
     hits = merged[
         (merged["ts_i_r"] > merged["ts_i"])
         & (merged["ts_i_r"] <= merged["ts_i"] + W)
     ]
-    want = sorted(
+    # multiset compare (Counter): tuples may mix None and float values
+    # at the same (event, ts), which sorted() cannot order
+    from collections import Counter
+
+    want = Counter(
         (
             int(h["event_id"]),
             _ts(h["ts_i_r"]),
@@ -131,9 +135,9 @@ def test_range_join_random_vs_bruteforce(spark, temporal_data):
         )
         for _, h in hits.iterrows()
     )
-    norm = [
+    norm = Counter(
         (e, t, None if v is None else round(v, 3)) for e, t, v in got
-    ]
+    )
     assert norm == want
     # the boundary rows at exactly lts + W all paired
-    assert sum(1 for _, _, v in norm if v == 9.9) >= 30
+    assert sum(c for (_, _, v), c in norm.items() if v == 9.9) >= 30

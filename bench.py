@@ -124,10 +124,16 @@ def main() -> None:
     phase("range_join", lambda: range_join(clicks, views, window_s=1800).count())
     phase("sessionize", lambda: sessionize(ev).count())
 
+    # round-2 graph addition: two-phase kBFS eccentricity (the
+    # eccentricity suite's headline algorithm) on the symmetric graph
+    from ligra_spark.apps import ecc_kbfs
+
+    phase("ecc_kbfs", lambda: ecc_kbfs(gsym, seed=0)[0].count())
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "ligra_spark headline phases (1hop/BFS/PR10/CC/triangle/minhash-LSH/ANN"
-        "/IVF/asof/range/sessions)",
+        "/IVF/asof/range/sessions/kBFS-ecc)",
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -2329,9 +2329,10 @@ _MEDIA_DECODE_SQL = (
 )
 
 # image_features twin over the fake pixels: pixel p channel c is digest
-# byte (3p+c) mod 32; gray = ((r+g)+b)/3 (numpy's reduce order); phash
-# bit k set iff gray[k] > mean(gray), packed MSB-first as two 32-bit
-# halves (1<<63 overflows BIGINT sums otherwise)
+# byte (3p+c) mod 32; phash bit k set iff the pixel's channel sum x 64
+# exceeds the image's total channel sum (the operator's integer-exact
+# threshold — engine-order-independent), packed MSB-first as two
+# 32-bit halves (1<<63 overflows BIGINT sums otherwise)
 _IMAGE_FEATURES_SQL = (
     "WITH d AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents),\n"
     "px AS (SELECT media_id, p,\n"
@@ -2339,14 +2340,12 @@ _IMAGE_FEATURES_SQL = (
     "  ('0x' || substr(hx, 2 * ((3 * p + 1) % 32) + 1, 2))::INT AS g,\n"
     "  ('0x' || substr(hx, 2 * ((3 * p + 2) % 32) + 1, 2))::INT AS b\n"
     "  FROM d, generate_series(0, 63) AS t(p)),\n"
-    "gr AS (SELECT media_id, p, r, g, b,\n"
-    "  ((CAST(r AS DOUBLE) + g) + b) / 3.0 AS gray FROM px),\n"
     "m AS (SELECT media_id, avg(CAST(r AS DOUBLE)) AS mean_r,\n"
     "  avg(CAST(g AS DOUBLE)) AS mean_g, avg(CAST(b AS DOUBLE)) AS mean_b,\n"
-    "  avg(gray) AS gmean FROM gr GROUP BY media_id),\n"
-    "bits AS (SELECT gr.media_id, gr.p,\n"
-    "  CASE WHEN gr.gray > m.gmean THEN 1 ELSE 0 END AS bit\n"
-    "  FROM gr JOIN m USING (media_id)),\n"
+    "  sum(r + g + b) AS total FROM px GROUP BY media_id),\n"
+    "bits AS (SELECT px.media_id, px.p,\n"
+    "  CASE WHEN (px.r + px.g + px.b) * 64 > m.total THEN 1 ELSE 0 END AS bit\n"
+    "  FROM px JOIN m USING (media_id)),\n"
     "ph AS (SELECT media_id,\n"
     "  CAST(sum(CASE WHEN p < 32 THEN CAST(bit AS BIGINT) << (31 - p) ELSE 0 END) AS BIGINT) AS hi,\n"
     "  CAST(sum(CASE WHEN p >= 32 THEN CAST(bit AS BIGINT) << (63 - p) ELSE 0 END) AS BIGINT) AS lo\n"

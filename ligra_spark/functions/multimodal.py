@@ -112,7 +112,15 @@ def decode_images(media: DataFrame, fake: bool = False) -> DataFrame:
 def image_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode + per-channel means + a 64-bit average-hash (pHash-style)
     in ONE Arrow pass (decode fused with feature extraction — no
-    intermediate pixel table is shuffled or persisted)."""
+    intermediate pixel table is shuffled or persisted).
+
+    The average-hash threshold compares in EXACT integer arithmetic
+    (pixel channel-sum x pixel-count vs the image's total channel
+    sum — equivalent to gray > mean(gray) in exact math): a float
+    formulation makes bit k flip with the summation ORDER whenever
+    gray[k] sits within an ulp of the mean, so the same image could
+    fingerprint differently on different engines/partitionings — a
+    dedup hazard the oracle pairing actually caught at sf0.1."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -139,12 +147,12 @@ def image_features(media: DataFrame, fake: bool = False) -> DataFrame:
                 stack = np.stack([imgs[i] for i in idxs])  # (B, H, W, C)
                 hh[ix], ww[ix], cc[ix] = shape[0], shape[1], shape[2]
                 means[ix] = stack.mean(axis=(1, 2))
-                gray = stack.mean(axis=3)  # (B, H, W)
-                nbits = min(64, shape[0] * shape[1])
-                bits = (
-                    gray.reshape(len(idxs), -1)[:, :nbits]
-                    > gray.mean(axis=(1, 2))[:, None]
-                )
+                npix = shape[0] * shape[1]
+                # channel sums are small ints held exactly in float64;
+                # products/totals stay < 2^31 — every compare is exact
+                gray3 = stack.sum(axis=3).reshape(len(idxs), -1)  # (B, H*W)
+                nbits = min(64, npix)
+                bits = gray3[:, :nbits] * npix > gray3.sum(axis=1)[:, None]
                 # object dtype from the start: 1 << 63 overflows int64
                 weights = np.array(
                     [1 << k for k in range(nbits - 1, -1, -1)], dtype=object

@@ -48,7 +48,20 @@ def assign_dense_ids(
     of ``key`` (dense, deterministic, distributed)."""
     spark = df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
-    parts = df.repartitionByRange(p, F.col(key)).sortWithinPartitions(key)
+    # persist is CORRECTNESS-critical, not an optimization: the count
+    # job and the stamping job below must observe the SAME range
+    # boundaries, but repartitionByRange samples per materialization —
+    # re-executing the plan in the second job can pick different
+    # boundaries, silently shifting every id after the first boundary
+    # that moved (caught by an sf0.1 dictionary diff: a 36-url block
+    # shift at 5,000 rows).  The cache pins one partitioning for both.
+    from pyspark import StorageLevel
+
+    parts = (
+        df.repartitionByRange(p, F.col(key))
+        .sortWithinPartitions(key)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     counts = (
         parts.select(F.spark_partition_id().alias("pid"))
         .groupBy("pid")

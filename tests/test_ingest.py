@@ -55,6 +55,27 @@ def test_dense_id_assignment(tiny_pages):
     assert list(d["url"]) == list(fixtures.url_for(np.arange(n)))
 
 
+def test_dense_id_rank_exact_at_boundary_stress(spark):
+    """Regression for the two-job range-boundary race: the count job
+    and the stamping job of assign_dense_ids must observe the SAME
+    range partitioning (the frame is persisted between them) — before
+    the fix, re-sampled boundaries silently block-shifted every id
+    after the first moved boundary (caught at 5,000 urls via the
+    DuckDB dictionary diff).  Stress with non-padded urls (so
+    lexicographic != numeric order) across many partitions and pin
+    ids to the exact python sorted rank."""
+    import pandas as pd
+
+    from ligra_spark.ingest import assign_dense_ids
+
+    urls = [f"u{i}" for i in range(5000)]
+    df = spark.createDataFrame(pd.DataFrame({"url": urls}))
+    out = assign_dense_ids(df, "url", num_partitions=16).toPandas()
+    want = {u: i for i, u in enumerate(sorted(urls))}
+    got = dict(zip(out["url"], out["id"]))
+    assert got == want
+
+
 def test_pages_to_edges_exact_multiset(tiny_pages, spark):
     """Extracted link graph == the generator's edge multiset exactly
     (duplicates preserved, ids recovered via the dictionary)."""

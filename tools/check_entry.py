@@ -41,7 +41,10 @@ def compare(name, spark_pdf, oracle_pdf):
             if not np.allclose(
                 av.astype(float), bv.astype(float), atol=1e-9, rtol=0, equal_nan=True
             ):
-                bad = (av.astype(float) - bv.astype(float)).abs().idxmax()
+                d = (av.astype(float) - bv.astype(float)).abs()
+                # one-sided NaNs are themselves the mismatch; inf-fill
+                # so idxmax points at them instead of raising
+                bad = d.where(~d.isna(), np.inf).idxmax()
                 return f"VALUE MISMATCH col={c} row={bad}: {av[bad]} vs {bv[bad]}"
         else:
             if not av.astype(str).equals(bv.astype(str)):

@@ -147,7 +147,10 @@ def lsh_signature_udf(dim: int, bits: int, seed: int = 0):
     pow2 = (np.int64(1) << np.arange(bits, dtype=np.int64))
 
     def sig(v):
-        mat = np.array(v.tolist(), dtype=np.float64)  # batch x dim
+        # list-free Arrow→numpy: Series elements arrive as np.ndarray
+        # under Arrow batching, so stacking avoids materializing a
+        # Python list per element before the matmul (per-batch hot loop)
+        mat = np.stack(v.values).astype(np.float64, copy=False)  # batch x dim
         buckets = ((mat @ planes_t) >= 0.0).astype(np.int64) @ pow2
         return pd.Series(buckets)
 
@@ -302,7 +305,8 @@ def ivf_assign_udf(dim: int, nlist: int, seed: int = 100, nprobe: int = 1):
     c2 = (cents**2).sum(axis=1)  # ||c||^2 per centroid
 
     def assign(v):
-        mat = np.array(v.tolist(), dtype=np.float64)  # batch x dim
+        # list-free Arrow→numpy (see lsh_signature_udf)
+        mat = np.stack(v.values).astype(np.float64, copy=False)  # batch x dim
         # batch x nlist partial squared distances; stable argsort ties
         # break by centroid id because numpy 'stable' keeps index order
         d = c2[None, :] - 2.0 * (mat @ cents.T)

@@ -34,6 +34,7 @@ def asof_join(
     by: str = "user_id",
     right_cols: tuple[str, ...] = ("value",),
     prefix: str = "asof_",
+    tie_break: str | None = None,
 ) -> DataFrame:
     """Backward (at-or-before, inclusive) as-of join: every left row
     gains ``prefix + on`` (the matched right timestamp) and
@@ -44,8 +45,14 @@ def asof_join(
 
     Ties: a right row at EXACTLY the left row's timestamp matches
     (inclusive, like DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``).
-    Multiple right rows sharing one (by, on) pair are ambiguous —
-    pre-dedupe the right side if that can occur.
+    Multiple right rows sharing one (by, on) pair are ambiguous under
+    engine-chosen ordering; pass ``tie_break=<right column>`` to pin
+    the winner deterministically — the row with the GREATEST
+    ``tie_break`` value wins (e.g. latest ``event_id``), matching a
+    pre-dedupe of the right side with
+    ``row_number() over (partition by by, on order by tie_break desc)``.
+    With ``tie_break=None`` the choice among exact duplicates is
+    engine-dependent — pre-dedupe the right side if that can occur.
 
     The matched right row travels as ONE struct through the running
     ``last(ignorenulls)`` — per-column fills would tear a right row
@@ -67,13 +74,20 @@ def asof_join(
         F.struct(
             F.col(on).alias(on), *[F.col(c).alias(c) for c in right_cols]
         ).alias("_p"),
+        *([F.col(tie_break).alias("_tb")] if tie_break else []),
     ).withColumn("_side", F.lit(0))
     u = l.unionByName(r, allowMissingColumns=True)  # left rows: _p IS NULL
     # right rows sort BEFORE left rows at equal timestamps so an
-    # exact-timestamp right row is visible to the running last()
+    # exact-timestamp right row is visible to the running last();
+    # among duplicate (by, on) right rows the greatest tie_break sorts
+    # LAST so the running last() picks it (left rows carry NULL _tb
+    # but are already separated by _side)
+    order = [F.col(on).asc(), F.col("_side").asc()]
+    if tie_break:
+        order.append(F.col("_tb").asc_nulls_first())
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u.select("*", F.last("_p", ignorenulls=True).over(w).alias("_f"))

@@ -30,6 +30,7 @@ __all__ = [
     "read_adjacency_graph_df",
     "read_binary_csr_df",
     "write_adjacency_graph",
+    "write_adjacency_graph_distributed",
     "read_adjacency_hypergraph",
     "read_adjacency_hypergraph_df",
     "write_adjacency_hypergraph",
@@ -66,7 +67,13 @@ def read_binary_csr_df(
 def write_adjacency_graph(edges: DataFrame, n: int, path: str) -> None:
     """Export (src, dst[, weight]) → AdjacencyGraph text, rows sorted
     by (src, dst) as ``graphFromEdges`` lays them out
-    (``utils/graphIO.h:355-369``)."""
+    (``utils/graphIO.h:355-369``).
+
+    DRIVER-MEMORY BOUND: this funnels the edge table through
+    ``toPandas()`` — fine for the fixture-scale single-file text
+    format, but for graphs that don't fit on the driver use
+    ``write_adjacency_graph_distributed`` (identical bytes, content
+    stays executor-side)."""
     pdf = edges.toPandas().sort_values(
         ["src", "dst"], kind="mergesort"
     ).reset_index(drop=True)
@@ -82,6 +89,88 @@ def write_adjacency_graph(edges: DataFrame, n: int, path: str) -> None:
         f.write("\n".join(map(str, dst.tolist())) + "\n")
         if weighted:
             f.write("\n".join(map(str, pdf["weight"].tolist())) + "\n")
+
+
+def write_adjacency_graph_distributed(
+    edges: DataFrame, n: int, path: str
+) -> None:
+    """Executor-side twin of ``write_adjacency_graph``: builds the
+    text sections (header, offsets, targets[, weights]) as line rows,
+    funnels them through ONE sorted partition (the format is a single
+    ordered file, so a 1-partition sort is the minimum possible
+    parallelism — but the rows live in an executor task, not in
+    driver memory), writes with the text datasource, then renames the
+    single part file into place.  Byte-identical to the driver-side
+    writer."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = edges.sparkSession
+    weighted = "weight" in edges.columns
+    edges = edges.persist()
+    m = edges.count()  # also pins one materialization for the windows
+    header = spark.createDataFrame(
+        [
+            (0, 0, "WeightedAdjacencyGraph" if weighted else "AdjacencyGraph"),
+            (0, 1, str(n)),
+            (0, 2, str(m)),
+        ],
+        "sec int, k long, line string",
+    )
+    # bounds[v] = #edges with src < v  (exclusive running degree sum)
+    deg = edges.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("d"))
+    w_cum = Window.orderBy("vid").rowsBetween(Window.unboundedPreceding, -1)
+    bounds = (
+        spark.range(n).select(F.col("id").alias("vid"))
+        .join(deg, "vid", "left")
+        .select("vid", F.coalesce("d", F.lit(0)).alias("d"))
+        .select(
+            F.lit(1).alias("sec"),
+            F.col("vid").alias("k"),
+            F.coalesce(F.sum("d").over(w_cum), F.lit(0))
+            .cast("string")
+            .alias("line"),
+        )
+    )
+    e_ord = Window.orderBy("src", "dst")
+    ranked = edges.select(
+        "*", F.row_number().over(e_ord).cast("long").alias("k")
+    )
+    sections = [
+        header,
+        bounds,
+        ranked.select(
+            F.lit(2).alias("sec"), "k", F.col("dst").cast("string").alias("line")
+        ),
+    ]
+    if weighted:
+        sections.append(
+            ranked.select(
+                F.lit(3).alias("sec"),
+                "k",
+                F.col("weight").cast("string").alias("line"),
+            )
+        )
+    out = sections[0]
+    for s in sections[1:]:
+        out = out.unionByName(s)
+    tmp = path + ".spark-tmp"
+    (
+        out.repartition(1)
+        .sortWithinPartitions("sec", "k")
+        .select("line")
+        .write.mode("overwrite")
+        .text(tmp)
+    )
+    edges.unpersist()
+    part = glob.glob(os.path.join(tmp, "part-*"))
+    assert len(part) == 1, part
+    shutil.move(part[0], path)
+    shutil.rmtree(tmp)
 
 
 def read_adjacency_hypergraph(

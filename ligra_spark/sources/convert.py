@@ -30,6 +30,9 @@ __all__ = [
     "write_mesh_csv",
     "write_binary_csr",
     "rand_hypergraph",
+    "hyper_adj_to_binary",
+    "read_binary_hypergraph",
+    "add_log_weights_hypergraph",
 ]
 
 
@@ -205,6 +208,94 @@ def write_binary_csr(
         f.write(f"{n}\n")
     offsets.astype(np.int64).tofile(path_idx)
     dst.astype(np.int64).tofile(path_adj)
+
+
+def hyper_adj_to_binary(in_path: str, out_prefix: str) -> None:
+    """``hyperAdjToBinary.C``: ``(Weighted)AdjacencyHypergraph`` text →
+    the binary quintuple ``.config`` (text "nv mv nh mh", no trailing
+    newline, like the reference's ``config << nv << " " ...``),
+    ``.vidx``/``.hidx`` (int64 offsets per half), ``.vadj``/``.hadj``
+    (int64 targets; for the weighted format the targets are followed
+    by the weights — the in-memory layout of
+    ``graphIO.h:readWghHypergraphFromFile`` is edges then weights per
+    half, and the tool dumps that region verbatim)."""
+    from .adjacency_io import read_adjacency_hypergraph
+
+    nv, nh, v_off, v_tgt, h_off, h_tgt, v_w, h_w = read_adjacency_hypergraph(
+        in_path
+    )
+    with open(out_prefix + ".config", "w") as f:
+        f.write(f"{nv} {len(v_tgt)} {nh} {len(h_tgt)}")
+    np.asarray(v_off, dtype=np.int64).tofile(out_prefix + ".vidx")
+    np.asarray(h_off, dtype=np.int64).tofile(out_prefix + ".hidx")
+    vadj = v_tgt if v_w is None else np.concatenate([v_tgt, v_w])
+    hadj = h_tgt if h_w is None else np.concatenate([h_tgt, h_w])
+    np.asarray(vadj, dtype=np.int64).tofile(out_prefix + ".vadj")
+    np.asarray(hadj, dtype=np.int64).tofile(out_prefix + ".hadj")
+
+
+def read_binary_hypergraph(
+    prefix: str,
+) -> tuple[int, int, np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+           np.ndarray | None, np.ndarray | None]:
+    """Inverse of ``hyper_adj_to_binary`` (round-trip check): returns
+    the same tuple shape as ``read_adjacency_hypergraph``.  Weighted
+    iff the adj halves are twice their config-declared lengths."""
+    with open(prefix + ".config") as f:
+        nv, mv, nh, mh = (int(x) for x in f.read().split())
+    v_off = np.fromfile(prefix + ".vidx", dtype=np.int64)[:nv]
+    h_off = np.fromfile(prefix + ".hidx", dtype=np.int64)[:nh]
+    vadj = np.fromfile(prefix + ".vadj", dtype=np.int64)
+    hadj = np.fromfile(prefix + ".hadj", dtype=np.int64)
+    weighted = len(vadj) == 2 * mv
+    v_w = vadj[mv:] if weighted else None
+    h_w = hadj[mh:] if weighted else None
+    return nv, nh, v_off, vadj[:mv], h_off, hadj[:mh], v_w, h_w
+
+
+def _write_hypergraph_arrays(
+    path: str, nv: int, nh: int,
+    v_off: np.ndarray, v_tgt: np.ndarray,
+    h_off: np.ndarray, h_tgt: np.ndarray,
+    v_w: np.ndarray | None = None, h_w: np.ndarray | None = None,
+) -> None:
+    weighted = v_w is not None
+    sections = [v_off, v_tgt] + ([v_w] if weighted else [])
+    sections += [h_off, h_tgt] + ([h_w] if weighted else [])
+    with open(path, "w") as f:
+        f.write(
+            "WeightedAdjacencyHypergraph\n" if weighted
+            else "AdjacencyHypergraph\n"
+        )
+        f.write(f"{nv}\n{len(v_tgt)}\n{nh}\n{len(h_tgt)}\n")
+        for arr in sections:
+            f.write("\n".join(map(str, np.asarray(arr).tolist())) + "\n")
+
+
+def add_log_weights_hypergraph(in_path: str, out_path: str) -> None:
+    """``adjHypergraphAddWeights.C:43-80``: per-HYPEREDGE log-uniform
+    weights with ``L = trunc(log2(max(nv, nh)))`` and ``Choices[i] =
+    i+1`` (NOT the graph tool's duplicated-choices table):
+    ``InW[i] = hashInt(i) %% L + 1`` and ``OutW[i] = hashInt(i+nh) %%
+    L + 1``.  The vertex half's pin (v → h) takes ``InW[h]`` (the
+    TARGET hyperedge's incoming weight); the hyperedge half's pin
+    (h → v) takes ``OutW[h]`` (the SOURCE hyperedge's outgoing
+    weight, identical across its pins)."""
+    from .adjacency_io import read_adjacency_hypergraph
+
+    nv, nh, v_off, v_tgt, h_off, h_tgt, _, _ = read_adjacency_hypergraph(
+        in_path
+    )
+    L = max(1, int(np.log2(max(nv, nh))))
+    ids = np.arange(nh, dtype=np.uint32)
+    in_w = hash_int32(ids).astype(np.int64) % L + 1
+    out_w = hash_int32(ids + np.uint32(nh)).astype(np.int64) % L + 1
+    v_w = in_w[np.asarray(v_tgt, dtype=np.int64)]
+    h_src, _ = csr_to_edges(nh, h_off, h_tgt)
+    h_w = out_w[h_src]
+    _write_hypergraph_arrays(
+        out_path, nv, nh, v_off, v_tgt, h_off, h_tgt, v_w, h_w
+    )
 
 
 def rand_hypergraph(

@@ -261,3 +261,95 @@ def test_read_wgh_snap_edges(tmp_path):
     f.write_text("# c\n0 1 7\n1 2 3\n")
     s, d, w, n = read_wgh_snap_edges(str(f))
     assert (s.tolist(), d.tolist(), w.tolist(), n) == ([0, 1], [1, 2], [7, 3], 3)
+
+
+def test_hyper_binary_roundtrip(spark, tmp_path):
+    """hyperAdjToBinary.C: text hypergraph → .config/.vidx/.vadj/
+    .hidx/.hadj (int64; weighted = edges then weights per half,
+    graphIO.h readWghHypergraphFromFile layout), byte-inverse of
+    read_binary_hypergraph, and the weighted path round-trips the
+    adjHypergraphAddWeights output."""
+    import pandas as pd
+
+    from ligra_spark.sources import write_adjacency_hypergraph
+    from ligra_spark.sources.convert import (
+        add_log_weights_hypergraph,
+        hyper_adj_to_binary,
+        read_binary_hypergraph,
+    )
+    from ligra_spark.sources.adjacency_io import read_adjacency_hypergraph
+
+    rng = np.random.default_rng(11)
+    nv, nh = 16, 6
+    v_half = pd.DataFrame(
+        sorted({(int(v), int(h)) for v, h in
+                zip(rng.integers(0, nv, 50), rng.integers(0, nh, 50))}),
+        columns=["vertex", "hedge"],
+    )
+    h_half = pd.DataFrame(
+        sorted({(int(v), int(h)) for v, h in
+                zip(rng.integers(0, nv, 30), rng.integers(0, nh, 30))}),
+        columns=["vertex", "hedge"],
+    )
+    path = str(tmp_path / "h.adj")
+    write_adjacency_hypergraph(
+        spark.createDataFrame(v_half), spark.createDataFrame(h_half), nv, nh, path
+    )
+    # unweighted binary round-trip
+    pre = str(tmp_path / "h")
+    hyper_adj_to_binary(path, pre)
+    want = read_adjacency_hypergraph(path)
+    got = read_binary_hypergraph(pre)
+    assert got[0] == want[0] and got[1] == want[1]
+    for a, b in zip(got[2:6], want[2:6]):
+        assert np.array_equal(a, b)
+    assert got[6] is None and got[7] is None
+    cfg = open(pre + ".config").read()
+    assert cfg == f"{nv} {len(v_half)} {nh} {len(h_half)}"  # no newline
+
+    # weighted: add_log_weights_hypergraph formula, then binary trip
+    wpath = str(tmp_path / "hw.adj")
+    add_log_weights_hypergraph(path, wpath)
+    nv2, nh2, v_off, v_tgt, h_off, h_tgt, v_w, h_w = read_adjacency_hypergraph(wpath)
+    from ligra_spark.adjacency import csr_to_edges
+    from ligra_spark.hashing import hash_int32
+
+    L = max(1, int(np.log2(max(nv, nh))))
+    ids = np.arange(nh, dtype=np.uint32)
+    in_w = hash_int32(ids).astype(np.int64) % L + 1
+    out_w = hash_int32(ids + np.uint32(nh)).astype(np.int64) % L + 1
+    assert np.array_equal(v_w, in_w[v_tgt])          # pin (v→h): InW[h]
+    h_src, _ = csr_to_edges(nh, h_off, h_tgt)
+    assert np.array_equal(h_w, out_w[h_src])         # pin (h→v): OutW[h]
+
+    wpre = str(tmp_path / "hw")
+    hyper_adj_to_binary(wpath, wpre)
+    got_w = read_binary_hypergraph(wpre)
+    for a, b in zip(got_w[2:], (v_off, v_tgt, h_off, h_tgt, v_w, h_w)):
+        assert np.array_equal(a, b)
+
+
+def test_write_adjacency_graph_distributed(spark, tmp_path):
+    """Executor-side writer produces byte-identical files to the
+    driver-side writer, weighted and unweighted."""
+    import pandas as pd
+
+    from ligra_spark.sources import write_adjacency_graph
+    from ligra_spark.sources.adjacency_io import write_adjacency_graph_distributed
+
+    rng = np.random.default_rng(3)
+    n = 40
+    pdf = pd.DataFrame(
+        sorted({(int(a), int(b)) for a, b in
+                zip(rng.integers(0, n, 300), rng.integers(0, n, 300))}),
+        columns=["src", "dst"],
+    )
+    for weighted in (False, True):
+        df = pdf.copy()
+        if weighted:
+            df["weight"] = (df["src"] * 7 + df["dst"]) % 11 + 1
+        edges = spark.createDataFrame(df).repartition(8)  # scrambled layout
+        a, b = str(tmp_path / f"a{weighted}.adj"), str(tmp_path / f"b{weighted}.adj")
+        write_adjacency_graph(edges, n, a)
+        write_adjacency_graph_distributed(edges, n, b)
+        assert open(a).read() == open(b).read()

@@ -141,3 +141,77 @@ def test_range_join_random_vs_bruteforce(spark, temporal_data):
     assert norm == want
     # the boundary rows at exactly lts + W all paired
     assert sum(c for (_, _, v), c in norm.items() if v == 9.9) >= 30
+
+
+def test_asof_join_tie_break_duplicate_right_rows(spark):
+    """Duplicate (by, on) right rows: with tie_break=<col> the row with
+    the GREATEST tie_break value wins deterministically — equivalent to
+    pre-deduping the right side with row_number() over (by, on order by
+    tie_break desc).  Randomized vs a brute-force pandas oracle on the
+    pre-deduped right side, including null-payload winners."""
+    rng = np.random.default_rng(13)
+    nkeys = 8
+    rkey = rng.integers(0, nkeys, 300)
+    rts = rng.integers(0, 40, 300)  # tiny ts range → many exact dups
+    right = pd.DataFrame(
+        {
+            "user_id": rkey,
+            "ts_i": rts,
+            "rid": np.arange(300),
+            "value": rng.normal(size=300).round(3),
+        }
+    )
+    right.loc[rng.random(300) < 0.2, "value"] = np.nan
+    left = pd.DataFrame(
+        {
+            "event_id": np.arange(200),
+            "user_id": rng.integers(0, nkeys, 200),
+            "ts_i": rng.integers(0, 45, 200),
+        }
+    )
+
+    sl = spark.createDataFrame(
+        [(int(e), int(k), _ts(t)) for e, k, t in
+         zip(left["event_id"], left["user_id"], left["ts_i"])],
+        "event_id long, user_id long, ts timestamp",
+    )
+    sr = spark.createDataFrame(
+        [(int(k), _ts(t), int(i), None if np.isnan(v) else float(v))
+         for k, t, i, v in
+         zip(right["user_id"], right["ts_i"], right["rid"], right["value"])],
+        "user_id long, ts timestamp, rid long, value double",
+    )
+
+    from ligra_spark.functions.temporal import asof_join
+
+    got = {
+        r["event_id"]: (r["asof_ts"], r["asof_rid"], r["asof_value"])
+        for r in asof_join(
+            sl, sr, right_cols=("rid", "value"), tie_break="rid"
+        ).collect()
+    }
+    assert len(got) == len(left)
+
+    # oracle: keep only the max-rid row per (user_id, ts), then plain asof
+    # (drop_duplicates, not groupby().last() — the latter skips NaN
+    # payloads and would tear the winning row apart)
+    dedup = right.sort_values(["user_id", "ts_i", "rid"]).drop_duplicates(
+        ["user_id", "ts_i"], keep="last"
+    )
+    rby = {k: g.sort_values("ts_i") for k, g in dedup.groupby("user_id")}
+    for _, lrow in left.iterrows():
+        g = rby.get(lrow["user_id"])
+        match = None
+        if g is not None:
+            elig = g[g["ts_i"] <= lrow["ts_i"]]
+            if len(elig):
+                match = elig.iloc[-1]
+        ats, arid, aval = got[lrow["event_id"]]
+        if match is None:
+            assert ats is None and arid is None and aval is None
+        else:
+            assert ats == _ts(match["ts_i"]) and arid == match["rid"]
+            if np.isnan(match["value"]):
+                assert aval is None
+            else:
+                assert aval == pytest.approx(match["value"])

@@ -258,6 +258,52 @@ def _q_kcore(spark, sf):
     return out
 
 
+def _q_kcore_julienne(spark, sf):
+    """FULL coreness via the Julienne bucket peel
+    (``apps/bucketing/KCore.C:11-44``) over the V=256 symmetric
+    derived graph (same universe as ``ecc_exact`` — the peel's step
+    count is the number of distinct min-buckets, small here; unlike
+    ``kcore`` there is no max_k cap).  Oracle: the iterated-H-index
+    fixpoint (coreness), uncapped."""
+    from ligra_spark.apps import kcore_julienne
+    from ligra_spark.graph import LinkGraph
+
+    li = _t(spark, sf, "lineitem")
+    e = li.select(
+        (F.col("l_orderkey") % V_ECC).alias("src"),
+        (F.col("l_partkey") % V_ECC).alias("dst"),
+    )
+    g = LinkGraph.from_edges(spark, e, n=V_ECC, make_symmetric=True)
+    res, _ = kcore_julienne(g)
+    return res
+
+
+N_TK = 255  # perfect binary tree: parent(i) = (i-1) // 2
+
+
+def _q_ecc_tk(spark, sf):
+    """Takes–Kosters bound-pruned exact eccentricity
+    (``apps/eccentricity/TK.C:74-206``) over a perfect binary tree of
+    255 vertices.  The gate's dense low-diameter derived graph makes
+    TK's pruning degenerate to n iterations (SURVEY §8.4), and a
+    torus (``gridGraph``) would too — it is vertex-transitive, every
+    eccentricity equals the diameter, so lower==upper only ever holds
+    at BFS roots.  A tree has heterogeneous eccentricities
+    (depth(v) + D for v below the root, D at it), the regime TK's
+    bounds exploit: 4 candidate BFSes to full convergence.  TK's
+    OUTPUT is exact eccentricity — schedule-independent — so the
+    oracle is the all-sources BFS unroll over the same tree."""
+    from ligra_spark.graph import LinkGraph
+
+    child = spark.range(1, N_TK).select(F.col("id").alias("src"))
+    e = child.select("src", ((F.col("src") - 1) / 2).cast("long").alias("dst"))
+    g = LinkGraph.from_edges(spark, e, n=N_TK, make_symmetric=True)
+    from ligra_spark.apps import ecc_tk
+
+    res, _ = ecc_tk(g)
+    return res
+
+
 NH = 2048
 INC_SQL = (
     f"SELECT DISTINCT l_partkey % {V} AS v, l_orderkey % {NH} AS h FROM lineitem"
@@ -817,6 +863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radii": _q_radii,
         "mis": _q_mis,
         "kcore": _q_kcore,
+        "kcore_julienne": _q_kcore_julienne,
+        "ecc_tk": _q_ecc_tk,
         "cf": _q_cf,
         "hyper_bfs": _q_hyper_bfs,
         "hyper_bpath": _q_hyper_bpath,
@@ -1345,6 +1393,65 @@ def _ecc_exact_sql(k: int, v: int = V_ECC) -> str:
         sql
         + f"\nSELECT id, CAST(max(level) AS INT) AS ecc FROM {prev} GROUP BY id"
     )
+
+
+def _ecc_tk_sql(k: int = 16, n: int = N_TK) -> str:
+    """Exact eccentricity of the 255-vertex perfect binary tree via
+    the all-sources multi-BFS unroll (same CTE shape as
+    ``_ecc_exact_sql``): TK's bound-pruned schedule computes exactly
+    this fixpoint, so the oracle is schedule-independent.  k must be
+    >= the tree diameter (14 at n=255; 16 gives margin — extra
+    levels are no-ops on an exhausted frontier)."""
+    sql = (
+        f"WITH ch AS (SELECT CAST(range AS BIGINT) AS src FROM range(1, {n})),\n"
+        "e0 AS (SELECT src, (src - 1) // 2 AS dst FROM ch),\n"
+        "es AS MATERIALIZED (SELECT src, dst FROM e0 "
+        "UNION SELECT dst AS src, src AS dst FROM e0),\n"
+        f"vis0 AS (SELECT CAST(range AS BIGINT) AS sample, CAST(range AS BIGINT) AS id, "
+        f"0 AS level FROM range({n}))"
+    )
+    prev = "vis0"
+    for i in range(1, k + 1):
+        sql += (
+            f",\nf{i} AS MATERIALIZED (SELECT DISTINCT p.sample, e.dst AS id FROM es e "
+            f"JOIN {prev} p ON p.id = e.src AND p.level = {i - 1}),\n"
+            f"nf{i} AS (SELECT sample, id FROM f{i} x WHERE NOT EXISTS "
+            f"(SELECT 1 FROM {prev} v WHERE v.sample = x.sample AND v.id = x.id)),\n"
+            f"vis{i} AS MATERIALIZED (SELECT sample, id, level FROM {prev} "
+            f"UNION ALL SELECT sample, id, {i} AS level FROM nf{i})"
+        )
+        prev = f"vis{i}"
+    return (
+        sql
+        + f"\nSELECT id, CAST(max(level) AS INT) AS ecc FROM {prev} GROUP BY id"
+    )
+
+
+def _kcore_julienne_sql(iters: int = 10, v: int = V_ECC) -> str:
+    """FULL coreness of the V=256 symmetric derived graph via the
+    iterated-H-index fixpoint (Lü et al. 2016) — the uncapped twin of
+    ``_kcore_sql`` (the Julienne peel computes coreness exactly;
+    H-index converges to the same fixpoint).  Measured convergence:
+    7 iters at sf0.001, 6 at sf0.01; extra iterations idempotent."""
+    edges = f"SELECT l_orderkey % {v} AS src, l_partkey % {v} AS dst FROM lineitem"
+    sql = (
+        f"WITH e0 AS MATERIALIZED ({edges}),\n"
+        f"es AS MATERIALIZED ({SYM_SQL}),\n"
+        f"v AS (SELECT CAST(range AS BIGINT) AS id FROM range({v})),\n"
+        "c0 AS MATERIALIZED (SELECT v.id, CAST(coalesce(d.deg, 0) AS BIGINT) AS val\n"
+        "  FROM v LEFT JOIN (SELECT src AS id, count(*) AS deg FROM es GROUP BY src) d\n"
+        "  ON d.id = v.id)"
+    )
+    for t in range(1, iters + 1):
+        sql += (
+            f",\nh{t} AS MATERIALIZED (SELECT id, max(least(x, rn)) AS hv FROM (\n"
+            f"  SELECT es.dst AS id, c.val AS x,\n"
+            "  row_number() OVER (PARTITION BY es.dst ORDER BY c.val DESC) AS rn\n"
+            f"  FROM es JOIN c{t - 1} c ON c.id = es.src) q GROUP BY id),\n"
+            f"c{t} AS MATERIALIZED (SELECT v.id, coalesce(h.hv, 0) AS val\n"
+            f"  FROM v LEFT JOIN h{t} h ON h.id = v.id)"
+        )
+    return sql + f"\nSELECT id, val AS core FROM c{iters}"
 
 
 def _bfs_sql(k: int) -> str:
@@ -2413,6 +2520,8 @@ def oracle_sql() -> dict[str, str]:
         "ecc_loglog": _ecc_loglog_sql(9),
         "mis": _mis_sql(8),
         "kcore": _kcore_sql(18),
+        "kcore_julienne": _kcore_julienne_sql(10),
+        "ecc_tk": _ecc_tk_sql(16),
         "setcover": _setcover_sql(72),
         "cf": _cf_sql(5, 20),
         "hyper_bfs": _hyper_bfs_sql(8),

@@ -278,6 +278,40 @@ def _q_kcore_julienne(spark, sf):
     return res
 
 
+PPR_SEEDS = [0, 1, 2, 3]  # all have degree > 0 on the symmetric gate graph
+PPR_ALPHA = 0.15
+PPR_EPS = 1e-6  # gate-scale ε: 28 rounds at sf0.001, 22 at sf0.01
+
+
+def _q_ppr(spark, sf):
+    """Batched multi-seed ACL push-PPR
+    (``apps/localAlg/ACL-Sync-Local.C:79-128``) over the symmetric
+    gate graph: (seed, id, p) for every vertex that entered the
+    seed's frontier."""
+    from ligra_spark.apps import ppr
+
+    state, _ = ppr(
+        _graph(spark, sf, symmetric=True),
+        PPR_SEEDS,
+        alpha=PPR_ALPHA,
+        epsilon=PPR_EPS,
+    )
+    return state.filter(F.col("p") > 0).select(
+        "seed", "id", F.round("p", 8).alias("p")
+    )
+
+
+def _q_ppr_sweep(spark, sf):
+    """Sweep cut over the ACL output (``apps/localAlg/sweep.h:66-110``):
+    per seed the min-conductance prefix of the p/deg ordering —
+    (seed, size_s, vol_s, edges_crossing, conductance)."""
+    from ligra_spark.apps import ppr, ppr_sweep
+
+    g = _graph(spark, sf, symmetric=True)
+    state, _ = ppr(g, PPR_SEEDS, alpha=PPR_ALPHA, epsilon=PPR_EPS)
+    return ppr_sweep(g, state)
+
+
 N_TK = 255  # perfect binary tree: parent(i) = (i-1) // 2
 
 
@@ -865,6 +899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": _q_kcore,
         "kcore_julienne": _q_kcore_julienne,
         "ecc_tk": _q_ecc_tk,
+        "ppr": _q_ppr,
+        "ppr_sweep": _q_ppr_sweep,
         "cf": _q_cf,
         "hyper_bfs": _q_hyper_bfs,
         "hyper_bpath": _q_hyper_bpath,
@@ -1392,6 +1428,89 @@ def _ecc_exact_sql(k: int, v: int = V_ECC) -> str:
     return (
         sql
         + f"\nSELECT id, CAST(max(level) AS INT) AS ecc FROM {prev} GROUP BY id"
+    )
+
+
+def _ppr_scaffold_sql(rounds: int) -> str:
+    """WITH-chain computing the ACL push state s{rounds} =
+    (seed, id, p, r) over the symmetric gate graph — the fixed-point
+    is reached well before ``rounds`` (28 at sf0.001, 22 at sf0.01 for
+    ε=1e-6); later rounds see an empty frontier and are identity."""
+    a, oma2, eps = PPR_ALPHA, (1.0 - PPR_ALPHA) / 2.0, PPR_EPS
+    seed_rows = ", ".join(f"({s})" for s in PPR_SEEDS)
+    sql = (
+        f"WITH e0 AS MATERIALIZED ({EDGES_SQL}),\n"
+        f"es AS MATERIALIZED ({SYM_SQL}),\n"
+        # degs only lists vertices WITH out-edges — the inner joins
+        # below therefore implement the deg > 0 frontier rule
+        "degs AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM es GROUP BY src),\n"
+        f"sd AS (SELECT * FROM (VALUES {seed_rows}) t(seed)),\n"
+        "s0 AS (SELECT sd.seed, sd.seed AS id, 0.0 AS p, 1.0 AS r FROM sd\n"
+        "  JOIN degs d ON d.id = sd.seed)"
+    )
+    for i in range(1, rounds + 1):
+        p_, f_, u_ = f"s{i - 1}", f"f{i}", f"u{i}"
+        sql += (
+            f",\n{f_} AS MATERIALIZED (SELECT s.seed, s.id, s.r, d.deg FROM {p_} s\n"
+            f"  JOIN degs d USING (id) WHERE s.r > d.deg * {eps}),\n"
+            f"pu{i} AS MATERIALIZED (SELECT f.seed, e.dst AS id,\n"
+            f"  sum({oma2} * f.r / f.deg) AS pu\n"
+            f"  FROM es e JOIN {f_} f ON f.id = e.src GROUP BY f.seed, e.dst),\n"
+            f"{u_} AS (SELECT s.seed, s.id,\n"
+            f"  CASE WHEN f.id IS NOT NULL THEN s.p + {a} * s.r ELSE s.p END AS p,\n"
+            f"  CASE WHEN f.id IS NOT NULL THEN s.r * {oma2} ELSE s.r END AS r\n"
+            f"  FROM {p_} s LEFT JOIN {f_} f ON f.seed = s.seed AND f.id = s.id),\n"
+            f"s{i} AS MATERIALIZED (SELECT coalesce(a.seed, b.seed) AS seed,\n"
+            "  coalesce(a.id, b.id) AS id, coalesce(a.p, 0) AS p,\n"
+            f"  coalesce(a.r, 0) + coalesce(b.pu, 0) AS r\n"
+            f"  FROM {u_} a FULL JOIN pu{i} b ON a.seed = b.seed AND a.id = b.id)"
+        )
+    return sql
+
+
+def _ppr_sql(rounds: int = 32) -> str:
+    return (
+        _ppr_scaffold_sql(rounds)
+        + f"\nSELECT seed, id, round(p, 8) AS p FROM s{rounds} WHERE p > 0"
+    )
+
+
+def _ppr_sweep_sql(rounds: int = 32) -> str:
+    """Sweep cut (``sweep.h:66-110``) on top of the ACL state: order
+    touched by round(p/deg, 12) DESC then id ASC; an edge crosses
+    prefix k iff pos(u) <= k < pos(w), so it contributes +1 at pos(u)
+    and -1 at pos(w) (the interval form of the reference's
+    incremental counter); conductance = crossing / min(vol, m - vol)
+    (1.0 when crossing or the denominator is 0); the best prefix is
+    the FIRST attaining the minimum."""
+    k = rounds
+    return _ppr_scaffold_sql(k) + (
+        f",\nmm AS (SELECT count(*) AS m FROM es),\n"
+        f"tt AS (SELECT s.seed, s.id, d.deg, round(s.p / d.deg, 12) AS ratio\n"
+        f"  FROM s{k} s JOIN degs d USING (id) WHERE s.p > 0),\n"
+        "ps AS MATERIALIZED (SELECT seed, id, deg,\n"
+        "  row_number() OVER (PARTITION BY seed ORDER BY ratio DESC, id ASC) AS pos\n"
+        "  FROM tt),\n"
+        "dl AS MATERIALIZED (SELECT pu.seed, pu.pos,\n"
+        "  sum(CASE WHEN pw.pos IS NULL OR pw.pos > pu.pos THEN 1 ELSE -1 END) AS dd\n"
+        "  FROM es e JOIN ps pu ON pu.id = e.src\n"
+        "  LEFT JOIN ps pw ON pw.seed = pu.seed AND pw.id = e.dst\n"
+        "  GROUP BY pu.seed, pu.pos),\n"
+        "pre AS (SELECT ps.seed, ps.pos,\n"
+        "  sum(coalesce(dl.dd, 0)) OVER w AS crossing,\n"
+        "  sum(ps.deg) OVER w AS vol_s\n"
+        "  FROM ps LEFT JOIN dl ON dl.seed = ps.seed AND dl.pos = ps.pos\n"
+        "  WINDOW w AS (PARTITION BY ps.seed ORDER BY ps.pos\n"
+        "               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),\n"
+        "cn AS (SELECT seed, pos, crossing, vol_s,\n"
+        "  CASE WHEN crossing = 0 OR least(vol_s, (SELECT m FROM mm) - vol_s) <= 0\n"
+        "       THEN 1.0\n"
+        "       ELSE CAST(crossing AS DOUBLE) / least(vol_s, (SELECT m FROM mm) - vol_s)\n"
+        "  END AS conductance FROM pre),\n"
+        "bst AS (SELECT *, row_number() OVER (PARTITION BY seed\n"
+        "  ORDER BY conductance ASC, pos ASC) AS rk FROM cn)\n"
+        "SELECT seed, pos AS size_s, vol_s, crossing AS edges_crossing,\n"
+        "  conductance FROM bst WHERE rk = 1"
     )
 
 
@@ -2522,6 +2641,8 @@ def oracle_sql() -> dict[str, str]:
         "kcore": _kcore_sql(18),
         "kcore_julienne": _kcore_julienne_sql(10),
         "ecc_tk": _ecc_tk_sql(16),
+        "ppr": _ppr_sql(32),
+        "ppr_sweep": _ppr_sweep_sql(32),
         "setcover": _setcover_sql(72),
         "cf": _cf_sql(5, 20),
         "hyper_bfs": _hyper_bfs_sql(8),

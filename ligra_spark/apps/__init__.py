@@ -15,6 +15,7 @@ from .bfscc import bfscc
 from .delta_stepping import delta_stepping
 from .kcore_julienne import kcore_julienne
 from .ecc import ecc_estimate, ecc_exact, ecc_kbfs, ecc_simple_approx
+from .ppr import ppr, ppr_sweep
 from .setcover import setcover
 from .hyper import (
     hyper_bc,
@@ -43,6 +44,8 @@ __all__ = [
     "hyper_mis",
     "hyper_pagerank",
     "hyper_sssp",
+    "ppr",
+    "ppr_sweep",
     "setcover",
     "delta_stepping",
     "kcore_julienne",

@@ -66,6 +66,7 @@ def edge_map(
     frontier_size: int | None = None,
     in_edges: bool = False,
     extra_frontier_cols: tuple[str, ...] = (),
+    group_frontier_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """One gather-scatter pass: returns (id, agg) for every vertex that
     received at least one message.
@@ -81,6 +82,12 @@ def edge_map(
     frontier_size : pass the known count to drive the sparse/dense
                 broadcast decision without an extra job (Ligra computes
                 the same from cached degrees, ``ligra.h:248-261``).
+    group_frontier_cols : frontier payload columns ADDED to the
+                groupBy key — batched multi-instance runs (one logical
+                frontier per seed/sample sharing one physical pass,
+                e.g. multi-seed PPR) aggregate per (col..., dst) in
+                the same single shuffle.  Must be listed in
+                ``extra_frontier_cols``.
     """
     edges = graph.edges_in if in_edges else graph.edges
     # re-alias edge columns to fresh exprIds: frontier state usually
@@ -122,8 +129,12 @@ def edge_map(
         cond = f["id"] == e["src"]
     joined = f.join(e, cond)
     return (
-        joined.select(e["dst"].alias("_dst"), message.alias("_msg"))
-        .groupBy(F.col("_dst").alias("id"))
+        joined.select(
+            e["dst"].alias("_dst"),
+            *[f[c] for c in group_frontier_cols],
+            message.alias("_msg"),
+        )
+        .groupBy(F.col("_dst").alias("id"), *group_frontier_cols)
         .agg(aggregate(F.col("_msg")).alias("agg"))
     )
 

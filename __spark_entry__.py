@@ -849,6 +849,36 @@ def _q_doc_media_decode(spark, sf):
     )
 
 
+def _ppm_media_df(spark, sf):
+    """Deterministic REAL P6 payloads: an 8x8 binary-PPM image per
+    document whose RGB plane is sha256(text) repeated — built
+    entirely JVM-side (unhex ∘ sha2 + binary concat), decoded by the
+    pure-numpy P6 codec (no fake path)."""
+    docs = _t(spark, sf, "documents")
+    digest = F.unhex(F.sha2(F.encode("text", "UTF-8"), 256))  # 32 bytes
+    header = F.lit(b"P6\n# synthetic gate image\n8 8\n255\n")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(header, *([digest] * 6)).alias("payload"),
+    )
+
+
+def _q_doc_image_ppm(spark, sf):
+    """``image_features`` over REAL P6 bytes (fake=False): the native
+    numpy PPM decoder — header tokenizing incl. a comment line — runs
+    inside the fused Arrow decode+features pass; DuckDB recomputes
+    the identical pixel plane from sha256(text)."""
+    from ligra_spark.functions.multimodal import image_features
+
+    return image_features(_ppm_media_df(spark, sf), fake=False).select(
+        "media_id", "height", "width", "channels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "phash",
+    )
+
+
 def _q_doc_image_features(spark, sf):
     """Fused decode + feature extraction (per-channel means + 64-bit
     average-hash) in one Arrow pass, vs a DuckDB transcription of the
@@ -939,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_link_graph": _q_page_link_graph,
         "doc_media_decode": _q_doc_media_decode,
         "doc_image_features": _q_doc_image_features,
+        "doc_image_ppm": _q_doc_image_ppm,
     }
 
 
@@ -2735,4 +2766,7 @@ def oracle_sql() -> dict[str, str]:
         "page_link_graph": _PAGE_LINK_GRAPH_SQL,
         "doc_media_decode": _MEDIA_DECODE_SQL,
         "doc_image_features": _IMAGE_FEATURES_SQL,
+        # identical pixel plane (sha256 repeated), but the Spark side
+        # decodes REAL P6 bytes through the native numpy codec
+        "doc_image_ppm": _IMAGE_FEATURES_SQL,
     }

@@ -4,12 +4,15 @@ over ``mapInPandas``.
 
 The Spark side — schemas, partition-preserving batch iteration, UDF
 signatures, batch shapes — is real and tested.  The codec layer
-(actual JPEG/PNG/audio decode) is STUBBED: the container ships no
-image/audio libraries, so ``decode_image`` raises NotImplementedError
-unless ``fake=True`` selects the deterministic fake decoder (a pure
-function of the bytes, used by tests to pin the plumbing end-to-end).
-On a real cluster you swap ``_decode_image_bytes`` for Pillow/ffmpeg
-calls — nothing else changes.
+decodes two uncompressed public formats NATIVELY in pure numpy — P6
+binary PPM images (``_decode_ppm_p6``) and RIFF/WAVE integer-PCM
+audio (``_decode_wav_pcm``) — so the decode → feature path runs end
+to end with zero libraries.  COMPRESSED formats (JPEG/PNG/MP3/...)
+remain a declared stub: the container ships no codec libraries, so
+they raise NotImplementedError unless ``fake=True`` selects the
+deterministic fake decoder (a pure function of the bytes, used by
+tests to pin the plumbing).  On a real cluster you extend
+``_decode_image_bytes`` with Pillow/ffmpeg — nothing else changes.
 
 Batch-shape contract (the thing that matters at 100 TB): each
 ``mapInPandas`` batch holds ``spark.sql.execution.arrow.
@@ -59,12 +62,103 @@ AUDIO_FEATURES_SCHEMA = (
 )
 
 
+_WS = b" \t\r\n\x0b\x0c"
+
+
+def _decode_ppm_p6(buf: bytes) -> np.ndarray:
+    """Pure-numpy P6 (binary PPM) decoder — a REAL codec path, no
+    libraries: 'P6', then width/height/maxval as ASCII decimals with
+    '#'-to-EOL comments allowed between tokens, ONE whitespace byte
+    after maxval, then h·w·3 raw RGB bytes.  8-bit only (maxval <
+    256); 16-bit PPM stays behind the compressed-codec boundary."""
+    pos = 2  # past 'P6'
+    vals: list[int] = []
+    while len(vals) < 3:
+        while pos < len(buf):
+            c = buf[pos : pos + 1]
+            if c in (b"#",):
+                nl = buf.find(b"\n", pos)
+                pos = len(buf) if nl < 0 else nl + 1
+            elif c and c in _WS:
+                pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(buf) and buf[pos : pos + 1].isdigit():
+            pos += 1
+        if start == pos:
+            raise ValueError("bad PPM header")
+        vals.append(int(buf[start:pos]))
+    w, h, maxval = vals
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM is not supported")
+    pos += 1  # exactly one whitespace byte after maxval (netpbm spec)
+    need = w * h * 3
+    data = buf[pos : pos + need]
+    if len(data) < need:
+        raise ValueError("truncated PPM payload")
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+def _decode_wav_pcm(buf: bytes) -> tuple[np.ndarray, int]:
+    """Pure-numpy WAV/PCM decoder — a REAL codec path, no libraries:
+    RIFF/WAVE chunk walk (chunks pad to even length), 'fmt ' must be
+    format 1 (integer PCM), 8- or 16-bit; multi-channel keeps channel
+    0 (a deterministic choice — resampling/downmix policy belongs to
+    the caller).  Returns (int16 mono samples, sample_rate).
+    Compressed audio (format != 1) stays behind the codec boundary."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = data = None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = max(1, int.from_bytes(fmt[2:4], "little"))
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:
+        raise NotImplementedError(
+            f"WAV format {audio_format} (non-PCM) is not supported"
+        )
+    if bits == 16:
+        frame = 2 * channels
+        usable = len(data) // frame * frame
+        samples = np.frombuffer(data[:usable], dtype="<i2")
+    elif bits == 8:
+        usable = len(data) // channels * channels
+        raw = np.frombuffer(data[:usable], dtype=np.uint8)
+        samples = ((raw.astype(np.int16) - 128) << 8)
+    else:
+        raise NotImplementedError(f"{bits}-bit WAV is not supported")
+    if channels > 1:
+        samples = samples.reshape(-1, channels)[:, 0]
+    return samples.copy(), rate
+
+
 def _decode_image_bytes(payload: bytes, fake: bool) -> np.ndarray:
-    """STUB codec boundary.  Real deployment: Pillow/ffmpeg here."""
+    """Codec boundary.  P6 PPM decodes NATIVELY (pure numpy, real
+    path); compressed formats (JPEG/PNG/...) need Pillow/ffmpeg,
+    absent here, so they raise unless ``fake=True`` selects the
+    deterministic fake decoder."""
+    if payload[:2] == b"P6" and payload[2:3] in (
+        *(bytes([c]) for c in _WS), b"#",
+    ):
+        return _decode_ppm_p6(payload)
     if not fake:
         raise NotImplementedError(
-            "image codecs are not installed in this environment; "
-            "pass fake=True for the deterministic fake decoder"
+            "compressed image codecs are not installed in this "
+            "environment (P6 PPM decodes natively); pass fake=True "
+            "for the deterministic fake decoder"
         )
     # deterministic fake: 8x8x3 image derived from sha256(payload)
     h = hashlib.sha256(payload).digest()
@@ -183,14 +277,19 @@ _FAKE_N_SAMPLES = 2_048
 
 
 def _decode_audio_bytes(payload: bytes, fake: bool) -> tuple[np.ndarray, int]:
-    """STUB codec boundary for audio.  Real deployment: soundfile /
-    ffmpeg PCM decode here.  The deterministic fake derives a fixed-
-    length int16 waveform from sha256(payload) so tests can pin the
-    plumbing end-to-end without audio libraries installed."""
+    """Codec boundary for audio.  WAV/PCM decodes NATIVELY (pure
+    numpy, real path); compressed formats (MP3/Opus/...) need
+    soundfile/ffmpeg, absent here, so they raise unless ``fake=True``
+    selects the deterministic fake decoder (a fixed-length int16
+    waveform from per-block sha256, used by tests to pin the plumbing
+    end-to-end)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav_pcm(payload)
     if not fake:
         raise NotImplementedError(
-            "audio codecs are not installed in this environment; "
-            "pass fake=True for the deterministic fake decoder"
+            "compressed audio codecs are not installed in this "
+            "environment (WAV/PCM decodes natively); pass fake=True "
+            "for the deterministic fake decoder"
         )
     # aperiodic: per-block hashing (sha256(payload || block)) so band
     # energies differ and the fingerprint is non-degenerate

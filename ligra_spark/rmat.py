@@ -37,19 +37,29 @@ def rmat_edges(
     a: float = 0.5,
     b: float = 0.1,
     c: float = 0.1,
+    offset: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Generate m directed rMat edges over nn = 2^ceil(log2(n)) vertices.
 
     Returns (src, dst) int64 arrays.  Matches ``edgeRmat``
     (``rMatGraph.C:66-73``) exactly, including duplicates/self-loops.
+
+    ``offset`` selects edge indices [offset, offset+m) of the SAME
+    stream: each rMat edge is an independent function of its index, so
+    chunked calls concatenate to the single-call result bit-exactly —
+    this is how the billion-edge fixture is generated without a 16 GB
+    single allocation.  offset+m must stay below 2^31 (the reference's
+    index is a signed int feeding 32-bit hash state, utils.h:366).
     """
+    if offset + m > (1 << 31):
+        raise ValueError("rmat_edges: offset + m exceeds the 32-bit index space")
     nn = 1 << int(np.ceil(np.log2(max(n, 1))))
     ab = a + b
     abc = a + b + c
     if abc > 1.0:
         raise ValueError("rMat: a + b + c > 1")
     h = hash_int32(np.uint32(seed))
-    i = np.arange(m, dtype=np.uint32)
+    i = np.arange(offset, offset + m, dtype=np.uint32)
     with np.errstate(over="ignore"):
         rand_start = (np.uint32(2) * i) * h
         rand_start = hash_int32_inplace(rand_start, i.copy())

@@ -312,6 +312,45 @@ def _q_ppr_sweep(spark, sf):
     return ppr_sweep(g, state)
 
 
+NIBBLE_EPS = 1e-5  # walk support stays sparse; threshold q > deg·ε
+NIBBLE_T = 10      # the reference's -T default (Nibble-Serial.C:48)
+HK_T = 3.0         # diffusion time, reference -t default
+HK_EPS = 1e-4
+HK_N = 3           # Taylor terms (reference -N; 3 exercises the
+                   # non-last push + threshold + last-level paths)
+
+
+def _q_nibble(spark, sf):
+    """Batched multi-seed Nibble (``apps/localAlg/Nibble-Serial.C:
+    40-73``): the truncated lazy-random-walk mass after T rounds over
+    the symmetric gate graph."""
+    from ligra_spark.apps import nibble
+
+    state, _ = nibble(
+        _graph(spark, sf, symmetric=True),
+        PPR_SEEDS,
+        epsilon=NIBBLE_EPS,
+        max_rounds=NIBBLE_T,
+    )
+    return state.select("seed", "id", F.round("q", 8).alias("q"))
+
+
+def _q_heat_kernel(spark, sf):
+    """Batched multi-seed synchronous hk-relax
+    (``apps/localAlg/HeatKernel-Parallel.C:94-181``): absorbed heat
+    mass x after N Taylor levels over the symmetric gate graph."""
+    from ligra_spark.apps import heat_kernel
+
+    state, _ = heat_kernel(
+        _graph(spark, sf, symmetric=True),
+        PPR_SEEDS,
+        t=HK_T,
+        epsilon=HK_EPS,
+        n_terms=HK_N,
+    )
+    return state.select("seed", "id", F.round("x", 8).alias("x"))
+
+
 N_TK = 255  # perfect binary tree: parent(i) = (i-1) // 2
 
 
@@ -904,8 +943,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # covered by tests/ + tools/check_entry.py.
     return {
         # graph engine (SURVEY.md §2.4 apps over the derived link graph)
-        "out_degree": _q_out_degree,
-        "degree_histogram": _q_degree_histogram,
         "triangle_count": _q_triangles,
         "pagerank": _q_pagerank_full,
         "pagerank_delta": _q_pagerank_delta,
@@ -925,6 +962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_julienne": _q_kcore_julienne,
         "ppr": _q_ppr,
         "ppr_sweep": _q_ppr_sweep,
+        "nibble": _q_nibble,
+        "heat_kernel": _q_heat_kernel,
         "cf": _q_cf,
         "hyper_bfs": _q_hyper_bfs,
         "hyper_cc": _q_hyper_cc,
@@ -961,6 +1000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail (slot 51+): fixed-k gates and app variants, all
         # driver-green in CORRECTNESS_r01/r02; kept registered so
         # tools/check_entry.py and the judge can still run them.
+        "out_degree": _q_out_degree,
+        "degree_histogram": _q_degree_histogram,
         "two_hop_count": _q_two_hop,
         "pagerank_k3": _q_pagerank_k3,
         "cc_k4": _q_cc_k4,
@@ -1552,6 +1593,120 @@ def _ppr_sweep_sql(rounds: int = 32) -> str:
         "  ORDER BY conductance ASC, pos ASC) AS rk FROM cn)\n"
         "SELECT seed, pos AS size_s, vol_s, crossing AS edges_crossing,\n"
         "  conductance FROM bst WHERE rk = 1"
+    )
+
+
+def _nibble_sql(rounds: int = NIBBLE_T) -> str:
+    """Unrolled Nibble rounds (``Nibble-Serial.C:56-72``): per round,
+    frontier = q > deg·ε; q' = self-retention q/2 ∪ pushes q/(2·deg)
+    summed (below-threshold rows of ACTIVE seeds are dropped — the
+    truncation); seeds with an empty frontier keep their state
+    verbatim (the per-seed loop exit)."""
+    eps = NIBBLE_EPS
+    seed_rows = ", ".join(f"({s})" for s in PPR_SEEDS)
+    sql = (
+        f"WITH e0 AS MATERIALIZED ({EDGES_SQL}),\n"
+        f"es AS MATERIALIZED ({SYM_SQL}),\n"
+        "degs AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM es GROUP BY src),\n"
+        f"sd AS (SELECT * FROM (VALUES {seed_rows}) t(seed)),\n"
+        "s0 AS (SELECT sd.seed, sd.seed AS id, 1.0 AS q FROM sd\n"
+        "  JOIN degs d ON d.id = sd.seed)"
+    )
+    for i in range(1, rounds + 1):
+        p_ = f"s{i - 1}"
+        sql += (
+            f",\nf{i} AS MATERIALIZED (SELECT s.seed, s.id, s.q, d.deg FROM {p_} s\n"
+            f"  JOIN degs d USING (id) WHERE s.q > d.deg * {eps!r}),\n"
+            f"a{i} AS MATERIALIZED (SELECT DISTINCT seed FROM f{i}),\n"
+            f"n{i} AS MATERIALIZED (SELECT seed, id, sum(q) AS q FROM (\n"
+            f"  SELECT seed, id, q / 2 AS q FROM f{i}\n"
+            "  UNION ALL\n"
+            f"  SELECT f.seed, e.dst AS id, f.q / (2 * f.deg) AS q\n"
+            f"    FROM es e JOIN f{i} f ON f.id = e.src) GROUP BY seed, id),\n"
+            f"s{i} AS MATERIALIZED (SELECT * FROM n{i} UNION ALL\n"
+            f"  SELECT s.seed, s.id, s.q FROM {p_} s\n"
+            f"  WHERE NOT EXISTS (SELECT 1 FROM a{i} a WHERE a.seed = s.seed))"
+        )
+    # HALF_UP to 8 decimals, spelled out: walk masses are dyadic
+    # rationals (1/(2^a·Πdeg) with power-of-two degs), so exact
+    # .5-boundary values occur and DuckDB's double round() is
+    # half-to-even while Spark's is HALF_UP; floor(x·1e8 + 0.5) is
+    # HALF_UP for the positive masses here.
+    return sql + (
+        f"\nSELECT seed, id, floor(q * 1e8 + 0.5) / 1e8 AS q FROM s{rounds}"
+    )
+
+
+def _heat_kernel_sql(t: float = HK_T, eps: float = HK_EPS, n_terms: int = HK_N) -> str:
+    """Unrolled synchronous hk-relax levels
+    (``HeatKernel-Parallel.C:128-170``): per level j, frontier rows'
+    residuals are absorbed into x; r is REPLACED by the pushes
+    (t/(j+1)·r/deg, truncating old residuals); the next frontier is
+    r ≥ deg·C/ψ_{j+1} (r > 0 ⇔ sparse-map membership); the last level
+    pushes straight into x with factor 1.  Threshold literals are the
+    exact doubles the app computes (same psis code path)."""
+    import math
+
+    from ligra_spark.apps import heat_kernel_psis
+
+    psis = heat_kernel_psis(t, n_terms)
+    constant = math.exp(t) * eps / (2.0 * n_terms)
+    seed_rows = ", ".join(f"({s})" for s in PPR_SEEDS)
+    sql = (
+        f"WITH e0 AS MATERIALIZED ({EDGES_SQL}),\n"
+        f"es AS MATERIALIZED ({SYM_SQL}),\n"
+        "degs AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM es GROUP BY src),\n"
+        f"sd AS (SELECT * FROM (VALUES {seed_rows}) t(seed)),\n"
+        "t0 AS (SELECT sd.seed, sd.seed AS id, 0.0 AS x, 1.0 AS r,\n"
+        "  TRUE AS is_front FROM sd JOIN degs d ON d.id = sd.seed)"
+    )
+    for j in range(n_terms):
+        last = j + 1 == n_terms
+        factor = 1.0 if last else t / float(j + 1)
+        p_ = f"t{j}"
+        sql += (
+            f",\nf{j} AS MATERIALIZED (SELECT s.seed, s.id, s.r, d.deg FROM {p_} s\n"
+            f"  JOIN degs d USING (id) WHERE s.is_front),\n"
+            f"a{j} AS MATERIALIZED (SELECT DISTINCT seed FROM f{j}),\n"
+            f"ab{j} AS (SELECT s.seed, s.id,\n"
+            "  s.x + CASE WHEN s.is_front THEN s.r ELSE 0.0 END AS x\n"
+            f"  FROM {p_} s JOIN a{j} USING (seed)),\n"
+            f"pu{j} AS MATERIALIZED (SELECT f.seed, e.dst AS id,\n"
+            f"  sum({factor!r} * f.r / f.deg) AS pu\n"
+            f"  FROM es e JOIN f{j} f ON f.id = e.src GROUP BY f.seed, e.dst)"
+        )
+        if last:
+            sql += (
+                f",\nm{j} AS (SELECT coalesce(a.seed, b.seed) AS seed,\n"
+                "  coalesce(a.id, b.id) AS id,\n"
+                "  coalesce(a.x, 0) + coalesce(b.pu, 0) AS x,\n"
+                "  0.0 AS r, FALSE AS is_front\n"
+                f"  FROM ab{j} a FULL JOIN pu{j} b ON a.seed = b.seed AND a.id = b.id)"
+            )
+        else:
+            thr = constant / psis[j + 1]
+            sql += (
+                f",\nm{j} AS (SELECT u.seed, u.id, u.x, u.r,\n"
+                f"  (u.r > 0 AND u.r >= coalesce(d.deg, 0) * {thr!r}) AS is_front\n"
+                "  FROM (SELECT coalesce(a.seed, b.seed) AS seed,\n"
+                "    coalesce(a.id, b.id) AS id, coalesce(a.x, 0) AS x,\n"
+                "    coalesce(b.pu, 0) AS r\n"
+                f"    FROM ab{j} a FULL JOIN pu{j} b ON a.seed = b.seed AND a.id = b.id) u\n"
+                "  LEFT JOIN degs d ON d.id = u.id)"
+            )
+        sql += (
+            f",\nt{j + 1} AS MATERIALIZED (\n"
+            f"  SELECT seed, id, x, r, is_front FROM m{j} WHERE x <> 0 OR r <> 0\n"
+            "  UNION ALL\n"
+            f"  SELECT s.seed, s.id, s.x, s.r, s.is_front FROM {p_} s\n"
+            f"  WHERE NOT EXISTS (SELECT 1 FROM a{j} a WHERE a.seed = s.seed))"
+        )
+    # HALF_UP spelled out — same dyadic .5-boundary hazard as
+    # _nibble_sql (observed: x = 1/512 exactly, Spark HALF_UP
+    # 0.00195313 vs DuckDB half-to-even 0.00195312).
+    return sql + (
+        f"\nSELECT seed, id, floor(x * 1e8 + 0.5) / 1e8 AS x"
+        f" FROM t{n_terms} WHERE x > 0"
     )
 
 
@@ -2684,6 +2839,8 @@ def oracle_sql() -> dict[str, str]:
         "ecc_tk": _ecc_tk_sql(16),
         "ppr": _ppr_sql(32),
         "ppr_sweep": _ppr_sweep_sql(32),
+        "nibble": _nibble_sql(),
+        "heat_kernel": _heat_kernel_sql(),
         "setcover": _setcover_sql(72),
         "cf": _cf_sql(5, 20),
         "hyper_bfs": _hyper_bfs_sql(8),

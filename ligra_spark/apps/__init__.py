@@ -15,6 +15,7 @@ from .bfscc import bfscc
 from .delta_stepping import delta_stepping
 from .kcore_julienne import kcore_julienne
 from .ecc import ecc_estimate, ecc_exact, ecc_kbfs, ecc_simple_approx
+from .local_cluster import heat_kernel, heat_kernel_psis, nibble
 from .ppr import ppr, ppr_sweep
 from .setcover import setcover
 from .hyper import (
@@ -44,6 +45,9 @@ __all__ = [
     "hyper_mis",
     "hyper_pagerank",
     "hyper_sssp",
+    "heat_kernel",
+    "heat_kernel_psis",
+    "nibble",
     "ppr",
     "ppr_sweep",
     "setcover",

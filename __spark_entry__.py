@@ -351,6 +351,33 @@ def _q_heat_kernel(spark, sf):
     return state.select("seed", "id", F.round("x", 8).alias("x"))
 
 
+HKR_T = 3.0    # reference -t default (HeatKernel-Randomized-Serial.C:56)
+HKR_K = 10     # reference -K default (:54)
+HKR_WALKS = 64  # reference -N default is 10; 64 keeps p dyadic AND
+                # exercises endpoint collisions
+HKR_SEED = 7
+
+
+def _q_heat_kernel_rand(spark, sf):
+    """Batched multi-seed rand-HK-PR
+    (``apps/localAlg/HeatKernel-Randomized-Serial.C:47-88``, the
+    Chung–Simpson Monte-Carlo estimator): empirical endpoint
+    distribution of truncated-Poisson-length lazy walks over the
+    symmetric gate graph, hashInt counter stream (no rounding needed
+    — every p is an exact count/64)."""
+    from ligra_spark.apps import heat_kernel_rand
+
+    state, _ = heat_kernel_rand(
+        _graph(spark, sf, symmetric=True),
+        PPR_SEEDS,
+        t=HKR_T,
+        k_max=HKR_K,
+        n_walks=HKR_WALKS,
+        seed=HKR_SEED,
+    )
+    return state.select("seed", "id", "p")
+
+
 N_TK = 255  # perfect binary tree: parent(i) = (i-1) // 2
 
 
@@ -964,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_sweep": _q_ppr_sweep,
         "nibble": _q_nibble,
         "heat_kernel": _q_heat_kernel,
+        "heat_kernel_rand": _q_heat_kernel_rand,
         "cf": _q_cf,
         "hyper_bfs": _q_hyper_bfs,
         "hyper_cc": _q_hyper_cc,
@@ -977,7 +1005,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_jaccard_pairs": _q_jaccard_pairs,
         "minhash_signatures": _q_minhash,
         "minhash_lsh_pairs": _q_lsh_pairs,
-        "simhash16": _q_simhash,
         # similarity search
         "embedding_cosine_probe": _q_cosine_probe,
         "ann_topk": _q_ann_topk,
@@ -1002,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_entry.py and the judge can still run them.
         "out_degree": _q_out_degree,
         "degree_histogram": _q_degree_histogram,
+        "simhash16": _q_simhash,
         "two_hop_count": _q_two_hop,
         "pagerank_k3": _q_pagerank_k3,
         "cc_k4": _q_cc_k4,
@@ -1707,6 +1735,66 @@ def _heat_kernel_sql(t: float = HK_T, eps: float = HK_EPS, n_terms: int = HK_N) 
     return sql + (
         f"\nSELECT seed, id, floor(x * 1e8 + 0.5) / 1e8 AS x"
         f" FROM t{n_terms} WHERE x > 0"
+    )
+
+
+def _heat_kernel_rand_sql(
+    t: float = HKR_T,
+    k_max: int = HKR_K,
+    n_walks: int = HKR_WALKS,
+    seed: int = HKR_SEED,
+) -> str:
+    """Unrolled rand-HK-PR walks
+    (``HeatKernel-Randomized-Serial.C:69-85``): the hash draws depend
+    only on the (seed, walk, step) counter — not on the graph — so
+    they are precomputed with the bit-exact numpy ``hash_int32`` and
+    inlined as a VALUES table; the SQL then replays each step as an
+    indexed-adjacency lookup ``idx = h % deg`` (neighbors ranked by
+    ascending dst, same as the app).  Walk w steps at level j iff
+    u ≥ CDF(j); deg-0 landings freeze (null lookup → coalesce)."""
+    import numpy as np
+
+    from ligra_spark.apps import hk_walk_probs
+    from ligra_spark.hashing import hash_int32
+
+    probs = hk_walk_probs(t, k_max)
+    stride = k_max + 1
+    hv_rows = []
+    for s in PPR_SEEDS:
+        for w in range(n_walks):
+            base = (s * n_walks + w) * stride + seed
+            for j in range(stride):
+                h = int(hash_int32(np.uint32((base + j) & 0xFFFFFFFF)))
+                hv_rows.append(f"({s},{w},{j},{h})")
+    sql = (
+        f"WITH e0 AS MATERIALIZED ({EDGES_SQL}),\n"
+        f"es AS MATERIALIZED ({SYM_SQL}),\n"
+        "degs AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM es GROUP BY src),\n"
+        "eidx AS MATERIALIZED (SELECT src, dst,\n"
+        "  row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx FROM es),\n"
+        f"hv AS MATERIALIZED (SELECT * FROM (VALUES {','.join(hv_rows)})"
+        " t(seed, walk, j, h)),\n"
+        "w0 AS (SELECT hv.seed, hv.walk, hv.seed AS x,\n"
+        "  hv.h / 4294967295.0 AS u FROM hv\n"
+        "  JOIN degs d ON d.id = hv.seed AND d.deg > 0 WHERE hv.j = 0)"
+    )
+    cdf = 0.0
+    for j in range(k_max):
+        cdf += probs[j]
+        sql += (
+            f",\nw{j + 1} AS MATERIALIZED (SELECT w.seed, w.walk,\n"
+            f"  CASE WHEN w.u < {cdf!r} THEN w.x\n"
+            "       ELSE coalesce(e.dst, w.x) END AS x, w.u\n"
+            f"  FROM w{j} w\n"
+            "  LEFT JOIN degs d ON d.id = w.x\n"
+            f"  LEFT JOIN hv ON hv.seed = w.seed AND hv.walk = w.walk"
+            f" AND hv.j = {j + 1}\n"
+            f"  LEFT JOIN eidx e ON w.u >= {cdf!r} AND d.deg > 0\n"
+            "    AND e.src = w.x AND e.idx = hv.h % d.deg)"
+        )
+    return sql + (
+        f"\nSELECT seed, x AS id, count(*) / {float(n_walks)!r} AS p"
+        f" FROM w{k_max} GROUP BY seed, x"
     )
 
 
@@ -2841,6 +2929,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr_sweep": _ppr_sweep_sql(32),
         "nibble": _nibble_sql(),
         "heat_kernel": _heat_kernel_sql(),
+        "heat_kernel_rand": _heat_kernel_rand_sql(),
         "setcover": _setcover_sql(72),
         "cf": _cf_sql(5, 20),
         "hyper_bfs": _hyper_bfs_sql(8),

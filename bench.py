@@ -130,10 +130,19 @@ def main() -> None:
 
     phase("ecc_kbfs", lambda: ecc_kbfs(gsym, seed=0)[0].count())
 
+    # round-3 graph addition: batched multi-seed ACL push-PPR (the
+    # localAlg family's headline — seed-propagated quality scoring)
+    from ligra_spark.apps import ppr
+
+    phase(
+        "ppr_multiseed",
+        lambda: ppr(gsym, [0, 1, 2, 3], alpha=0.15, epsilon=1e-7)[0].count(),
+    )
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "ligra_spark headline phases (1hop/BFS/PR10/CC/triangle/minhash-LSH/ANN"
-        "/IVF/asof/range/sessions/kBFS-ecc)",
+        "/IVF/asof/range/sessions/kBFS-ecc/PPR)",
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -15,7 +15,13 @@ from .bfscc import bfscc
 from .delta_stepping import delta_stepping
 from .kcore_julienne import kcore_julienne
 from .ecc import ecc_estimate, ecc_exact, ecc_kbfs, ecc_simple_approx
-from .local_cluster import heat_kernel, heat_kernel_psis, nibble
+from .local_cluster import (
+    heat_kernel,
+    heat_kernel_psis,
+    heat_kernel_rand,
+    hk_walk_probs,
+    nibble,
+)
 from .ppr import ppr, ppr_sweep
 from .setcover import setcover
 from .hyper import (
@@ -47,6 +53,8 @@ __all__ = [
     "hyper_sssp",
     "heat_kernel",
     "heat_kernel_psis",
+    "heat_kernel_rand",
+    "hk_walk_probs",
     "nibble",
     "ppr",
     "ppr_sweep",

@@ -46,7 +46,13 @@ from pyspark.sql import functions as F
 
 from ..engine import IterState, edge_map
 
-__all__ = ["nibble", "heat_kernel", "heat_kernel_psis"]
+__all__ = [
+    "nibble",
+    "heat_kernel",
+    "heat_kernel_psis",
+    "heat_kernel_rand",
+    "hk_walk_probs",
+]
 
 
 def nibble(
@@ -262,3 +268,158 @@ def heat_kernel(
         st.df.filter(F.col("x") > 0).select("seed", "id", "x"),
         j,
     )
+
+
+def hk_walk_probs(t: float, k_max: int) -> list[float]:
+    """Truncated-Poisson walk-length pmf probs[k] = e^{−t}·t^k/k! for
+    k = 0..K−1 (``HeatKernel-Randomized-Serial.C:63-67``)."""
+    return [
+        math.exp(-t) * t ** k / math.factorial(k) for k in range(k_max)
+    ]
+
+
+def heat_kernel_rand(
+    graph,
+    seeds,
+    t: float = 3.0,
+    k_max: int = 10,
+    n_walks: int = 10,
+    seed: int = 1,
+) -> tuple[DataFrame, int]:
+    """rand-HK-PR (Chung–Simpson, IWOCA 2014) as a batched multi-seed
+    Monte-Carlo app — semantics of
+    ``/root/reference/apps/localAlg/HeatKernel-Randomized-Serial.C:
+    47-88``: per seed vertex, ``n_walks`` lazy walks whose length is
+    drawn from the truncated Poisson(t) pmf (reference ``-K``/``-N``/
+    ``-t``), each step moving to the ``hashInt % deg``-th neighbor;
+    the result is the empirical distribution of walk endpoints.
+
+    Returns ((seed, id, p) with p = endpoint count / n_walks, steps =
+    the number of superstep joins run, ≤ k_max).
+
+    Two deliberate, pinned deviations from the reference's serial
+    draw order, both distribution-preserving:
+
+    * The reference consumes one global ``hashInt(seed++)`` counter,
+      so walk i's draws depend on how many steps walks 0..i−1 took —
+      inherently serial.  We use a counter-based stream instead:
+      walk w of seed s draws its length threshold from
+      ``hashInt(ctr(s,w,0))`` and its step-j neighbor pick from
+      ``hashInt(ctr(s,w,j))`` with ``ctr(s,w,j) = (s·n_walks + w)·
+      (k_max+1) + j + seed`` (uint32 wraparound) — every draw is
+      independent of scheduling, so the walk table can be advanced as
+      one bulk join per step and the DuckDB oracle can inline the
+      identical hash values as literals.
+    * The reference's do-while reads ``probs[K]`` out of bounds when a
+      walk survives all K pmf terms (UB); we cap such walks at exactly
+      ``k_max`` steps.  Neighbor index = rank by ascending dst (the
+      reference uses CSR file order; any fixed order is the same
+      uniform pick).
+
+    Scale shape: the walk table is |seeds|·n_walks rows — microscopic
+    next to the edges — so each step is one broadcast-hash join of the
+    walks against the indexed adjacency (edges stay cached and
+    partitioned; only walk rows move).  A walk that lands on an
+    out-degree-0 vertex freezes there (the reference would UB on
+    ``% 0``; its own guard only covers the start vertex).
+    """
+    from ..hashing import with_hash_int32
+
+    spark = graph.edges.sparkSession
+    probs = hk_walk_probs(t, k_max)
+    deg = graph.out_degrees.select(
+        "id", F.col("outdeg").cast("long").alias("deg")
+    )
+    # Neighbor indexing: idx = rank of dst among src's out-neighbors.
+    # The window runs over the already-src-partitioned cached edges —
+    # sort-only, no shuffle — and is persisted once so the K step
+    # joins reuse it; its hashpartitioning(src) satisfies the join's
+    # ClusteredDistribution([src, idx]), so only walk rows ever move.
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    eidx = graph.edges.select(
+        "src",
+        "dst",
+        (
+            F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1
+        ).alias("idx"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    stride = k_max + 1
+    walks = (
+        spark.createDataFrame([(int(s),) for s in seeds], "seed long")
+        .join(deg, F.col("seed") == F.col("id"))
+        .filter(F.col("deg") > 0)
+        .select("seed")
+        .crossJoin(
+            spark.range(n_walks).select(F.col("id").alias("walk"))
+        )
+        .withColumn(
+            "ctr0",
+            (F.col("seed") * n_walks + F.col("walk")) * stride + F.lit(seed),
+        )
+    )
+    walks = with_hash_int32(walks, F.col("ctr0"), out="h0")
+    # u ∈ [0, 1]: hashInt(seed)/UINT_E_MAX (reference :71); the walk
+    # takes its j-th step iff u ≥ CDF(j−1).
+    walks = walks.select(
+        "seed",
+        "walk",
+        F.col("seed").alias("x"),
+        (F.col("h0") / F.lit(4294967295.0)).alias("u"),
+    )
+
+    st = IterState(walks, num_partitions=graph.num_partitions)
+    steps = 0
+    cdf = 0.0
+    for j in range(k_max):
+        cdf += probs[j]
+        live = st.df.filter(F.col("u") >= F.lit(cdf))
+        if live.isEmpty():
+            break
+        steps += 1
+        stepping = with_hash_int32(
+            live.withColumn(
+                "ctrj",
+                (F.col("seed") * n_walks + F.col("walk")) * stride
+                + F.lit(j + 1)
+                + F.lit(seed),
+            ),
+            F.col("ctrj"),
+            out="hj",
+        ).join(deg.hint("shuffle_hash"), F.col("x") == F.col("id"), "left")
+        moved = (
+            stepping.withColumn(
+                # ANSI-safe: pmod(_, 0) would throw; deg-0 rows take
+                # the freeze path via the null idx
+                "idx",
+                F.when(F.col("deg") > 0, F.pmod(F.col("hj"), F.col("deg"))),
+            )
+            .alias("w")
+            .join(
+                eidx.alias("e"),
+                (F.col("w.x") == F.col("e.src"))
+                & (F.col("w.idx") == F.col("e.idx")),
+                "left",
+            )
+            .select(
+                "w.seed",
+                "w.walk",
+                # deg-0 landing (null idx / no edge row) freezes the walk
+                F.coalesce("e.dst", F.col("w.x")).alias("x"),
+                "w.u",
+            )
+        )
+        done = st.df.filter(F.col("u") < F.lit(cdf))
+        st.advance(
+            moved.unionByName(done), action=lambda df: df.count()
+        )
+    p = (
+        st.df.groupBy("seed", F.col("x").alias("id"))
+        .agg((F.count("*") / F.lit(float(n_walks))).alias("p"))
+    )
+    rows = p.persist()
+    rows.count()
+    eidx.unpersist()
+    return rows, steps

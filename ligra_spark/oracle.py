@@ -892,3 +892,53 @@ def setcover(
         for v in active:
             bucket[v] = -1 if in_cover[v] else clamp_bucket(int(D[v]))
     return in_cover, rounds
+
+
+def heat_kernel_rand(
+    n: int,
+    src: np.ndarray,
+    dst: np.ndarray,
+    seeds,
+    t: float = 3.0,
+    k_max: int = 10,
+    n_walks: int = 10,
+    seed: int = 1,
+) -> dict[tuple[int, int], float]:
+    """rand-HK-PR endpoint distribution — the pinned counter-based
+    spec of :func:`ligra_spark.apps.heat_kernel_rand` (semantics of
+    ``apps/localAlg/HeatKernel-Randomized-Serial.C:47-88`` with the
+    deterministic ``ctr(s,w,j)`` hash stream, walk length capped at
+    ``k_max``, neighbors indexed by ascending dst).  Returns
+    {(seed_vertex, endpoint): p}."""
+    import math
+
+    from .hashing import hash_int32
+
+    order = np.lexsort((dst, src))
+    s_, d_ = src[order], dst[order]
+    offsets = np.searchsorted(s_, np.arange(n + 1, dtype=np.int64))
+    deg = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    probs = [math.exp(-t) * t ** k / math.factorial(k) for k in range(k_max)]
+    stride = k_max + 1
+    out: dict[tuple[int, int], float] = {}
+    for sv in seeds:
+        if deg[sv] == 0:
+            continue
+        counts: dict[int, int] = {}
+        for w in range(n_walks):
+            base = (int(sv) * n_walks + w) * stride + seed
+            u = float(hash_int32(np.uint32(base & 0xFFFFFFFF))) / 4294967295.0
+            x = int(sv)
+            cdf = 0.0
+            for j in range(k_max):
+                cdf += probs[j]
+                if u < cdf:
+                    break
+                if deg[x] == 0:
+                    continue  # frozen; stays for remaining steps
+                h = int(hash_int32(np.uint32((base + j + 1) & 0xFFFFFFFF)))
+                x = int(d_[offsets[x] + h % int(deg[x])])
+            counts[x] = counts.get(x, 0) + 1
+        for x, c in counts.items():
+            out[(int(sv), x)] = c / float(n_walks)
+    return out

@@ -156,3 +156,35 @@ def test_nibble_sweep_composes(spark, tiny_graph_sym, tiny_sym):
     for r in res:
         assert 0 < r["conductance"] <= 1.0
         assert 1 <= r["size_s"] <= r["vol_s"]
+
+
+@pytest.mark.parametrize("t,K,W", [(3.0, 10, 16), (1.5, 6, 32)])
+def test_heat_kernel_rand_matches_oracle_transcription(
+    spark, tiny_graph_sym, tiny_sym, t, K, W
+):
+    """rand-HK-PR endpoint distribution == the oracle-module numpy
+    simulation of the same counter-hash spec, exactly (all p values
+    are dyadic counts / n_walks)."""
+    from ligra_spark.apps import heat_kernel_rand
+    from ligra_spark.oracle import heat_kernel_rand as np_hk_rand
+
+    n, src, dst = tiny_sym
+    seeds = [0, 5, 17]  # 5 is isolated: rejected by both engines
+    res, steps = heat_kernel_rand(
+        tiny_graph_sym, seeds, t=t, k_max=K, n_walks=W, seed=7
+    )
+    got = {(r["seed"], r["id"]): r["p"] for r in res.collect()}
+    want = np_hk_rand(n, src, dst, seeds, t=t, k_max=K, n_walks=W, seed=7)
+    assert got == want
+    assert 0 < steps <= K
+    for s in (0, 17):
+        assert sum(p for (sv, _), p in got.items() if sv == s) == pytest.approx(1.0)
+
+
+def test_heat_kernel_rand_probs_are_poisson_pmf():
+    from ligra_spark.apps import hk_walk_probs
+
+    probs = hk_walk_probs(3.0, 10)
+    assert probs[0] == pytest.approx(math.exp(-3.0))
+    assert probs[3] == pytest.approx(math.exp(-3.0) * 27 / 6)
+    assert sum(probs) < 1.0  # truncated pmf

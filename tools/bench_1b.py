@@ -50,7 +50,7 @@ CHUNK = 125_000_000
 _WORKER = r"""
 import sys, time, json
 sys.path.insert(0, {repo!r})
-cpus, salt, run_cc = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+cpus, salt, mode = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
 fixdir = sys.argv[4]
 from pyspark.sql import functions as F
 from ligra_spark.session import get_spark
@@ -59,8 +59,20 @@ from ligra_spark.apps import pagerank, components
 
 spark = get_spark(
     f"b1_{{cpus}}_{{salt}}", cpus=cpus, shuffle_partitions=cpus * 4,
-    extra_conf={{"spark.driver.memory": "96g",
-                 "spark.local.dir": fixdir + "/spark-tmp"}},
+    extra_conf={{
+        "spark.driver.memory": "96g",
+        "spark.local.dir": fixdir + "/spark-tmp",
+        # Disk safety at m=1e9 on a single box: each PR/CC superstep
+        # writes ~10 GB of shuffle, and orphaned shuffle files are only
+        # deleted when the driver GCs (ContextCleaner); the default
+        # periodicGC.interval of 30min let ~7 supersteps of files pile
+        # up and filled the disk.  45s keeps the high-water at ~2-3
+        # live supersteps.  zstd halves shuffle + spilled-cache bytes
+        # vs lz4 at <5% CPU cost on this join+agg shape.
+        "spark.cleaner.periodicGC.interval": "45s",
+        "spark.io.compression.codec": "zstd",
+        "spark.rdd.compress": "true",
+    }},
 )
 spark.sparkContext.setLogLevel("ERROR")
 
@@ -71,27 +83,27 @@ def spread(g):
     return {{"parts": len(cnt), "min": cnt[0], "median": med, "max": cnt[-1],
              "max_over_median": round(cnt[-1] / max(med, 1), 3)}}
 
-out = {{"cpus": cpus, "salt": salt}}
-t0 = time.perf_counter()
-g = LinkGraph.from_parquet(
-    spark, fixdir + "/edges.parquet", n={n},
-    num_partitions=cpus * 4, salt_buckets=salt,
-).materialize()
-out["load_s"] = round(time.perf_counter() - t0, 2)
-out["m"] = g.m
-out["spread"] = spread(g)
-
-pagerank(g, max_iters=1)  # untimed warm-up (ligra.h:490 analog)
-prs = []
-for r in range({rounds}):
+out = {{"cpus": cpus, "salt": salt, "mode": mode}}
+if mode == "pr":
     t0 = time.perf_counter()
-    _, it = pagerank(g, max_iters={pr_iters})
-    prs.append(time.perf_counter() - t0)
-out["pr_iters"] = {pr_iters}
-out["pr_s"] = prs
-g.unpersist()
+    g = LinkGraph.from_parquet(
+        spark, fixdir + "/edges.parquet", n={n},
+        num_partitions=cpus * 4, salt_buckets=salt,
+    ).materialize()
+    out["load_s"] = round(time.perf_counter() - t0, 2)
+    out["m"] = g.m
+    out["spread"] = spread(g)
 
-if run_cc:
+    pagerank(g, max_iters=1)  # untimed warm-up (ligra.h:490 analog)
+    prs = []
+    for r in range({rounds}):
+        t0 = time.perf_counter()
+        _, it = pagerank(g, max_iters={pr_iters})
+        prs.append(time.perf_counter() - t0)
+    out["pr_iters"] = {pr_iters}
+    out["pr_s"] = prs
+    g.unpersist()
+else:
     t0 = time.perf_counter()
     gs = LinkGraph.from_parquet(
         spark, fixdir + "/edges_sym.parquet", n={n},
@@ -101,9 +113,15 @@ if run_cc:
     out["m_sym"] = gs.m
     out["sym_spread"] = spread(gs)
     t0 = time.perf_counter()
-    _, cc_rounds = components(gs)
+    # cadence-2 lineage cuts: at 2e9 edges a CC round writes ~8-12 GB
+    # of shuffle, and files stay referenced until the next checkpoint
+    # truncates the plan; the default cadence of 4 keeps too many
+    # rounds live for this box's disk.  The cost (an extra 33M-row
+    # state write every other round) is recorded, not hidden.
+    _, cc_rounds = components(gs, checkpoint_every=2)
     out["cc_s"] = round(time.perf_counter() - t0, 2)
     out["cc_rounds"] = cc_rounds
+    out["cc_checkpoint_every"] = 2
 print("B1RESULT " + json.dumps(out))
 """
 
@@ -164,15 +182,29 @@ def run(cmd_args, timeout):
 
 
 def main():
+    """Two disk-choreographed phases: the box cannot hold both parquet
+    twins (11 + 21 GB) AND a worker's shuffle high-water at once, so
+    each phase keeps ONLY the file it reads on disk.
+
+      phase cc: needs edges_sym.parquet → delete edges.parquet
+                (regenerated later, bit-exact: chunked rmat, seed 1)
+      phase pr: needs edges.parquet     → delete edges_sym.parquet
+
+    CC must run first — symmetrize derives from the directed table, so
+    the sym file has to exist before the directed one is dropped, and
+    regenerating the directed table is pure numpy (no Spark, no
+    shuffle) while re-deriving sym is a 2e9-row Spark job."""
+    import shutil
+
     out_json = sys.argv[1] if len(sys.argv) > 1 else "BENCH_SCALING_r03.json"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     fixdir = os.path.join(tempfile.gettempdir(), f"ligra_1b_n{N}_m{M}")
     os.makedirs(fixdir, exist_ok=True)
-    generate(fixdir)
+    edir = os.path.join(fixdir, "edges.parquet")
+    sdir = os.path.join(fixdir, "edges_sym.parquet")
 
-    if not SKIP_CC and not os.path.exists(
-        os.path.join(fixdir, "edges_sym.parquet", "_SUCCESS")
-    ):
+    if not SKIP_CC and not os.path.exists(os.path.join(sdir, "_SUCCESS")):
+        generate(fixdir)
         script = os.path.join(fixdir, "symprep.py")
         with open(script, "w") as f:
             f.write(_SYMPREP.format(repo=repo))
@@ -191,44 +223,59 @@ def main():
     if os.path.exists(partial):
         with open(partial) as f:
             results = json.load(f).get("runs", [])
-    done = {(r["cpus"], r["salt"]) for r in results}
-    # CC-to-fixpoint only at the top level (the verdict's ask); the
-    # lower level is the PR scaling twin.
+    done = {(r["mode"], r["cpus"], r["salt"]) for r in results}
     top = max(LEVELS)
+    # (mode, cpus, salt) matrix: CC-to-fixpoint at the top level with
+    # salt off/on (the verdict's ask); PR at every level (scaling
+    # pair) plus salt-on at the top.
+    combos = [("cc", top, s) for s in SALTS] if not SKIP_CC else []
     for cpus in LEVELS:
         for salt in SALTS if cpus == top else SALTS[:1]:
-            if (cpus, salt) in done:
-                continue
-            run_cc = 0 if (SKIP_CC or cpus != top) else 1
-            res = run([sys.executable, worker, str(cpus), str(salt),
-                       str(run_cc), fixdir], timeout=14400)
-            results.append(res)
-            print(json.dumps(res), file=sys.stderr)
-            with open(partial, "w") as f:
-                json.dump({"runs": results}, f)
+            combos.append(("pr", cpus, salt))
+
+    def free_gb():
+        return shutil.disk_usage(fixdir).free / 1e9
+
+    for mode, cpus, salt in combos:
+        if (mode, cpus, salt) in done:
+            continue
+        if mode == "cc" and os.path.exists(edir):
+            shutil.rmtree(edir)  # phase cc: sym only on disk
+        if mode == "pr":
+            if os.path.exists(sdir):
+                shutil.rmtree(sdir)  # phase pr: directed only on disk
+            generate(fixdir)  # regenerate if phase cc dropped it
+        print(f"[bench_1b] {mode} cpus={cpus} salt={salt} "
+              f"(free {free_gb():.0f} GB)", file=sys.stderr)
+        res = run([sys.executable, worker, str(cpus), str(salt),
+                   mode, fixdir], timeout=14400)
+        results.append(res)
+        print(json.dumps(res), file=sys.stderr)
+        with open(partial, "w") as f:
+            json.dump({"runs": results}, f)
 
     # ---- aggregate
     def med(xs):
         return statistics.median(xs)
 
     summary = {"n": N, "m_directed": M, "runs": results, "table": []}
-    by = {(r["cpus"], r["salt"]): r for r in results}
+    by = {(r["cpus"], r["salt"]): r for r in results if r["mode"] == "pr"}
     for r in results:
-        pr_med = med(r["pr_s"])
-        per_step = pr_med / r["pr_iters"]
-        row = {
-            "cpus": r["cpus"], "salt": r["salt"],
-            "pr_superstep_s": round(per_step, 2),
-            "pr_edges_per_s": round(r["m"] / per_step),
-            "spread_max_over_median": r["spread"]["max_over_median"],
-        }
-        if "cc_s" in r:
+        row = {"mode": r["mode"], "cpus": r["cpus"], "salt": r["salt"]}
+        if r["mode"] == "pr":
+            per_step = med(r["pr_s"]) / r["pr_iters"]
+            row.update(
+                pr_superstep_s=round(per_step, 2),
+                pr_edges_per_s=round(r["m"] / per_step),
+                spread_max_over_median=r["spread"]["max_over_median"],
+            )
+        else:
             cc_step = r["cc_s"] / max(r["cc_rounds"], 1)
             row.update(
                 cc_s=r["cc_s"], cc_rounds=r["cc_rounds"],
                 cc_superstep_s=round(cc_step, 2),
                 cc_edges_per_s=round(r["m_sym"] / cc_step),
-                sym_spread_max_over_median=r["sym_spread"]["max_over_median"],
+                spread_max_over_median=r["sym_spread"]["max_over_median"],
             )
         summary["table"].append(row)
     lo, hi = min(LEVELS), max(LEVELS)
@@ -243,13 +290,16 @@ def main():
     with open(out_json, "w") as f:
         json.dump(summary, f, indent=1)
 
-    print("| cpus | salt | PR superstep s | PR edges/s | spread max/med | CC s (rounds) | CC edges/s |")
+    print("| mode | cpus | salt | superstep s | edges/s | spread max/med | CC s (rounds) |")
     print("|---|---|---|---|---|---|---|")
     for row in summary["table"]:
-        cc = (f"{row['cc_s']} ({row['cc_rounds']})" if "cc_s" in row else "—")
-        ccr = row.get("cc_edges_per_s", "—")
-        print(f"| {row['cpus']} | {row['salt']} | {row['pr_superstep_s']} | "
-              f"{row['pr_edges_per_s']:,} | {row['spread_max_over_median']} | {cc} | {ccr} |")
+        if row["mode"] == "pr":
+            step, eps, cc = row["pr_superstep_s"], row["pr_edges_per_s"], "—"
+        else:
+            step, eps = row["cc_superstep_s"], row["cc_edges_per_s"]
+            cc = f"{row['cc_s']} ({row['cc_rounds']})"
+        print(f"| {row['mode']} | {row['cpus']} | {row['salt']} | {step} | "
+              f"{eps:,} | {row['spread_max_over_median']} | {cc} |")
     if "scaling" in summary:
         s = summary["scaling"]
         print(f"\nPR scaling local[{s['levels'][0]}]→local[{s['levels'][1]}]: "

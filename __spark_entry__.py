@@ -605,6 +605,12 @@ def _q_jaccard_pairs(spark, sf):
     return token_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.9)
 
 
+def _q_corpus_prep(spark, sf):
+    from ligra_spark.functions import corpus_prep
+
+    return corpus_prep(_t(spark, sf, "documents"))
+
+
 def _q_minhash(spark, sf):
     from ligra_spark.functions import minhash_signatures
 
@@ -1001,10 +1007,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_count": _q_doc_token_count,
         "doc_quality": _q_doc_quality,
         "doc_lang_guess": _q_doc_lang_guess,
-        "doc_fingerprint": _q_doc_fingerprint,
         "doc_jaccard_pairs": _q_jaccard_pairs,
         "minhash_signatures": _q_minhash,
         "minhash_lsh_pairs": _q_lsh_pairs,
+        # composed end-to-end corpus-prep pipeline (annotate → filter →
+        # exact dedup → LSH near-dedup → stats) — round 3
+        "corpus_prep": _q_corpus_prep,
         # similarity search
         "embedding_cosine_probe": _q_cosine_probe,
         "ann_topk": _q_ann_topk,
@@ -1029,6 +1037,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_entry.py and the judge can still run them.
         "out_degree": _q_out_degree,
         "degree_histogram": _q_degree_histogram,
+        # r02-green; its fingerprint column is re-verified every round
+        # inside corpus_prep's output
+        "doc_fingerprint": _q_doc_fingerprint,
         "simhash16": _q_simhash,
         "two_hop_count": _q_two_hop,
         "pagerank_k3": _q_pagerank_k3,
@@ -2623,11 +2634,43 @@ _SHINGLES_SQL = (
 )
 
 
-def _minhash_sql(num_hashes: int = 8) -> str:
-    mins = ",\n".join(
-        f"  min({_hash_sql('shingle', s)}) AS h{s}" for s in range(num_hashes)
+def _corpus_prep_sql(quality_min: float = 0.65, lang: str = "en") -> str:
+    """Composed corpus-prep oracle: the quality/lang/LSH builders'
+    stages as CTEs over the same thresholds as
+    ``functions.pipeline.corpus_prep`` defaults.  The LSH stage must
+    run over the exact-dedup survivors, so its source-table reference
+    is retargeted from the ``documents`` view to the ``ex`` CTE."""
+    lsh = _lsh_sql(8, 4).replace("FROM documents", "FROM ex")
+    return (
+        f"WITH q AS ({_quality_sql()}),\n"
+        f"lg AS ({_lang_sql()}),\n"
+        "kept AS (SELECT d.doc_id, d.text, q.quality, q.n_tokens, lg.lang_guess\n"
+        "         FROM documents d JOIN q USING (doc_id) JOIN lg ON lg.doc_id = d.doc_id\n"
+        f"         WHERE q.quality >= {quality_min} AND lg.lang_guess = '{lang}'),\n"
+        "ex AS (SELECT k.* FROM kept k JOIN (SELECT min(doc_id) AS keep_id\n"
+        "       FROM kept GROUP BY md5(text)) m ON k.doc_id = m.keep_id),\n"
+        f"pairs AS ({lsh})\n"
+        "SELECT e.doc_id, e.lang_guess, e.n_tokens, e.quality,\n"
+        "  md5(lower(regexp_replace(trim(e.text), '\\s+', ' ', 'g'))) AS fingerprint\n"
+        "FROM ex e WHERE e.doc_id NOT IN (SELECT doc_b FROM pairs)"
     )
-    return f"WITH sh AS ({_SHINGLES_SQL})\nSELECT doc_id,\n{mins}\nFROM sh GROUP BY doc_id"
+
+
+def _mix_sql(s: int, h: str = "h1") -> str:
+    """SQL twin of dedup._mix_consts universal-hash mix for seed s."""
+    from ligra_spark.functions.dedup import _mix_consts
+
+    a, b = _mix_consts(s)
+    return f"({a} * {h} + {b}) % 4294967296"
+
+
+def _minhash_sql(num_hashes: int = 8) -> str:
+    mins = ",\n".join(f"  min({_mix_sql(s)}) AS h{s}" for s in range(num_hashes))
+    return (
+        f"WITH sh AS ({_SHINGLES_SQL}),\n"
+        f"base AS (SELECT doc_id, {_hash_sql('shingle', 0)} AS h1 FROM sh)\n"
+        f"SELECT doc_id,\n{mins}\nFROM base GROUP BY doc_id"
+    )
 
 
 def _lsh_sql(num_hashes: int = 8, bands: int = 4) -> str:
@@ -2641,12 +2684,11 @@ def _lsh_sql(num_hashes: int = 8, bands: int = 4) -> str:
             f"SELECT doc_id, md5('{b}' || '|' || {cols}) AS bkey FROM sig"
         )
     bands_sql = "\nUNION ALL\n".join(parts)
-    mins = ", ".join(
-        f"min({_hash_sql('shingle', s)}) AS h{s}" for s in range(num_hashes)
-    )
+    mins = ", ".join(f"min({_mix_sql(s)}) AS h{s}" for s in range(num_hashes))
     return (
         f"WITH sh AS ({_SHINGLES_SQL}),\n"
-        f"sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),\n"
+        f"base AS (SELECT doc_id, {_hash_sql('shingle', 0)} AS h1 FROM sh),\n"
+        f"sig AS (SELECT doc_id, {mins} FROM base GROUP BY doc_id),\n"
         f"bands AS ({bands_sql})\n"
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_bands\n"
         "FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id\n"
@@ -2960,6 +3002,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_jaccard_pairs": _jaccard_sql(0.9),
         "minhash_signatures": _minhash_sql(8),
         "minhash_lsh_pairs": _lsh_sql(8, 4),
+        "corpus_prep": _corpus_prep_sql(),
         "simhash16": _simhash_sql(),
         "embedding_cosine_probe": _COSINE_SQL,
         "ann_topk": (

@@ -55,7 +55,11 @@ def main() -> None:
         (F.col("l_orderkey") % V_BENCH).alias("src"),
         (F.col("l_partkey") % V_BENCH).alias("dst"),
     )
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # repartition to the core count at load (same choreography as the
+    # graph load below): the round-3 shuffle-free text kernels inherit
+    # the source's split count, and the small bench files open with
+    # fewer splits than cores
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(cpus)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
     timings: dict[str, float] = {}
@@ -139,10 +143,16 @@ def main() -> None:
         lambda: ppr(gsym, [0, 1, 2, 3], alpha=0.15, epsilon=1e-7)[0].count(),
     )
 
+    # round-3 pipeline addition: the composed corpus-prep DAG
+    # (annotate → filter → exact dedup → LSH near-dedup → stats)
+    from ligra_spark.functions import corpus_prep
+
+    phase("corpus_prep", lambda: corpus_prep(docs).count())
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "ligra_spark headline phases (1hop/BFS/PR10/CC/triangle/minhash-LSH/ANN"
-        "/IVF/asof/range/sessions/kBFS-ecc/PPR)",
+        "/IVF/asof/range/sessions/kBFS-ecc/PPR/corpus-prep)",
         "value": total,
         "unit": "sec",
         "queries": timings,

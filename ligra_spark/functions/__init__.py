@@ -20,6 +20,7 @@ from .dedup import (
 )
 from .similarity import cosine_probe, brute_force_topk
 from .temporal import asof_join, range_join
+from .pipeline import corpus_prep
 
 __all__ = [
     "asof_join",
@@ -36,4 +37,5 @@ __all__ = [
     "simhash16",
     "cosine_probe",
     "brute_force_topk",
+    "corpus_prep",
 ]

@@ -23,7 +23,7 @@ Scale notes (the point of each design):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import tokens_col
@@ -43,6 +43,19 @@ def _hash_long(col, seed: int):
     return F.conv(F.substring(F.md5(F.concat(F.lit(f"s{seed}:"), col)), 1, 8), 16, 10).cast(
         "long"
     )
+
+
+def _mix_consts(seed: int) -> tuple[int, int]:
+    """Universal-hash mixing constants for MinHash seed ``seed``:
+    g_seed(h) = (a*h + b) mod 2^32 with a odd, a/b < 2^31 (so a*h fits
+    a signed 64-bit product in every engine).  One md5 per shingle plus
+    ``num_hashes`` of these mixes replaces ``num_hashes`` md5s — the
+    md5 is the dominant per-element cost of signature computation."""
+    import hashlib
+
+    a = (int(hashlib.md5(f"a{seed}".encode()).hexdigest()[:8], 16) & 0x7FFFFFFF) | 1
+    b = int(hashlib.md5(f"b{seed}".encode()).hexdigest()[:8], 16) & 0x7FFFFFFF
+    return a, b
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
@@ -123,22 +136,14 @@ def token_jaccard_pairs(
     return out
 
 
-def _shingles(docs: DataFrame, id_col: str, text: str, k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per doc via posexplode + lead windows
-    (engine-portable: lead() exists everywhere)."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens_col(F.col(text))).alias("i", "tok"),
+def _shingles_col(toks, k: int):
+    """Array of k-word shingles of a token array, as one expression."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+        ),
     )
-    w = Window.partitionBy("doc_id").orderBy("i")
-    sh = toks.select(
-        "doc_id",
-        F.concat_ws(
-            " ", "tok", *[F.lead("tok", j).over(w) for j in range(1, k)]
-        ).alias("shingle"),
-        *[F.lead("tok", k - 1).over(w).alias("_last")],
-    ).filter(F.col("_last").isNotNull())
-    return sh.select("doc_id", "shingle").distinct()
 
 
 def minhash_signatures(
@@ -150,12 +155,38 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, h0..h{num_hashes-1}) MinHash signature over k-word
     shingles.  Docs with fewer than shingle_k tokens get no row
-    (no shingles — same convention as dropping too-short docs)."""
-    sh = _shingles(docs, id_col, text, shingle_k)
-    aggs = [
-        F.min(_hash_long(F.col("shingle"), s)).alias(f"h{s}") for s in range(num_hashes)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    (no shingles — same convention as dropping too-short docs).
+
+    Plan shape: shingle the token array per row (``transform`` over a
+    ``sequence`` — no window, no per-token shuffle), ``explode``, one
+    codegen'd md5 per shingle, then ``groupBy(doc_id)`` over
+    ``num_hashes`` universal-hash mixes ``(a·h+b) mod 2^32``
+    (``_mix_consts``).  Because explode keeps a doc's shingles
+    contiguous in one partition, the partial (map-side) aggregation
+    collapses to ONE signature row per doc before the exchange — the
+    shuffle moves the signature table, not the corpus.  The previous
+    formulation (posexplode → lead window partitioned by doc_id →
+    distinct → groupBy) shuffled every token of the corpus three
+    times; a pure array-expression form (array_min over transform)
+    avoids even the signature shuffle but pays ~50% more CPU because
+    higher-order-function md5 is interpreted, not codegen'd — measured
+    slower at every scale that fits a benchmark, so the explode form
+    wins.  min over the shingle multiset equals min over the distinct
+    set, so no dedup pass is needed."""
+    toks = tokens_col(F.col(text))
+    shingles = docs.filter(F.size(toks) >= shingle_k).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_shingles_col(toks, shingle_k)).alias("_shingle"),
+    )
+    base = shingles.select("doc_id", _hash_long(F.col("_shingle"), 0).alias("_h1"))
+    aggs = []
+    for seed in range(num_hashes):
+        a, b = _mix_consts(seed)
+        mixed = (F.lit(a).cast("long") * F.col("_h1") + F.lit(b)) % F.lit(
+            1 << 32
+        ).cast("long")
+        aggs.append(F.min(mixed).alias(f"h{seed}"))
+    return base.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -185,20 +216,32 @@ def lsh_candidate_pairs(
 
 def simhash16(docs: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
     """(doc_id, simhash) — 16-bit SimHash: per bit, majority vote of
-    token-hash bits over DISTINCT tokens; bit set iff #ones*2 > #tokens.
-    Hamming-near simhashes ⇒ near-duplicate token sets."""
-    dt = _doc_tokens(docs, id_col, text)
-    h = _hash_long(F.col("tok"), 99)
-    bit_sums = dt.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("ntok"),
-        *[
-            F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"b{b}")
-            for b in range(16)
-        ],
+    token-hash bits; bit set iff #ones*2 > #tokens.  Hamming-near
+    simhashes ⇒ near-duplicate token sets.
+
+    Per-row array expressions (hash each token once into an array
+    column, then 16 conditional sizes): a pure two-stage scan-project
+    with ZERO shuffles — the earlier explode + groupBy(doc_id) form
+    shuffled every token of the corpus once.  Docs with no tokens get
+    no row (same convention as the exploded form)."""
+    toks = F.array_distinct(tokens_col(F.col(text)))
+    hashed = docs.filter(F.size(toks) > 0).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("_ntok"),
+        F.transform(toks, lambda t: _hash_long(t, 99)).alias("_hs"),
     )
+
+    def _ones(b: int):
+        return F.size(
+            F.filter(
+                F.col("_hs"),
+                lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+            )
+        )
+
     sim = F.lit(0).cast("long")
     for b in range(16):
         sim = sim + F.when(
-            F.col(f"b{b}") * 2 > F.col("ntok"), F.lit(1 << b).cast("long")
+            _ones(b) * 2 > F.col("_ntok"), F.lit(1 << b).cast("long")
         ).otherwise(F.lit(0).cast("long"))
-    return bit_sums.select("doc_id", sim.alias("simhash"))
+    return hashed.select("doc_id", sim.alias("simhash"))

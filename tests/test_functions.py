@@ -314,3 +314,33 @@ def test_asof_join_chain_collision_raises(spark):
     once = asof_join(left, right)
     with pytest.raises(ValueError, match="prefix"):
         asof_join(once, right)
+
+
+def test_corpus_prep_stage_semantics(docs):
+    """Each composed stage does its job on constructed data: lang
+    filter drops marker-free and empty docs, exact dedup keeps the min
+    id of an identical-text class, LSH near-dedup drops the higher id
+    of a whitespace-variant pair (identical token shingles => identical
+    signatures => guaranteed band collision)."""
+    from ligra_spark.functions import corpus_prep
+
+    out = corpus_prep(docs, quality_min=0.3)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    ids = set(rows)
+    assert 0 in ids                      # class representative survives
+    assert 1 not in ids                  # exact dup of 0 (min-id keeps 0)
+    assert 5 not in ids                  # ws-variant: near-dup of 0, higher id
+    assert 3 not in ids and 4 not in ids # 'und' language / empty
+    assert ids <= {0, 2}
+    r0 = rows[0]
+    assert r0["lang_guess"] == "en" and r0["n_tokens"] == 9
+    assert set(out.columns) == {
+        "doc_id", "lang_guess", "n_tokens", "quality", "fingerprint"
+    }
+
+
+def test_corpus_prep_quality_threshold(docs):
+    """quality_min above every doc's score yields an empty corpus."""
+    from ligra_spark.functions import corpus_prep
+
+    assert corpus_prep(docs, quality_min=0.99).count() == 0

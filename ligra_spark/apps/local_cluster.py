@@ -55,6 +55,13 @@ __all__ = [
 ]
 
 
+def _deg_build(graph, deg):
+    """Static degree table as a join build side: broadcast while it
+    fits the 64 MB budget (16 B/row → 4M vertices), co-partitioned
+    shuffled-hash join at web scale."""
+    return F.broadcast(deg) if graph.n <= 4_000_000 else deg.hint("shuffle_hash")
+
+
 def nibble(
     graph,
     seeds,
@@ -70,6 +77,7 @@ def nibble(
     deg = graph.out_degrees.select(
         "id", F.col("outdeg").cast("long").alias("deg")
     )
+    deg_build = _deg_build(graph, deg)
     seeds_df = spark.createDataFrame([(int(s),) for s in seeds], "seed long")
     init = (
         seeds_df.join(deg, seeds_df["seed"] == deg["id"])
@@ -80,16 +88,20 @@ def nibble(
     )
     st = IterState(init, num_partitions=graph.num_partitions)
     rounds = 0
+    is_front = (F.col("deg") > 0) & (F.col("q") > F.col("deg") * F.lit(epsilon))
+    # next round's frontier size rides along with each advance's
+    # materializing agg — one job per round instead of count + advance
+    count_both = lambda df: df.agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(is_front, 1).otherwise(0)).alias("f"),
+    ).collect()[0]
+    fsize = int(init.agg(F.sum(F.when(is_front, 1).otherwise(0))).collect()[0][0] or 0)
     while rounds < max_rounds:
-        is_front = (F.col("deg") > 0) & (
-            F.col("q") > F.col("deg") * F.lit(epsilon)
-        )
+        if fsize == 0:
+            break
         frontier = st.df.filter(is_front).select(
             "seed", "id", "q", (F.col("q") / (2.0 * F.col("deg"))).alias("push")
         )
-        fsize = frontier.count()
-        if fsize == 0:
-            break
         rounds += 1
         pushes = edge_map(
             graph,
@@ -119,12 +131,13 @@ def nibble(
         )
         merged = (
             q_next.unionByName(frozen)
-            .join(deg.hint("shuffle_hash"), "id", "left")
+            .join(deg_build, "id", "left")
             .select("seed", "id", "q", F.coalesce("deg", F.lit(0)).alias("deg"))
         )
-        _, _ = st.advance(merged, action=lambda df: df.count())
+        _, counts = st.advance(merged, action=count_both)
         if on_iteration:
             on_iteration(rounds, fsize)
+        fsize = int(counts["f"] or 0)
     return st.df.select("seed", "id", "q"), rounds
 
 
@@ -161,6 +174,7 @@ def heat_kernel(
     deg = graph.out_degrees.select(
         "id", F.col("outdeg").cast("long").alias("deg")
     )
+    deg_build = _deg_build(graph, deg)
     seeds_df = spark.createDataFrame([(int(s),) for s in seeds], "seed long")
     # F_0 = the seed set itself, untested (HK-Parallel.C:126); the
     # is_front flag marks frontier membership so frozen seeds' rows
@@ -178,14 +192,22 @@ def heat_kernel(
         )
     )
     st = IterState(init, num_partitions=graph.num_partitions)
+    # next level's frontier size rides along with each advance's
+    # materializing agg — one job per level instead of count + advance
+    count_both = lambda df: df.agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("is_front"), 1).otherwise(0)).alias("f"),
+    ).collect()[0]
+    fsize = int(
+        init.agg(F.sum(F.when(F.col("is_front"), 1).otherwise(0))).collect()[0][0] or 0
+    )
     j = 0
     while j < n_terms:
+        if fsize == 0:
+            break
         frontier = st.df.filter("is_front").select(
             "seed", "id", "r", (F.col("r") / F.col("deg")).alias("unit_push")
         )
-        fsize = frontier.count()
-        if fsize == 0:
-            break
         last = j + 1 == n_terms
         factor = 1.0 if last else t / float(j + 1)
         pushes = edge_map(
@@ -232,7 +254,7 @@ def heat_kernel(
                     F.coalesce("x", F.lit(0.0)).alias("x"),
                     F.coalesce("pu", F.lit(0.0)).alias("r"),
                 )
-                .join(deg.hint("shuffle_hash"), "id", "left")
+                .join(deg_build, "id", "left")
                 .select(
                     "seed",
                     "id",
@@ -251,17 +273,18 @@ def heat_kernel(
             )
         frozen = st.df.join(active_seeds, "seed", "left_anti")
         if last:
-            merged = merged.join(deg.hint("shuffle_hash"), "id", "left").select(
+            merged = merged.join(deg_build, "id", "left").select(
                 "seed", "id", "x", "r", "is_front",
                 F.coalesce("deg", F.lit(0)).alias("deg"),
             )
         merged = merged.unionByName(
             frozen.select("seed", "id", "x", "r", "is_front", "deg")
         ).filter((F.col("x") != 0.0) | (F.col("r") != 0.0))
-        _, _ = st.advance(merged, action=lambda df: df.count())
+        _, counts = st.advance(merged, action=count_both)
         j += 1
         if on_iteration:
             on_iteration(j, fsize)
+        fsize = int(counts["f"] or 0)
         if last:
             break
     return (

@@ -58,6 +58,13 @@ def ppr(
     deg = graph.out_degrees.select(
         "id", F.col("outdeg").cast("long").alias("deg")
     )
+    # the per-round merge needs degrees for newly-touched rows; the deg
+    # table is static, so broadcast it while it fits the 64 MB
+    # broadcast budget (16 B/row → 4M vertices) and fall back to the
+    # co-partitioned shuffled-hash join at web scale
+    deg_build = (
+        F.broadcast(deg) if graph.n <= 4_000_000 else deg.hint("shuffle_hash")
+    )
     seeds_df = spark.createDataFrame(
         [(int(s),) for s in seeds], "seed long"
     )
@@ -75,23 +82,27 @@ def ppr(
     oma2 = (1.0 - alpha) / 2.0
     st = IterState(init, num_partitions=graph.num_partitions)
     rounds = 0
+    # deg > 0 is vacuous on the symmetric graphs the reference
+    # targets (every touched vertex has an edge); it keeps
+    # directed-graph use terminating (a degree-0 sink would stay
+    # active forever under the raw r > deg·ε test) and the push
+    # division ANSI-safe
+    is_front = (F.col("deg") > 0) & (F.col("r") > F.col("deg") * F.lit(epsilon))
+    # the next round's frontier size rides along with each advance's
+    # materializing agg — ONE job per round, not a count + an advance
+    count_both = lambda df: df.agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(is_front, 1).otherwise(0)).alias("f"),
+    ).collect()[0]
+    fsize = int(init.agg(F.sum(F.when(is_front, 1).otherwise(0))).collect()[0][0] or 0)
     while rounds < max_iters:
-        # deg > 0 is vacuous on the symmetric graphs the reference
-        # targets (every touched vertex has an edge); it keeps
-        # directed-graph use terminating (a degree-0 sink would stay
-        # active forever under the raw r > deg·ε test) and the push
-        # division ANSI-safe
-        is_front = (F.col("deg") > 0) & (
-            F.col("r") > F.col("deg") * F.lit(epsilon)
-        )
+        if fsize == 0:
+            break
         frontier = st.df.filter(is_front).select(
             "seed",
             "id",
             (F.lit(oma2) * F.col("r") / F.col("deg")).alias("push"),
         )
-        fsize = frontier.count()
-        if fsize == 0:
-            break
         rounds += 1
         msgs = edge_map(
             graph,
@@ -126,14 +137,15 @@ def ppr(
                     + F.coalesce("pu", F.lit(0.0))
                 ).alias("r"),
             )
-            .join(deg.hint("shuffle_hash"), "id", "left")
+            .join(deg_build, "id", "left")
             .select(
                 "seed", "id", "p", "r", F.coalesce("deg", F.lit(0)).alias("deg")
             )
         )
-        new, _ = st.advance(merged, action=lambda df: df.count())
+        _, counts = st.advance(merged, action=count_both)
         if on_iteration:
             on_iteration(rounds, fsize)
+        fsize = int(counts["f"] or 0)
     return st.df.select("seed", "id", "p", "r"), rounds
 
 

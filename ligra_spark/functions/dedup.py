@@ -194,16 +194,27 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """(doc_a, doc_b, shared_bands): pairs whose signatures collide in
     ≥1 band (rows_per_band = num_hashes/bands).  Candidate set for
-    near-dup verification — the LSH trick that avoids all-pairs."""
+    near-dup verification — the LSH trick that avoids all-pairs.
+
+    The band keys are built as ONE array-explode per row (not one
+    projection per band unioned together): a union of per-band
+    projections embeds the ``signatures`` subtree ``bands`` times —
+    and 2·bands times across the self-join — so if the signatures are
+    unmaterialized upstream work (MinHash over the raw corpus) the
+    whole corpus would be re-scanned 2·bands times.  With the explode
+    form the self-join references the subtree exactly twice."""
     rpb = num_hashes // bands
-    per_band = []
-    for b in range(bands):
-        cols = [f"h{b * rpb + j}" for j in range(rpb)]
-        key = F.md5(F.concat_ws("|", F.lit(str(b)), *[F.col(c).cast("string") for c in cols]))
-        per_band.append(signatures.select("doc_id", key.alias("bkey")))
-    buckets = per_band[0]
-    for p in per_band[1:]:
-        buckets = buckets.unionByName(p)
+    keys = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"h{b * rpb + j}").cast("string") for j in range(rpb)],
+            )
+        )
+        for b in range(bands)
+    ]
+    buckets = signatures.select("doc_id", F.explode(F.array(*keys)).alias("bkey"))
     a = buckets.select(F.col("doc_id").alias("doc_a"), "bkey")
     b_ = buckets.select(F.col("doc_id").alias("doc_b"), "bkey")
     return (

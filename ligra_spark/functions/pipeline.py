@@ -55,6 +55,7 @@ def corpus_prep(
     bands: int = 4,
     id_col: str = "doc_id",
     text: str = "text",
+    cache: bool = True,
 ) -> DataFrame:
     """Returns the surviving documents as
     (doc_id, lang_guess, n_tokens, quality, fingerprint).
@@ -63,6 +64,14 @@ def corpus_prep(
     langs``; is the min-id representative of its exact md5(text) class
     among passers; and is not the higher id of any MinHash-LSH
     candidate pair among the exact-dedup survivors.
+
+    ``cache=True`` persists the exact-dedup survivor stage
+    (MEMORY_AND_DISK): the near-dup stage references it three times
+    (signature build ×2 across the LSH self-join + the survivor
+    anti-join), and without a cut each reference re-derives the
+    annotate→filter→dedup prefix from the source scan.  Set False when
+    the caller checkpoints stages to a table instead (the right
+    choreography for a run that doesn't fit executor storage).
     """
     annotated = with_lang_guess(with_quality(docs, text=text), text=text)
     kept = annotated.filter(
@@ -80,6 +89,10 @@ def corpus_prep(
         .select(id_col)
     )
     exact = kept.join(keep_ids, id_col, "left_semi")
+    if cache:
+        from pyspark.storagelevel import StorageLevel
+
+        exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
 
     # near-dup: banded LSH candidate pairs over the survivors only
     sigs = minhash_signatures(

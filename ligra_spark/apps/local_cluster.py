@@ -396,11 +396,20 @@ def heat_kernel_rand(
     st = IterState(walks, num_partitions=graph.num_partitions)
     steps = 0
     cdf = 0.0
+    # live-walk count for step j+1 rides along with step j's advance
+    # (threshold cdf_{j+1} is known at advance time) — one job per
+    # step instead of an isEmpty probe plus the advance
+    n_live = int(
+        walks.agg(
+            F.sum(F.when(F.col("u") >= F.lit(probs[0]), 1).otherwise(0))
+        ).collect()[0][0]
+        or 0
+    )
     for j in range(k_max):
         cdf += probs[j]
-        live = st.df.filter(F.col("u") >= F.lit(cdf))
-        if live.isEmpty():
+        if n_live == 0:
             break
+        live = st.df.filter(F.col("u") >= F.lit(cdf))
         steps += 1
         stepping = with_hash_int32(
             live.withColumn(
@@ -435,9 +444,15 @@ def heat_kernel_rand(
             )
         )
         done = st.df.filter(F.col("u") < F.lit(cdf))
-        st.advance(
-            moved.unionByName(done), action=lambda df: df.count()
+        cdf_next = cdf + probs[j + 1] if j + 1 < k_max else float("inf")
+        _, counts = st.advance(
+            moved.unionByName(done),
+            action=lambda df, t=cdf_next: df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("u") >= F.lit(t), 1).otherwise(0)).alias("f"),
+            ).collect()[0],
         )
+        n_live = int(counts["f"] or 0)
     p = (
         st.df.groupBy("seed", F.col("x").alias("id"))
         .agg((F.count("*") / F.lit(float(n_walks))).alias("p"))

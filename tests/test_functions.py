@@ -344,3 +344,57 @@ def test_corpus_prep_quality_threshold(docs):
     from ligra_spark.functions import corpus_prep
 
     assert corpus_prep(docs, quality_min=0.99).count() == 0
+
+
+def test_minhash_simhash_match_python_reference(spark):
+    """Randomized differential test pinning the rewritten per-row
+    kernels to a direct Python transcription of the spec: md5-based
+    base hash, universal-hash mixes (minhash), distinct-token majority
+    vote (simhash).  Covers empty / sub-shingle-length / repeated-token
+    / multi-whitespace docs."""
+    import hashlib
+    import random
+    import re
+
+    from ligra_spark.functions import minhash_signatures, simhash16
+    from ligra_spark.functions.dedup import _mix_consts
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    rows = [(0, ""), (1, "solo"), (2, "two tokens"), (3, "  spaced   out  x ")]
+    for i in range(4, 64):
+        n = rng.randint(0, 12)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def h(s, seed):
+        return int(hashlib.md5((f"s{seed}:" + s).encode()).hexdigest()[:8], 16)
+
+    mixes = [_mix_consts(s) for s in range(8)]
+
+    got_min = {
+        r["doc_id"]: [r[f"h{s}"] for s in range(8)]
+        for r in minhash_signatures(df, num_hashes=8, shingle_k=3).collect()
+    }
+    got_sim = {r["doc_id"]: r["simhash"] for r in simhash16(df).collect()}
+
+    for i, t in rows:
+        toks = re.split(r"\s+", t.strip()) if t.strip() else []
+        sh = [" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)]
+        if not sh:
+            assert i not in got_min, (i, t)
+        else:
+            base = [h(x, 0) for x in sh]
+            exp = [min((a * v + b) % (1 << 32) for v in base) for a, b in mixes]
+            assert got_min[i] == exp, (i, t)
+        dtoks = list(dict.fromkeys(toks))
+        if not dtoks:
+            assert i not in got_sim, (i, t)
+        else:
+            hs = [h(x, 99) for x in dtoks]
+            sim = sum(
+                1 << b
+                for b in range(16)
+                if sum((v >> b) & 1 for v in hs) * 2 > len(dtoks)
+            )
+            assert got_sim[i] == sim, (i, t)

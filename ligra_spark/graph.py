@@ -29,7 +29,10 @@ Layout contract (what every app relies on):
 At 100 TB the same contract holds: edges live in an Iceberg/parquet
 table bucketed by ``src`` (bucket count = shuffle partitions) so the
 repartition below becomes a metadata-only read, and ``out_degrees`` is
-a once-computed side table.
+a once-computed side table.  That path is implemented:
+``sources.bucketed.write_bucketed_edges`` /
+``read_bucketed_graph`` load a LinkGraph straight off a bucketed scan
+with zero load-time shuffle (plan-pinned in ``tests/test_bucketed.py``).
 """
 
 from __future__ import annotations

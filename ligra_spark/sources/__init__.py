@@ -2,6 +2,11 @@
 native layout (SURVEY.md §2.3), and the utils/ converter tools
 (SNAP/KONECT readers, weight stamping, random hypergraph)."""
 
+from .bucketed import (
+    read_bucketed_graph,
+    table_num_buckets,
+    write_bucketed_edges,
+)
 from .adjacency_io import (
     read_adjacency_graph_df,
     read_adjacency_hypergraph_df,
@@ -38,4 +43,7 @@ __all__ = [
     "write_mesh_csv",
     "write_binary_csr",
     "rand_hypergraph",
+    "write_bucketed_edges",
+    "read_bucketed_graph",
+    "table_num_buckets",
 ]

@@ -1,0 +1,149 @@
+"""Bucketed edge-table storage (`ligra_spark.sources.bucketed`) — the
+shuffle-free load path that replaces ``from_edges``'s load-time
+repartition with Spark storage bucketing.
+
+Pins the two things that matter at 100 TB: (1) the bucketed scan's
+hash partitioning is recognized by Catalyst (degree aggregation needs
+ZERO exchanges; the superstep join shuffles only the state side), and
+(2) results through the bucketed graph are identical to the
+repartition path.
+"""
+
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ligra_spark.sources.bucketed import (
+    read_bucketed_graph,
+    table_num_buckets,
+    write_bucketed_edges,
+)
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _exchanges(df) -> int:
+    return len(re.findall(r"\bExchange\b", _plan(df)))
+
+
+@pytest.fixture(scope="module")
+def bucketed_table(spark, tiny_edges, tmp_path_factory):
+    n, src, dst = tiny_edges
+    import pandas as pd
+
+    e = spark.createDataFrame(
+        pd.DataFrame({"src": src.astype("int64"), "dst": dst.astype("int64")})
+    )
+    path = str(tmp_path_factory.mktemp("bkt")) + "/edges_b"
+    write_bucketed_edges(e, "test_edges_bucketed", path, buckets=4)
+    yield "test_edges_bucketed", n
+    spark.sql("DROP TABLE IF EXISTS test_edges_bucketed")
+
+
+def test_bucket_spec_recorded(spark, bucketed_table):
+    name, _ = bucketed_table
+    assert table_num_buckets(spark, name) == 4
+
+
+def test_bucketed_scan_agg_needs_no_exchange(spark, bucketed_table):
+    """groupBy(src) over the bucketed scan: the scan's hash
+    partitioning satisfies the aggregation — zero Exchange nodes,
+    where the plain parquet read of the SAME files needs a shuffle."""
+    name, _ = bucketed_table
+    t = spark.table(name)
+    agg = t.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+    assert "Bucketed: true" in _plan(agg)
+    assert _exchanges(agg) == 0, _plan(agg)
+
+    # control: identical files, no bucket metadata -> must shuffle
+    loc = [
+        r["data_type"]
+        for r in spark.sql(f"DESCRIBE FORMATTED {name}").collect()
+        if r["col_name"].strip() == "Location"
+    ][0]
+    plain = spark.read.parquet(loc).groupBy("src").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    assert _exchanges(plain) > 0
+
+
+def test_bucketed_join_moves_only_state(spark, bucketed_table):
+    """state ⋈ edges on src (the dense superstep shape): the bucketed
+    edge side joins straight off the scan; only the state side
+    shuffles.  The plain-parquet control pays edge-side exchanges on
+    top of the same state-side ones."""
+    name, n = bucketed_table
+    t = spark.table(name)
+    state = (
+        spark.range(n).select(F.col("id").cast("long")).repartition(4, "id")
+    )
+    bucketed = t.join(state.hint("shuffle_hash"), t.src == state.id)
+    loc = [
+        r["data_type"]
+        for r in spark.sql(f"DESCRIBE FORMATTED {name}").collect()
+        if r["col_name"].strip() == "Location"
+    ][0]
+    pq = spark.read.parquet(loc)
+    plain = pq.join(state.hint("shuffle_hash"), pq.src == state.id)
+    assert _exchanges(bucketed) < _exchanges(plain)
+    # and the bucketed scan itself feeds the join
+    assert "Bucketed: true" in _plan(bucketed)
+
+
+def test_bucketed_graph_matches_from_edges(spark, bucketed_table, tiny_graph):
+    """PageRank through read_bucketed_graph == PageRank through the
+    from_edges repartition path, exactly (same graph, same layout
+    contract, different physical load)."""
+    from ligra_spark.apps import pagerank
+
+    name, n = bucketed_table
+    g = read_bucketed_graph(spark, name, n=n)
+    assert (g.n, g.m, g.num_partitions) == (tiny_graph.n, tiny_graph.m, 4)
+    r_b, _ = pagerank(g, max_iters=5)
+    r_e, _ = pagerank(tiny_graph, max_iters=5)
+    a = {r["id"]: r["rank"] for r in r_b.collect()}
+    b = {r["id"]: r["rank"] for r in r_e.collect()}
+    assert set(a) == set(b)
+    assert np.allclose(
+        [a[k] for k in sorted(a)], [b[k] for k in sorted(b)], rtol=1e-9
+    )
+    g.unpersist()
+
+
+def test_salted_bucketed_round_trip(spark, tiny_edges, tmp_path_factory):
+    """Hub-salted on-disk layout: bucketBy(src, salt) writes, the
+    loaded graph runs the salted dense path, results unchanged."""
+    import pandas as pd
+
+    from ligra_spark.apps import pagerank
+    from ligra_spark.graph import LinkGraph
+
+    n, src, dst = tiny_edges
+    e = spark.createDataFrame(
+        pd.DataFrame({"src": src.astype("int64"), "dst": dst.astype("int64")})
+    )
+    path = str(tmp_path_factory.mktemp("bkts")) + "/edges_s"
+    write_bucketed_edges(
+        e, "test_edges_bucketed_salt", path, buckets=4, salt_buckets=2
+    )
+    try:
+        g = read_bucketed_graph(
+            spark, "test_edges_bucketed_salt", n=n, salt_buckets=2
+        )
+        assert "salt" in g.edges.columns
+        r_s, _ = pagerank(g, max_iters=5)
+        r_p, _ = pagerank(LinkGraph.from_edges(spark, e, n=n), max_iters=5)
+        a = {r["id"]: r["rank"] for r in r_s.collect()}
+        b = {r["id"]: r["rank"] for r in r_p.collect()}
+        assert np.allclose(
+            [a[k] for k in sorted(a)], [b[k] for k in sorted(b)], rtol=1e-9
+        )
+        g.unpersist()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS test_edges_bucketed_salt")

@@ -39,6 +39,12 @@ def main(argv=None):
     src.add_argument("--edges", help="parquet edge table (src,dst[,weight])")
     src.add_argument("--pages", help="pages table -> ingest to edges first")
     src.add_argument(
+        "--bucketed-table",
+        help="catalog name of a bucketBy(src) edge table written by "
+        "sources.write_bucketed_edges: loads with ZERO shuffle "
+        "(--symmetrize/--salt-buckets must describe how it was written)",
+    )
+    src.add_argument(
         "--incidence",
         help="parquet incidence table (vertex,hedge[,weight]) for hyper_* apps",
     )
@@ -72,10 +78,20 @@ def main(argv=None):
 
     if args.app.startswith("hyper_"):
         return _run_hyper(spark, args)
-    if not (args.edges or args.pages):
-        ap.error("--edges or --pages is required for graph apps")
+    if not (args.edges or args.pages or args.bucketed_table):
+        ap.error("--edges, --pages or --bucketed-table is required for graph apps")
 
-    if args.pages:
+    if args.bucketed_table:
+        from ligra_spark.sources import read_bucketed_graph
+
+        g = read_bucketed_graph(
+            spark,
+            args.bucketed_table,
+            n=args.n,
+            symmetric=args.symmetrize,
+            salt_buckets=args.salt_buckets,
+        )
+    elif args.pages:
         from ligra_spark.ingest import build_link_graph
 
         g, dictionary = build_link_graph(

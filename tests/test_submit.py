@@ -106,3 +106,73 @@ def test_spark_submit_pyfiles_pagerank(spark, tiny_graph, tmp_path):
         summary = json.load(f)
     assert summary["supersteps"] >= 1
     assert summary["superstep_metrics"], "per-superstep metrics missing"
+
+
+def test_spark_submit_bucketed_table_pagerank(spark, tiny_graph, tmp_path):
+    """--bucketed-table through real spark-submit: a Hive-catalog
+    bucketed edge table written by one process is loaded (bucket spec
+    intact, zero-shuffle path) by the submitted job in another."""
+    zpath = _build_zip(str(tmp_path))
+    job = str(tmp_path / "run_app.py")
+    shutil.copyfile(os.path.join(REPO, "jobs", "run_app.py"), job)
+    wh = str(tmp_path / "wh")
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["PYSPARK_PYTHON"] = sys.executable
+
+    # process 1: write the bucketed table into a derby-backed Hive
+    # catalog (cwd pins metastore_db under tmp_path)
+    setup = str(tmp_path / "setup_table.py")
+    with open(setup, "w") as f:
+        f.write(
+            "import sys\n"
+            "from pyspark.sql import SparkSession\n"
+            "from ligra_spark.sources import write_bucketed_edges\n"
+            "spark = SparkSession.builder.getOrCreate()\n"
+            "e = spark.read.parquet(sys.argv[1])\n"
+            f"write_bucketed_edges(e, 'submit_edges_b', '{wh}/submit_edges_b', buckets=4)\n"
+        )
+    edges = str(tmp_path / "edges.parquet")
+    tiny_graph.edges.select("src", "dst").write.mode("overwrite").parquet(edges)
+
+    common = [
+        "spark-submit",
+        "--master", "local[4]",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.catalogImplementation=hive",
+        "--conf", f"spark.sql.warehouse.dir={wh}",
+        "--py-files", zpath,
+    ]
+    proc = subprocess.run(
+        common + [setup, edges],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+
+    # process 2: the job loads the table by name and runs pagerank
+    out = str(tmp_path / "scores_b.parquet")
+    proc = subprocess.run(
+        common + [
+            job,
+            "--app", "pagerank",
+            "--bucketed-table", "submit_edges_b",
+            "--n", str(tiny_graph.n),
+            "--max-iters", "5",
+            "--output", out,
+        ],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+
+    from ligra_spark.apps import pagerank
+
+    expected, _ = pagerank(tiny_graph, max_iters=5)
+    exp = {r["id"]: r["rank"] for r in expected.collect()}
+    got = {r["id"]: r["rank"] for r in spark.read.parquet(out).collect()}
+    assert set(got) == set(exp)
+    ids = sorted(exp)
+    assert np.allclose(
+        [got[i] for i in ids], [exp[i] for i in ids], rtol=0, atol=1e-6
+    )

@@ -1,0 +1,186 @@
+"""Regenerate PLANS.md — annotated physical plans for the headline
+operators, straight from ``.explain("formatted")`` on the live engine.
+
+The scale claims in SURVEY.md/BASELINE.md are pinned mechanically by
+``tests/test_plans.py``; this file makes the same evidence *readable*:
+for each headline operator, the operator tree above the first cached
+input (what actually executes per job) plus the one-line reason it is
+the plan you'd want at 100 TB.
+
+Usage: python tools/dump_plans.py   (writes PLANS.md at the repo root)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _tree_head(plan: str) -> str:
+    """Operator tree down to the first cached input — the per-job
+    execution surface (cached subtrees' exchanges ran at cache-build
+    time)."""
+    tree = plan.split("\n(1)")[0]
+    return tree.split("InMemoryRelation")[0].rstrip()
+
+
+def main() -> None:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ligra_spark.engine import edge_map
+    from ligra_spark.fixtures import write_graph_fixture
+    from ligra_spark.graph import LinkGraph
+    from ligra_spark.session import get_spark
+    from ligra_spark.sources import read_bucketed_graph, write_bucketed_edges
+
+    tmp = tempfile.mkdtemp(prefix="plans_")
+    write_graph_fixture(tmp, scale="tiny", with_pages=True)
+    spark = get_spark(
+        "dump_plans",
+        cpus=4,
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": f"{tmp}/wh"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    edges = spark.read.parquet(f"{tmp}/edges_directed.parquet")
+    g = LinkGraph.from_edges(spark, edges).materialize()
+
+    sections: list[tuple[str, str, str]] = []  # (title, why, tree)
+
+    # 1. dense PageRank superstep
+    state = g.out_degrees.select(
+        "id", F.try_divide(F.lit(1.0), "outdeg").alias("share")
+    )
+    msgs = edge_map(
+        g, state, message=F.col("share"), aggregate=F.sum,
+        extra_frontier_cols=("share",),
+    )
+    sections.append((
+        "Dense PageRank superstep (`edge_map`, all-vertex frontier)",
+        "Exactly ONE exchange per superstep (the groupBy(dst) monoid "
+        "agg); the edge table feeds a shuffled-hash join straight from "
+        "cache — it is never re-shuffled or broadcast, at any scale. "
+        "State is the build side (small), edges stream (large).",
+        _tree_head(_plan(msgs)),
+    ))
+
+    # 2. sparse frontier: broadcast path
+    frontier = g.vertices.filter(F.col("id") < 3)
+    sparse = edge_map(g, frontier, message=F.lit(1), aggregate=F.min,
+                      frontier_size=3)
+    sections.append((
+        "Sparse BFS-style superstep (3-vertex frontier, broadcast path)",
+        "Below the direction-switch threshold the frontier travels as a "
+        "BroadcastExchange (bytes, not a shuffle): the multi-TB edge "
+        "side is joined in place with NO exchange on it; only the "
+        "post-join message agg shuffles rows that actually exist.",
+        _tree_head(_plan(sparse)),
+    ))
+
+    # 3. bucketed scan: degree agg, zero exchanges end to end
+    write_bucketed_edges(edges, "plans_edges_b", f"{tmp}/wh/plans_edges_b",
+                         buckets=4)
+    t = spark.table("plans_edges_b")
+    agg = t.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    sections.append((
+        "Degree aggregation over a bucketed edge table",
+        "`Bucketed: true` on the scan and ZERO Exchange nodes: the "
+        "bucketBy(src) layout paid the partitioning at ingest, so "
+        "every later groupBy/join on src starts co-located. This is "
+        "the load path `read_bucketed_graph` gives every app.",
+        _plan(agg).split("\n(1)")[0].rstrip(),
+    ))
+
+    # 4. bucketed superstep join: only state moves
+    gb = read_bucketed_graph(spark, "plans_edges_b")
+    st2 = gb.vertices.select("id", F.lit(1.0).alias("share"))
+    m2 = edge_map(gb, st2, message=F.col("share"), aggregate=F.sum,
+                  extra_frontier_cols=("share",))
+    sections.append((
+        "Dense superstep over the bucketed graph",
+        "Same single-exchange shape, but the edge side came off disk "
+        "already partitioned — the cache build itself needed no "
+        "shuffle (at 100 TB: the largest single avoidable data "
+        "movement, avoided).",
+        _tree_head(_plan(m2)),
+    ))
+
+    # 5. extraction scan: pruning + pushdown
+    from ligra_spark.extract import extracted_pages
+
+    pages = spark.read.parquet(f"{tmp}/pages.parquet")
+    ex = extracted_pages(pages).select("url", "links")
+    sections.append((
+        "Page link extraction (pages → edges ingest)",
+        "Column pruning reaches the parquet scan: ReadSchema lists "
+        "only (url, html) even though the table carries text/lang/"
+        "warc_ts — at 100 TB the scan reads the two columns it needs, "
+        "not the corpus.",
+        _plan(ex).split("\n(1)")[0].rstrip(),
+    ))
+
+    # 6. exact dedup over documents
+    from ligra_spark.functions.dedup import exact_duplicates
+
+    docs = spark.read.parquet(f"{tmp}/pages.parquet").select(
+        F.col("url").alias("doc_id"), F.col("text")
+    )
+    dd = exact_duplicates(docs)
+    sections.append((
+        "Exact document dedup (hash groupBy)",
+        "One shuffle on the content hash with map-side partial "
+        "aggregation; no sort, no window, no driver funnel.",
+        _tree_head(_plan(dd)),
+    ))
+
+    out = [
+        "# PLANS — the physical plans behind the scale claims",
+        "",
+        "Generated by `python tools/dump_plans.py` on the tiny fixture",
+        "(plans are scale-invariant: same shapes at sf0.001 and at 100 TB;",
+        "only partition counts change). Mechanical assertions live in",
+        "`tests/test_plans.py` and `tests/test_bucketed.py`; this file is",
+        "the same evidence, readable. Each tree is cut at the first cached",
+        "input — what executes per job.",
+        "",
+    ]
+    for title, why, tree in sections:
+        n_sh = len(re.findall(r"(?<!Broadcast)Exchange\b", tree))
+        n_bc = len(re.findall(r"BroadcastExchange\b", tree))
+        label = f"Shuffle exchanges above cache in this tree: **{n_sh}**"
+        if n_bc:
+            label += f" (+{n_bc} broadcast)"
+        out += [
+            f"## {title}",
+            "",
+            why,
+            "",
+            label,
+            "",
+            "```",
+            tree,
+            "```",
+            "",
+        ]
+    with open(os.path.join(REPO, "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote {os.path.join(REPO, 'PLANS.md')} ({len(sections)} sections)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

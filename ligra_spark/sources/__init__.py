@@ -4,8 +4,10 @@ native layout (SURVEY.md §2.3), and the utils/ converter tools
 
 from .bucketed import (
     read_bucketed_graph,
+    read_bucketed_hypergraph,
     table_num_buckets,
     write_bucketed_edges,
+    write_bucketed_incidence,
 )
 from .adjacency_io import (
     read_adjacency_graph_df,
@@ -46,4 +48,6 @@ __all__ = [
     "write_bucketed_edges",
     "read_bucketed_graph",
     "table_num_buckets",
+    "write_bucketed_incidence",
+    "read_bucketed_hypergraph",
 ]

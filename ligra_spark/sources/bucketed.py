@@ -49,7 +49,13 @@ from pyspark.storagelevel import StorageLevel
 
 from ..graph import LinkGraph, symmetrize
 
-__all__ = ["write_bucketed_edges", "read_bucketed_graph", "table_num_buckets"]
+__all__ = [
+    "write_bucketed_edges",
+    "read_bucketed_graph",
+    "table_num_buckets",
+    "write_bucketed_incidence",
+    "read_bucketed_hypergraph",
+]
 
 
 def write_bucketed_edges(
@@ -142,4 +148,83 @@ def read_bucketed_graph(
         num_partitions=p,
         symmetric=symmetric,
         salt_buckets=salt_buckets,
+    )
+
+
+def write_bucketed_incidence(
+    inc: DataFrame,
+    name: str,
+    path: str,
+    buckets: int,
+    vertex_col: str = "vertex",
+    hedge_col: str = "hedge",
+    weight_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist an undirected hypergraph incidence table as the TWO
+    direction tables the engine iterates over — ``{name}_v2h``
+    bucketed by vertex and ``{name}_h2v`` bucketed by hyperedge —
+    each in the (src, dst[, weight]) layout
+    :class:`~ligra_spark.hygra.HyperGraph` uses.
+
+    The hypergraph engine is two-directional by construction
+    (``hygra.h`` keeps vertex→hedge and hedge→vertex CSRs side by
+    side); bucketing can co-locate only one key per table, so the
+    on-disk twin is a table pair — the same duplication
+    ``from_incidence`` pays in cache, paid once at ingest instead.
+    Duplicate (vertex, hedge) pins are removed before writing
+    (membership is a set, matching ``from_incidence``).
+    """
+    spark = inc.sparkSession
+    wcols = (
+        [F.col(weight_col).cast("long").alias("weight")] if weight_col else []
+    )
+    base = inc.select(
+        F.col(vertex_col).cast("long").alias("vertex"),
+        F.col(hedge_col).cast("long").alias("hedge"),
+        *wcols,
+    ).dropDuplicates(["vertex", "hedge"])
+    w = [F.col("weight")] if weight_col else []
+    for suffix, src, dst in (("v2h", "vertex", "hedge"), ("h2v", "hedge", "vertex")):
+        t = f"{name}_{suffix}"
+        if mode == "overwrite":
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        (
+            base.select(F.col(src).alias("src"), F.col(dst).alias("dst"), *w)
+            .write.format("parquet")
+            .mode(mode)
+            .option("path", f"{path}/{suffix}")
+            .bucketBy(buckets, "src")
+            .sortBy("src")
+            .saveAsTable(t)
+        )
+
+
+def read_bucketed_hypergraph(
+    spark: SparkSession,
+    name: str,
+    nv: int | None = None,
+    nh: int | None = None,
+):
+    """Load a :class:`~ligra_spark.hygra.HyperGraph` from the table
+    pair written by :func:`write_bucketed_incidence`, with zero
+    load-time shuffle in either direction."""
+    from ..hygra import HyperGraph, _Direction
+
+    fwd = spark.table(f"{name}_v2h").persist(StorageLevel.MEMORY_AND_DISK)
+    rev = spark.table(f"{name}_h2v").persist(StorageLevel.MEMORY_AND_DISK)
+    p = table_num_buckets(spark, f"{name}_v2h")
+    m = fwd.count()
+    if nv is None:
+        nv = fwd.agg(F.max("src")).first()[0] + 1
+    if nh is None:
+        nh = rev.agg(F.max("src")).first()[0] + 1
+    return HyperGraph(
+        spark=spark,
+        nv=int(nv),
+        nh=int(nh),
+        m=int(m),
+        num_partitions=p,
+        v2h=_Direction(fwd, int(m)),
+        h2v=_Direction(rev, int(m)),
     )

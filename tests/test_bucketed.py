@@ -147,3 +147,50 @@ def test_salted_bucketed_round_trip(spark, tiny_edges, tmp_path_factory):
         g.unpersist()
     finally:
         spark.sql("DROP TABLE IF EXISTS test_edges_bucketed_salt")
+
+
+def test_bucketed_hypergraph_matches_from_incidence(spark, tmp_path_factory):
+    """HyperPageRank through the bucketed incidence table pair ==
+    through from_incidence; both direction scans load shuffle-free."""
+    import pandas as pd
+
+    from ligra_spark.apps import hyper_pagerank
+    from ligra_spark.fixtures import sample_graph_edges
+    from ligra_spark.hygra import HyperGraph
+    from ligra_spark.sources.bucketed import (
+        read_bucketed_hypergraph,
+        write_bucketed_incidence,
+    )
+
+    nv, nh = 50, 24
+    _, src, dst = sample_graph_edges()
+    v = (src % nv).astype("int64")
+    h = (dst % (nh - 4)).astype("int64")
+    inc = spark.createDataFrame(pd.DataFrame({"vertex": v, "hedge": h}))
+
+    path = str(tmp_path_factory.mktemp("bkth")) + "/inc_b"
+    write_bucketed_incidence(inc, "test_inc_bucketed", path, buckets=4)
+    try:
+        hb = read_bucketed_hypergraph(spark, "test_inc_bucketed", nv=nv, nh=nh)
+        he = HyperGraph.from_incidence(spark, inc, nv=nv, nh=nh)
+        assert (hb.nv, hb.nh, hb.m, hb.num_partitions) == (he.nv, he.nh, he.m, 4)
+
+        # hedge-cardinality agg straight off the bucketed h2v scan:
+        # zero exchanges (the hypergraph twin of the degree-agg test)
+        card = (
+            spark.table("test_inc_bucketed_h2v")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("card"))
+        )
+        assert _exchanges(card) == 0, _plan(card)
+
+        rb, _ = hyper_pagerank(hb, max_iters=5)
+        re_, _ = hyper_pagerank(he, max_iters=5)
+        a = {(r["kind"], r["id"]): r["rank"] for r in rb.collect()}
+        b = {(r["kind"], r["id"]): r["rank"] for r in re_.collect()}
+        assert set(a) == set(b)
+        ks = sorted(a)
+        assert np.allclose([a[k] for k in ks], [b[k] for k in ks], rtol=1e-9)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS test_inc_bucketed_v2h")
+        spark.sql("DROP TABLE IF EXISTS test_inc_bucketed_h2v")

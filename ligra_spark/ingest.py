@@ -87,7 +87,20 @@ def assign_dense_ids(
             base += len(pdf)
             yield pdf
 
-    return parts.mapInPandas(stamp, schema=out_schema)
+    # the eager localCheckpoint is CORRECTNESS-critical, like the
+    # persist above: TaskContext.partitionId() is STAGE-relative, and
+    # stamp is only correct when its stage's partition ids are the
+    # stamped RDD's own (true in this dedicated materialization job).
+    # Left lazy, a downstream plan can fuse the mapInPandas into a
+    # larger stage whose ids are shifted — e.g. the second leg of a
+    # union reruns stamp with ids offset by the first leg's partition
+    # count (KeyError at best, silently shifted ids at worst; caught
+    # by the streaming incremental-dictionary sink, which unions the
+    # new ids with the existing dictionary).  Checkpointing runs stamp
+    # exactly once, in the right stage, and freezes the result.
+    out = parts.mapInPandas(stamp, schema=out_schema).localCheckpoint(eager=True)
+    parts.unpersist()
+    return out
 
 
 def build_vertex_dictionary(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:

@@ -4,6 +4,7 @@ is an ADDITION: continuous ingestion of crawled pages into the link
 graph, with watermarked windowed link-rate aggregation and an
 incrementally-maintained degree table."""
 
+from .ingest_stream import incremental_link_graph_sink
 from .stream import (
     stream_pages_to_edges,
     windowed_link_counts,
@@ -14,6 +15,7 @@ from .stream import (
 )
 
 __all__ = [
+    "incremental_link_graph_sink",
     "stream_pages_to_edges",
     "windowed_link_counts",
     "incremental_degree_sink",

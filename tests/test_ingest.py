@@ -107,3 +107,24 @@ def test_ingested_pagerank_matches_oracle(tiny_pages, spark):
     )
     np.testing.assert_allclose(got, expected, atol=1e-6, rtol=0)
     g.unpersist()
+
+
+def test_assign_dense_ids_survives_union_stage(spark):
+    """Regression: TaskContext.partitionId() is stage-relative, so the
+    stamping pass is only correct in its own materialization job.
+    Before the eager-localCheckpoint fix, evaluating the stamped output
+    as the SECOND leg of a union re-ran stamp with partition ids offset
+    by the first leg's partition count (KeyError / shifted ids)."""
+    import pandas as pd
+
+    from ligra_spark.ingest import assign_dense_ids
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": [f"u{i:03d}" for i in range(50)]})
+    )
+    ids = assign_dense_ids(df, "url")
+    u = spark.createDataFrame([], "id long, url string").unionByName(ids)
+    got = sorted(r["id"] for r in u.collect())
+    assert got == list(range(50))
+    by_url = {r["url"]: r["id"] for r in u.collect()}
+    assert all(by_url[k] == i for i, k in enumerate(sorted(by_url)))

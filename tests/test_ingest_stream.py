@@ -1,0 +1,170 @@
+"""Streaming incremental link-graph maintenance
+(`streaming.incremental_link_graph_sink`): a multi-batch crawl stream
+must converge to the same graph the batch ingest builds — dense ids,
+exact edge multiset (compared url-space), per-url PageRank scores
+equal — with the edge table staying a bucketed, zero-shuffle-load
+table across appends."""
+
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def streamed_graph(spark, tmp_path_factory):
+    """Run the sink over a 4-file pages stream (2 files per trigger →
+    2 micro-batches) and hand back everything needed to compare."""
+    from ligra_spark.fixtures import write_graph_fixture
+    from ligra_spark.streaming import (
+        incremental_link_graph_sink,
+        stream_pages_to_edges,
+    )
+
+    base = tmp_path_factory.mktemp("ingstr")
+    fix = str(base / "fix")
+    write_graph_fixture(fix, scale="tiny", with_pages=True)
+    pages = spark.read.parquet(f"{fix}/pages.parquet")
+    src_dir = str(base / "pages_in")
+    pages.repartition(4).write.mode("overwrite").parquet(src_dir)
+
+    edge_path = str(base / "edges_b")
+    dict_dir = str(base / "dict")
+    links = stream_pages_to_edges(spark, src_dir, max_files_per_trigger=2)
+    q = (
+        incremental_link_graph_sink(
+            links,
+            edge_table="stream_edges_b",
+            edge_path=edge_path,
+            dict_dir=dict_dir,
+            checkpoint_dir=str(base / "ck"),
+            buckets=4,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    yield pages, dict_dir
+    spark.sql("DROP TABLE IF EXISTS stream_edges_b")
+
+
+def _current_dict(spark, dict_dir):
+    with open(f"{dict_dir}/_CURRENT") as fh:
+        return spark.read.parquet(fh.read().strip())
+
+
+def test_stream_dictionary_dense_and_complete(spark, streamed_graph):
+    """Ids are dense 0..n-1 with one row per distinct node url,
+    accumulated across batches."""
+    pages, dict_dir = streamed_graph
+    d = _current_dict(spark, dict_dir)
+    n = d.count()
+    assert d.select("url").distinct().count() == n
+    ids = sorted(r["id"] for r in d.select("id").collect())
+    assert ids == list(range(n))
+
+    from ligra_spark.extract import extracted_pages
+
+    batch = extracted_pages(pages).select(
+        "url", F.explode("links").alias("href")
+    )
+    nodes = (
+        batch.select(F.col("url").alias("u"))
+        .unionByName(batch.select(F.col("href").alias("u")))
+        .distinct()
+        .count()
+    )
+    assert n == nodes
+
+
+def test_stream_edges_match_batch_multiset(spark, streamed_graph):
+    """Edge multiset mapped back to url space == the batch link
+    extraction's (url, href) multiset."""
+    pages, dict_dir = streamed_graph
+    d = _current_dict(spark, dict_dir)
+    t = spark.table("stream_edges_b")
+    got = (
+        t.join(d, t["src"] == d["id"]).select(F.col("url").alias("u"), "dst")
+        .join(d, F.col("dst") == d["id"]).select("u", F.col("url").alias("v"))
+        .groupBy("u", "v").count()
+    )
+    from ligra_spark.extract import extracted_pages
+
+    exp = (
+        extracted_pages(pages)
+        .select(F.col("url").alias("u"), F.explode("links").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    joined = got.join(exp, ["u", "v"], "full_outer")
+    assert joined.filter(
+        F.col("count").isNull() | F.col("c2").isNull() | (F.col("count") != F.col("c2"))
+    ).count() == 0
+
+
+def test_stream_table_stays_bucketed_after_appends(spark, streamed_graph):
+    """Two appended batches later the scan is still bucketed: degree
+    agg runs with zero exchanges."""
+    agg = (
+        spark.table("stream_edges_b")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    p = _plan(agg)
+    assert "Bucketed: true" in p
+    assert len(re.findall(r"\bExchange\b", p)) == 0, p
+
+
+def test_stream_graph_pagerank_matches_batch(spark, streamed_graph):
+    """PageRank over the streamed bucketed graph == PageRank over a
+    batch graph built on the SAME vertex universe, compared per url.
+
+    The universes must be pinned equal first: the stream dictionary
+    covers nodes observed in link events (a crawled page with zero
+    out-links enters only when something links to it — by design),
+    while build_link_graph's dictionary covers every crawled page.  So
+    the batch side here maps the batch-extracted edges through the
+    STREAM dictionary — same edges, same n, different assembly path."""
+    from ligra_spark.apps import pagerank
+    from ligra_spark.extract import extracted_pages
+    from ligra_spark.graph import LinkGraph
+    from ligra_spark.sources import read_bucketed_graph
+
+    pages, dict_dir = streamed_graph
+    d = _current_dict(spark, dict_dir)
+    n = d.count()
+
+    gs = read_bucketed_graph(spark, "stream_edges_b", n=n)
+    rs, _ = pagerank(gs, max_iters=5)
+    by_url_s = {
+        r["url"]: r["rank"]
+        for r in rs.join(d, rs["id"] == d["id"]).select("url", "rank").collect()
+    }
+
+    pairs = extracted_pages(pages).select(
+        F.col("url").alias("u"), F.explode("links").alias("v")
+    )
+    eb = (
+        pairs.join(d, pairs["u"] == d["url"]).select(F.col("id").alias("src"), "v")
+        .join(d, F.col("v") == d["url"]).select("src", F.col("id").alias("dst"))
+    )
+    gb = LinkGraph.from_edges(spark, eb, n=n)
+    rb, _ = pagerank(gb, max_iters=5)
+    by_url_b = {
+        r["url"]: r["rank"]
+        for r in rb.join(d, rb["id"] == d["id"]).select("url", "rank").collect()
+    }
+    assert set(by_url_s) == set(by_url_b)
+    urls = sorted(by_url_s)
+    assert np.allclose(
+        [by_url_s[u] for u in urls], [by_url_b[u] for u in urls], rtol=1e-9
+    )
+    gs.unpersist()
+    gb.unpersist()

@@ -39,6 +39,7 @@ __all__ = [
     "AUDIO_FEATURES_SCHEMA",
     "attach_media_metadata",
     "decode_images",
+    "resize_images",
     "image_features",
     "sample_video_frames",
     "decode_audio",
@@ -196,6 +197,64 @@ def decode_images(media: DataFrame, fake: bool = False) -> DataFrame:
                     }
                 )
             yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches,
+        schema="media_id long, height int, width int, channels int, pixels binary",
+    )
+
+
+def resize_images(
+    media: DataFrame, height: int, width: int, fake: bool = False
+) -> DataFrame:
+    """Decode + nearest-neighbor resize to (height, width) fused in ONE
+    Arrow pass → (media_id, height, width, channels, pixels binary).
+
+    Nearest-neighbor with pixel-center mapping (src = floor((i+0.5)·
+    H/th)) — pure integer indexing, so the result is bit-exact and
+    engine/partitioning-invariant (the same dedup-safety property the
+    integer average-hash has; an interpolating resize would reintroduce
+    float summation-order sensitivity).  The gather is batch-vectorized
+    per shape class: one fancy-index over a (B, H, W, C) stack, not a
+    per-row loop.  At 100 TB this is the canonical training-data
+    normalization pass: narrow (no shuffle), Arrow-batched, output
+    size bounded by th·tw·C per row regardless of input size."""
+    if height <= 0 or width <= 0:
+        raise ValueError("target height/width must be positive")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            imgs = [_decode_image_bytes(bytes(p), fake) for p in pdf["payload"]]
+            out = [None] * n
+            by_shape: dict[tuple, list[int]] = {}
+            for i, im in enumerate(imgs):
+                by_shape.setdefault(im.shape, []).append(i)
+            for shape, idxs in by_shape.items():
+                h, w = shape[0], shape[1]
+                ri = np.minimum(
+                    ((np.arange(height) + 0.5) * h / height).astype(np.int64),
+                    h - 1,
+                )
+                ci = np.minimum(
+                    ((np.arange(width) + 0.5) * w / width).astype(np.int64),
+                    w - 1,
+                )
+                stack = np.stack([imgs[i] for i in idxs])  # (B, H, W, C)
+                resized = stack[:, ri[:, None], ci[None, :], :]
+                for j, i in enumerate(idxs):
+                    out[i] = resized[j].tobytes()
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "height": np.full(n, height, dtype=np.int32),
+                    "width": np.full(n, width, dtype=np.int32),
+                    "channels": np.array([im.shape[2] for im in imgs], dtype=np.int32),
+                    "pixels": out,
+                }
+            )
 
     return media.select("media_id", "payload").mapInPandas(
         batches,

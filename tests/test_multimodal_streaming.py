@@ -431,3 +431,60 @@ def test_real_codec_features_through_spark(spark):
         assert afeats[i]["rms"] == pytest.approx(
             np.sqrt((w.astype(np.float64) ** 2).mean())
         )
+
+
+def test_resize_images_nearest_exact(spark):
+    """resize_images == the per-image numpy nearest-neighbor oracle
+    (pixel-center mapping), over REAL P6 payloads of mixed shapes in
+    one DataFrame (exercises the per-shape-class batching)."""
+    from ligra_spark.functions.multimodal import resize_images
+
+    rng = np.random.default_rng(7)
+    shapes = [(6, 9), (6, 9), (12, 4), (3, 3)]
+    arrs = [
+        rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8) for h, w in shapes
+    ]
+    rows = [
+        (i, "image", _ppm_bytes(a, comment=False), "image/x-portable-pixmap",
+         a.shape[1], a.shape[0], 0)
+        for i, a in enumerate(arrs)
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int"
+    )
+    th, tw = 5, 7
+    got = {
+        r["media_id"]: r
+        for r in resize_images(media, th, tw).collect()
+    }
+    for i, a in enumerate(arrs):
+        h, w = a.shape[0], a.shape[1]
+        ri = np.minimum(((np.arange(th) + 0.5) * h / th).astype(int), h - 1)
+        ci = np.minimum(((np.arange(tw) + 0.5) * w / tw).astype(int), w - 1)
+        exp = a[ri[:, None], ci[None, :], :]
+        r = got[i]
+        assert (r["height"], r["width"], r["channels"]) == (th, tw, 3)
+        out = np.frombuffer(bytes(r["pixels"]), dtype=np.uint8).reshape(th, tw, 3)
+        assert np.array_equal(out, exp)
+
+
+def test_resize_images_identity_and_upscale(spark):
+    """Resizing to the source shape is the identity; upscale repeats
+    source pixels (nearest semantics)."""
+    from ligra_spark.functions.multimodal import resize_images
+
+    a = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    media = spark.createDataFrame(
+        [(0, "image", _ppm_bytes(a, comment=False), "image/x-portable-pixmap",
+          2, 2, 0)],
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    same = resize_images(media, 2, 2).collect()[0]
+    assert np.array_equal(
+        np.frombuffer(bytes(same["pixels"]), dtype=np.uint8).reshape(2, 2, 3), a
+    )
+    up = resize_images(media, 4, 4).collect()[0]
+    out = np.frombuffer(bytes(up["pixels"]), dtype=np.uint8).reshape(4, 4, 3)
+    assert np.array_equal(out, a[np.repeat([0, 1], 2)][:, np.repeat([0, 1], 2)])

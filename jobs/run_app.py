@@ -65,6 +65,22 @@ def main(argv=None):
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--symmetrize", action="store_true")
     ap.add_argument("--salt-buckets", type=int, default=1)
+    ap.add_argument(
+        "--save-bucketed-table",
+        default=None,
+        help="also persist the loaded/ingested edge table as a "
+        "bucketBy(src) catalog table (one-time layout cost; later runs "
+        "pass --bucketed-table for a zero-shuffle load)",
+    )
+    ap.add_argument(
+        "--save-bucketed-path", default=None,
+        help="storage path for --save-bucketed-table (required with it)",
+    )
+    ap.add_argument(
+        "--buckets", type=int, default=None,
+        help="bucket count for --save-bucketed-table (default: the "
+        "graph's partition count)",
+    )
     ap.add_argument("--max-iters", type=int, default=100)
     ap.add_argument("--root", type=int, default=0)
     ap.add_argument("--partitions", type=int, default=None)
@@ -111,6 +127,19 @@ def main(argv=None):
             salt_buckets=args.salt_buckets,
         )
     g.materialize()
+
+    if args.save_bucketed_table:
+        if not args.save_bucketed_path:
+            ap.error("--save-bucketed-table requires --save-bucketed-path")
+        from ligra_spark.sources import write_bucketed_edges
+
+        write_bucketed_edges(
+            g.edges,
+            args.save_bucketed_table,
+            args.save_bucketed_path,
+            buckets=args.buckets or g.num_partitions,
+            salt_buckets=args.salt_buckets,
+        )
 
     mgr = None
     if args.checkpoint:

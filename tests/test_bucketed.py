@@ -194,3 +194,47 @@ def test_bucketed_hypergraph_matches_from_incidence(spark, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS test_inc_bucketed_v2h")
         spark.sql("DROP TABLE IF EXISTS test_inc_bucketed_h2v")
+
+
+def test_run_app_save_bucketed_table(spark, tiny_edges, tmp_path):
+    """jobs/run_app.py --save-bucketed-table: one CLI run ingests edges,
+    runs the app AND persists the bucketed layout; a second graph
+    loaded by table name matches."""
+    import importlib.util
+    import os
+    import sys
+
+    import pandas as pd
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "run_app", os.path.join(repo, "jobs", "run_app.py")
+    )
+    run_app = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(run_app)
+
+    n, src, dst = tiny_edges
+    e = spark.createDataFrame(
+        pd.DataFrame({"src": src.astype("int64"), "dst": dst.astype("int64")})
+    )
+    edges = str(tmp_path / "edges.parquet")
+    e.write.mode("overwrite").parquet(edges)
+    try:
+        run_app.main(
+            [
+                "--app", "pagerank",
+                "--edges", edges,
+                "--n", str(n),
+                "--max-iters", "3",
+                "--partitions", "4",
+                "--output", str(tmp_path / "scores"),
+                "--save-bucketed-table", "test_saved_bucketed",
+                "--save-bucketed-path", str(tmp_path / "saved_b"),
+            ]
+        )
+        assert table_num_buckets(spark, "test_saved_bucketed") == 4
+        g = read_bucketed_graph(spark, "test_saved_bucketed", n=n)
+        assert (g.n, g.m) == (n, e.count())
+        g.unpersist()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS test_saved_bucketed")

@@ -3,6 +3,7 @@ native layout (SURVEY.md §2.3), and the utils/ converter tools
 (SNAP/KONECT readers, weight stamping, random hypergraph)."""
 
 from .bucketed import (
+    compact_bucketed_table,
     read_bucketed_graph,
     read_bucketed_hypergraph,
     table_num_buckets,
@@ -50,4 +51,5 @@ __all__ = [
     "table_num_buckets",
     "write_bucketed_incidence",
     "read_bucketed_hypergraph",
+    "compact_bucketed_table",
 ]

@@ -55,6 +55,7 @@ __all__ = [
     "table_num_buckets",
     "write_bucketed_incidence",
     "read_bucketed_hypergraph",
+    "compact_bucketed_table",
 ]
 
 
@@ -81,6 +82,13 @@ def write_bucketed_edges(
     per-superstep join gains nothing from it (hash join), but sorted
     runs compress better and make per-bucket CSR assembly inside
     ``applyInPandas`` consumers a zero-sort pass.
+
+    The write itself is SHUFFLE-FREE by design: each input task fans
+    its rows out into per-bucket files locally (task × bucket files).
+    Scan parallelism equals the bucket count either way, so the only
+    cost of the extra files is open overhead — reclaimed in bulk by
+    ``compact_bucketed_table`` when appends accumulate, instead of
+    paying a full shuffle on every ingest write.
     """
     spark = edges.sparkSession
     if make_symmetric:
@@ -228,3 +236,70 @@ def read_bucketed_hypergraph(
         v2h=_Direction(fwd, int(m)),
         h2v=_Direction(rev, int(m)),
     )
+
+
+def compact_bucketed_table(
+    spark: SparkSession,
+    name: str,
+    path: str,
+) -> int:
+    """Rewrite a bucketed table into one file set per bucket at a new
+    ``path``, preserving the bucket spec — the small-file compaction a
+    streaming-appended table (``incremental_link_graph_sink``) needs
+    periodically: every append adds a file per touched bucket, and
+    thousands of tiny files per bucket eventually dominate scan open
+    cost.
+
+    Returns the row count.  Crash-safe ordering: the compacted file
+    set is FULLY written to ``path`` (a new directory, never the
+    current location) under a scratch table name while the live table
+    is untouched; only then is the name re-pointed — two metadata-only
+    drops plus a ``CREATE TABLE ... CLUSTERED BY ... LOCATION`` over
+    the already-written files.  A crash before the swap leaves the old
+    table intact; on a real deployment this whole function is
+    Iceberg's transactional ``rewrite_data_files``.
+
+    The rewrite reads the old files as PLAIN parquet (no bucket
+    metadata) so the ``repartition(buckets, keys)`` genuinely
+    re-clusters rows — one task per bucket, one file per bucket —
+    instead of Catalyst eliding it against the bucketed scan's
+    already-satisfied distribution.
+    """
+    desc = spark.sql(f"DESCRIBE FORMATTED {name}").collect()
+    buckets = table_num_buckets(spark, name)
+    keys_row = [
+        r["data_type"] for r in desc if r["col_name"].strip() == "Bucket Columns"
+    ][0]
+    keys = [k.strip(" `") for k in keys_row.strip("[]").split(",")]
+    loc = [r["data_type"] for r in desc if r["col_name"].strip() == "Location"][0]
+    if loc.rstrip("/").endswith(path.rstrip("/")) or path.rstrip("/").endswith(
+        loc.replace("file:", "").rstrip("/")
+    ):
+        raise ValueError("compaction path must differ from the table location")
+
+    df = spark.read.parquet(loc)
+    tmp = f"{name}__compacting"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    (
+        df.repartition(buckets, *[F.col(k) for k in keys])
+        .write.format("parquet")
+        .mode("overwrite")
+        .option("path", path)
+        .bucketBy(buckets, *keys)
+        .sortBy(*keys)
+        .saveAsTable(tmp)
+    )
+    n_rows = spark.table(tmp).count()
+    # swap: drops are metadata-only (external tables keep their files)
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema
+    )
+    key_list = ", ".join(f"`{k}`" for k in keys)
+    spark.sql(f"DROP TABLE {tmp}")
+    spark.sql(f"DROP TABLE {name}")
+    spark.sql(
+        f"CREATE TABLE {name} ({cols}) USING parquet "
+        f"CLUSTERED BY ({key_list}) SORTED BY ({key_list}) "
+        f"INTO {buckets} BUCKETS LOCATION '{path}'"
+    )
+    return n_rows

@@ -168,3 +168,36 @@ def test_stream_graph_pagerank_matches_batch(spark, streamed_graph):
     )
     gs.unpersist()
     gb.unpersist()
+
+
+def test_compact_streamed_table(spark, streamed_graph, tmp_path):
+    """Streaming appends leave multiple files per bucket; compaction
+    rewrites to one file set per bucket with identical rows and the
+    bucket spec (zero-exchange agg) intact.  Runs LAST in this module
+    (it swaps the table's storage)."""
+    import glob
+    import os
+
+    from ligra_spark.sources import compact_bucketed_table, table_num_buckets
+
+    t = spark.table("stream_edges_b")
+    before_rows = t.count()
+    loc = [
+        r["data_type"]
+        for r in spark.sql("DESCRIBE FORMATTED stream_edges_b").collect()
+        if r["col_name"].strip() == "Location"
+    ][0].replace("file:", "")
+    files_before = len(glob.glob(os.path.join(loc, "part-*")))
+    assert files_before > 4  # two appended micro-batches x 4 buckets
+
+    new_path = str(tmp_path / "compacted")
+    n = compact_bucketed_table(spark, "stream_edges_b", new_path)
+    assert n == before_rows
+    assert table_num_buckets(spark, "stream_edges_b") == 4
+    t2 = spark.table("stream_edges_b")
+    assert t2.count() == before_rows
+    agg = t2.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    p = _plan(agg)
+    assert "Bucketed: true" in p and "Exchange" not in p
+    files_after = len(glob.glob(os.path.join(new_path, "part-*")))
+    assert files_after <= 4

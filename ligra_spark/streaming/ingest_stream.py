@@ -80,14 +80,17 @@ def incremental_link_graph_sink(
             if os.path.exists(cur_ptr):
                 with open(cur_ptr) as fh:
                     cur = spark.read.parquet(fh.read().strip())
+                # None when the published dictionary is empty (a prior
+                # batch carried zero link events)
                 base = cur.agg(F.max("id")).first()[0]
+                base = -1 if base is None else int(base)
             else:
                 cur = spark.createDataFrame([], _DICT_SCHEMA)
                 base = -1
             new = nodes.join(cur, nodes["u"] == cur["url"], "left_anti")
             newd = assign_dense_ids(
                 new.select(F.col("u").alias("url")), "url"
-            ).select((F.col("id") + F.lit(int(base) + 1)).alias("id"), "url")
+            ).select((F.col("id") + F.lit(base + 1)).alias("id"), "url")
             d_next = cur.unionByName(newd)
             vdir = os.path.join(dict_dir, f"v{batch_id}")
             d_next.write.mode("overwrite").parquet(vdir)

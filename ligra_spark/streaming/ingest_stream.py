@@ -24,6 +24,12 @@ they grow.  This module is the streaming twin:
            every app can run against the graph-so-far between
            batches.
 
+Same-session visibility: after an append, a reader that already
+scanned the edge table must ``spark.catalog.refreshTable(name)`` —
+Spark's file-listing cache is session-scoped, and the sink can only
+refresh its own micro-batch session clone.  (Iceberg snapshots make
+this refresh unnecessary on a real deployment.)
+
 Delivery semantics: foreachBatch replays a batch after a crash, so
 step 4 is guarded by a per-batch ``_batch_{id}_COMMITTED`` marker
 (appends are applied exactly once); steps 1-3 are idempotent per
@@ -117,6 +123,10 @@ def incremental_link_graph_sink(
                 .sortBy("src")
                 .saveAsTable(edge_table)
             )
+            # drop the session's cached file listing for the table, or
+            # same-session readers that already scanned it keep seeing
+            # the pre-append snapshot
+            spark.catalog.refreshTable(edge_table)
             with open(marker, "w") as fh:
                 fh.write("ok")
         finally:

@@ -238,3 +238,33 @@ def test_run_app_save_bucketed_table(spark, tiny_edges, tmp_path):
         g.unpersist()
     finally:
         spark.sql("DROP TABLE IF EXISTS test_saved_bucketed")
+
+
+def test_weighted_bucketed_graph_bellman_ford(spark, tiny_edges, tmp_path_factory):
+    """Weighted edges survive the bucketed round trip: Bellman-Ford
+    over the bucketed weighted table == over from_edges."""
+    import pandas as pd
+
+    from ligra_spark.apps import bellman_ford
+    from ligra_spark.graph import LinkGraph
+
+    n, src, dst = tiny_edges
+    w = ((src * 7 + dst * 13) % 9 + 1).astype("int64")
+    e = spark.createDataFrame(
+        pd.DataFrame(
+            {"src": src.astype("int64"), "dst": dst.astype("int64"), "weight": w}
+        )
+    )
+    path = str(tmp_path_factory.mktemp("bktw")) + "/edges_w"
+    write_bucketed_edges(e, "test_edges_bucketed_w", path, buckets=4)
+    try:
+        g = read_bucketed_graph(spark, "test_edges_bucketed_w", n=n)
+        assert "weight" in g.edges.columns
+        r_b, _ = bellman_ford(g, root=0)
+        r_e, _ = bellman_ford(LinkGraph.from_edges(spark, e, n=n), root=0)
+        a = {r["id"]: r["dist"] for r in r_b.collect()}
+        b = {r["id"]: r["dist"] for r in r_e.collect()}
+        assert a == b and len(a) > 0
+        g.unpersist()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS test_edges_bucketed_w")

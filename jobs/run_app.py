@@ -85,6 +85,9 @@ def main(argv=None):
     ap.add_argument("--root", type=int, default=0)
     ap.add_argument("--partitions", type=int, default=None)
     args = ap.parse_args(argv)
+    # validate BEFORE the (possibly hours-long) graph load
+    if args.save_bucketed_table and not args.save_bucketed_path:
+        ap.error("--save-bucketed-table requires --save-bucketed-path")
 
     from pyspark.sql import SparkSession
 
@@ -129,8 +132,6 @@ def main(argv=None):
     g.materialize()
 
     if args.save_bucketed_table:
-        if not args.save_bucketed_path:
-            ap.error("--save-bucketed-table requires --save-bucketed-path")
         from ligra_spark.sources import write_bucketed_edges
 
         write_bucketed_edges(

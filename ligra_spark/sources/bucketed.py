@@ -138,7 +138,12 @@ def read_bucketed_graph(
     written (``write_bucketed_edges`` flags); ``n`` as in
     ``from_edges`` — pass it when trailing vertices are isolated.
     """
-    e = spark.table(name).persist(StorageLevel.MEMORY_AND_DISK)
+    t = spark.table(name)
+    cols = [c for c in ("src", "dst", "weight", "salt") if c in t.columns]
+    # project away bookkeeping columns (e.g. the streaming sink's
+    # batch_id partition column) — a narrow select, the scan's bucket
+    # partitioning survives it
+    e = t.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
     p = table_num_buckets(spark, name)
     if n is None:
         row = e.agg(
@@ -250,14 +255,22 @@ def compact_bucketed_table(
     thousands of tiny files per bucket eventually dominate scan open
     cost.
 
-    Returns the row count.  Crash-safe ordering: the compacted file
+    Returns the row count.  Data-safe ordering: the compacted file
     set is FULLY written to ``path`` (a new directory, never the
     current location) under a scratch table name while the live table
-    is untouched; only then is the name re-pointed — two metadata-only
+    is untouched; only then is the name re-pointed — metadata-only
     drops plus a ``CREATE TABLE ... CLUSTERED BY ... LOCATION`` over
-    the already-written files.  A crash before the swap leaves the old
-    table intact; on a real deployment this whole function is
-    Iceberg's transactional ``rewrite_data_files``.
+    the already-written files.  A failure before the swap leaves the
+    old table intact; a failure DURING the swap is self-healed
+    in-process by re-creating the name over the original (untouched)
+    files.  What this cannot cover is a driver crash inside the
+    metadata swap itself on a persistent catalog — both file sets
+    survive, but the name must be re-created by re-issuing the CREATE
+    (the window Iceberg's transactional ``rewrite_data_files``
+    closes; on the sandbox's session-scoped catalog the question is
+    moot).  Partitioned bucketed tables (the streaming sink's layout)
+    are compacted per (partition, bucket) with the partition spec
+    preserved; compact while the stream is stopped.
 
     The rewrite reads the old files as PLAIN parquet (no bucket
     metadata) so the ``repartition(buckets, keys)`` genuinely
@@ -265,6 +278,8 @@ def compact_bucketed_table(
     instead of Catalyst eliding it against the bucketed scan's
     already-satisfied distribution.
     """
+    import os
+
     desc = spark.sql(f"DESCRIBE FORMATTED {name}").collect()
     buckets = table_num_buckets(spark, name)
     keys_row = [
@@ -272,34 +287,60 @@ def compact_bucketed_table(
     ][0]
     keys = [k.strip(" `") for k in keys_row.strip("[]").split(",")]
     loc = [r["data_type"] for r in desc if r["col_name"].strip() == "Location"][0]
-    if loc.rstrip("/").endswith(path.rstrip("/")) or path.rstrip("/").endswith(
-        loc.replace("file:", "").rstrip("/")
-    ):
-        raise ValueError("compaction path must differ from the table location")
+    loc_fs = loc.replace("file:", "")
+    # normalized-path comparison: equal or nested either way is an error
+    a = os.path.normpath(os.path.abspath(loc_fs))
+    b = os.path.normpath(os.path.abspath(path))
+    if a == b or b.startswith(a + os.sep) or a.startswith(b + os.sep):
+        raise ValueError(
+            "compaction path must be a new directory outside the table location"
+        )
+    pcols = [c.name for c in spark.catalog.listColumns(name) if c.isPartition]
 
     df = spark.read.parquet(loc)
     tmp = f"{name}__compacting"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-    (
+    w = (
         df.repartition(buckets, *[F.col(k) for k in keys])
         .write.format("parquet")
         .mode("overwrite")
         .option("path", path)
-        .bucketBy(buckets, *keys)
-        .sortBy(*keys)
-        .saveAsTable(tmp)
     )
+    if pcols:
+        # preserve the partition spec (e.g. the streaming sink's
+        # batch_id): the rewrite merges files per (partition, bucket)
+        w = w.partitionBy(*pcols)
+    w.bucketBy(buckets, *keys).sortBy(*keys).saveAsTable(tmp)
     n_rows = spark.table(tmp).count()
-    # swap: drops are metadata-only (external tables keep their files)
+    # swap: drops are metadata-only (external tables keep their files).
+    # Build the replacement DDL BEFORE dropping anything.
     cols = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema
     )
     key_list = ", ".join(f"`{k}`" for k in keys)
+    part_clause = (
+        "PARTITIONED BY (" + ", ".join(f"`{c}`" for c in pcols) + ") "
+        if pcols
+        else ""
+    )
+    ddl = (
+        f"CREATE TABLE {name} ({cols}) USING parquet "
+        f"{part_clause}"
+        f"CLUSTERED BY ({key_list}) SORTED BY ({key_list}) "
+        f"INTO {buckets} BUCKETS LOCATION "
+    )
     spark.sql(f"DROP TABLE {tmp}")
     spark.sql(f"DROP TABLE {name}")
-    spark.sql(
-        f"CREATE TABLE {name} ({cols}) USING parquet "
-        f"CLUSTERED BY ({key_list}) SORTED BY ({key_list}) "
-        f"INTO {buckets} BUCKETS LOCATION '{path}'"
-    )
+    try:
+        spark.sql(ddl + f"'{path}'")
+        if pcols:
+            spark.sql(f"MSCK REPAIR TABLE {name}")
+    except Exception:
+        # self-heal the drop..create window for in-process failures:
+        # restore the name over the ORIGINAL (untouched) file set
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(ddl + f"'{loc_fs}'")
+        if pcols:
+            spark.sql(f"MSCK REPAIR TABLE {name}")
+        raise
     return n_rows

@@ -4,7 +4,7 @@ is an ADDITION: continuous ingestion of crawled pages into the link
 graph, with watermarked windowed link-rate aggregation and an
 incrementally-maintained degree table."""
 
-from .ingest_stream import incremental_link_graph_sink
+from .ingest_stream import incremental_link_graph_sink, read_stream_dictionary
 from .stream import (
     stream_pages_to_edges,
     windowed_link_counts,
@@ -16,6 +16,7 @@ from .stream import (
 
 __all__ = [
     "incremental_link_graph_sink",
+    "read_stream_dictionary",
     "stream_pages_to_edges",
     "windowed_link_counts",
     "incremental_degree_sink",

@@ -8,21 +8,33 @@ they grow.  This module is the streaming twin:
 
   pages stream → extract links (same JVM expression as batch)
     → per micro-batch (foreachBatch):
-        1. new urls  = batch nodes  ∖  current dictionary
+        1. new urls  = batch nodes  ∖  committed dictionary
         2. assign them the next dense ids (same two-phase rank as
-           ``ingest.assign_dense_ids``, offset by the current max id
-           — ids stay dense 0..n-1 forever, they just stop being
-           globally lexicographic, which nothing downstream needs)
-        3. publish dictionary version v{batch_id} via an atomic
-           ``_CURRENT`` pointer (the parquet stand-in for an Iceberg
-           snapshot commit, same protocol as
-           ``incremental_degree_sink``)
-        4. map edges through the dictionary and APPEND into the
-           bucketed edge table (``sources.bucketed`` layout) — the
-           bucketBy(src) spec is enforced on every append, so
-           ``read_bucketed_graph`` keeps its zero-shuffle load and
-           every app can run against the graph-so-far between
-           batches.
+           ``ingest.assign_dense_ids``, offset by the manifest's
+           ``next_id`` — ids stay dense 0..n-1 forever, they just
+           stop being globally lexicographic, which nothing
+           downstream needs)
+        3. write ONLY the new (id, url) rows as version ``v{batch}``
+           and commit it to the JSON manifest (atomic rename) — per
+           batch the dictionary write is O(new urls), never a rewrite
+           of the accumulated dictionary; readers union the committed
+           version dirs (``read_stream_dictionary``)
+        4. map edges through the dictionary and insert them into the
+           edge table as partition ``batch_id={batch}`` with dynamic
+           partition overwrite — the table is ``partitionBy(batch_id)
+           + bucketBy(src)``, so ``read_bucketed_graph`` keeps its
+           zero-shuffle load and every app can run against the
+           graph-so-far between batches.
+
+Delivery semantics — exactly once, by idempotent replay: foreachBatch
+re-runs a batch after a crash with the same batch_id.  Steps 1-3 are
+replay-safe (a committed version is reused as-is; an uncommitted
+partial version dir is safely overwritten — nothing reads it until
+the manifest names it), and step 4's dynamic partition overwrite
+replaces the batch's OWN partition rather than appending, so a
+replayed batch converges to the same table state.  No side-channel
+markers are needed.  On a real deployment both tables are Iceberg and
+steps 3-4 become one transactional commit.
 
 Same-session visibility: after an append, a reader that already
 scanned the edge table must ``spark.catalog.refreshTable(name)`` —
@@ -30,31 +42,151 @@ Spark's file-listing cache is session-scoped, and the sink can only
 refresh its own micro-batch session clone.  (Iceberg snapshots make
 this refresh unnecessary on a real deployment.)
 
-Delivery semantics: foreachBatch replays a batch after a crash, so
-step 4 is guarded by a per-batch ``_batch_{id}_COMMITTED`` marker
-(appends are applied exactly once); steps 1-3 are idempotent per
-batch id (a replayed batch finds its urls already in the dictionary
-and assigns nothing).  On a real deployment both tables are Iceberg
-and steps 3-4 become one transactional commit.
+Compaction: every batch adds one partition with up-to-(tasks×buckets)
+files.  ``sources.compact_bucketed_table`` merges files per
+(partition, bucket) while the stream is STOPPED; folding old batch
+partitions together is the Iceberg ``rewrite_data_files`` operation
+on a real deployment (safe there because the replacement is
+transactional and the stream's checkpoint never replays committed
+batches).
 
 At 100 TB scale: per batch the work is two anti/equi joins on url
 against the dictionary (the same one-time cost the batch path pays,
-amortized over arrivals) plus a bucketed append that only touches the
-new rows.  Nothing ever rewrites the existing edge files.
+amortized over arrivals) plus a bucketed insert that only touches the
+new rows.  Nothing ever rewrites existing committed files.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..ingest import assign_dense_ids
 
-__all__ = ["incremental_link_graph_sink"]
+__all__ = [
+    "incremental_link_graph_sink",
+    "read_stream_dictionary",
+    "apply_link_batch",
+]
 
 _DICT_SCHEMA = "id long, url string"
+
+
+def _atomic_write(path: str, text: str) -> None:
+    """Publish ``text`` at ``path`` via write-then-rename (the commit
+    primitive both incremental sinks share)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(text)
+    os.replace(tmp, path)
+
+
+def _read_manifest(dict_dir: str) -> dict:
+    ptr = os.path.join(dict_dir, "_CURRENT")
+    if not os.path.exists(ptr):
+        return {"versions": [], "next_id": 0}
+    with open(ptr) as fh:
+        return json.load(fh)
+
+
+def read_stream_dictionary(spark: SparkSession, dict_dir: str) -> DataFrame:
+    """(id, url) union of all COMMITTED dictionary versions.  Safe
+    against in-flight writers: uncommitted version dirs are not in the
+    manifest and are never read."""
+    man = _read_manifest(dict_dir)
+    if not man["versions"]:
+        return spark.createDataFrame([], _DICT_SCHEMA)
+    return spark.read.parquet(
+        *[os.path.join(dict_dir, v) for v in man["versions"]]
+    )
+
+
+def apply_link_batch(
+    batch: DataFrame,
+    batch_id: int,
+    edge_table: str,
+    edge_path: str,
+    dict_dir: str,
+    buckets: int,
+) -> None:
+    """Apply ONE micro-batch of (url, href) link events — the
+    foreachBatch body, module-level so replay idempotence is directly
+    testable.  Safe to call again with the same ``batch_id``: the
+    dictionary version is reused if committed and the edge insert
+    dynamically overwrites its own partition."""
+    spark = batch.sparkSession
+    vname = f"v{batch_id}"
+    vdir = os.path.join(dict_dir, vname)
+    man = _read_manifest(dict_dir)
+    batch = batch.select("url", "href").persist()
+    try:
+        if vname not in man["versions"]:
+            nodes = (
+                batch.select(F.col("url").alias("u"))
+                .unionByName(batch.select(F.col("href").alias("u")))
+                .distinct()
+            )
+            cur = read_stream_dictionary(spark, dict_dir)
+            new = nodes.join(cur, nodes["u"] == cur["url"], "left_anti")
+            newd = assign_dense_ids(
+                new.select(F.col("u").alias("url")), "url"
+            ).select(
+                (F.col("id") + F.lit(int(man["next_id"]))).alias("id"), "url"
+            )
+            # an uncommitted partial dir from a crashed attempt is
+            # safely overwritten — the manifest doesn't name it yet
+            newd.write.mode("overwrite").parquet(vdir)
+            n_new = spark.read.parquet(vdir).count()
+            man = {
+                "versions": man["versions"] + [vname],
+                "next_id": int(man["next_id"]) + int(n_new),
+            }
+            _atomic_write(os.path.join(dict_dir, "_CURRENT"), json.dumps(man))
+
+        d = read_stream_dictionary(spark, dict_dir)
+        edges = (
+            batch.join(d.hint("shuffle_hash"), batch["url"] == d["url"])
+            .select(F.col("id").alias("src"), "href")
+            .join(d.hint("shuffle_hash"), F.col("href") == d["url"])
+            .select(
+                "src",
+                F.col("id").alias("dst"),
+                F.lit(int(batch_id)).alias("batch_id"),
+            )
+        )
+        if not spark.catalog.tableExists(edge_table):
+            (
+                edges.write.format("parquet")
+                .mode("overwrite")
+                .option("path", edge_path)
+                .partitionBy("batch_id")
+                .bucketBy(buckets, "src")
+                .sortBy("src")
+                .saveAsTable(edge_table)
+            )
+        else:
+            # dynamic overwrite replaces ONLY partition
+            # batch_id={batch_id}: replaying this batch converges
+            # instead of double-appending.  The mode MUST be set as a
+            # session conf — the equivalent DataFrameWriter option is
+            # not honored by insertInto (verified: a static-mode
+            # insert wipes every other partition)
+            key = "spark.sql.sources.partitionOverwriteMode"
+            prev = spark.conf.get(key, "static")
+            spark.conf.set(key, "dynamic")
+            try:
+                edges.write.mode("overwrite").insertInto(edge_table)
+            finally:
+                spark.conf.set(key, prev)
+        # drop the session's cached file listing for the table, or
+        # same-session readers that already scanned it keep seeing
+        # the pre-insert snapshot
+        spark.catalog.refreshTable(edge_table)
+    finally:
+        batch.unpersist()
 
 
 def incremental_link_graph_sink(
@@ -68,69 +200,15 @@ def incremental_link_graph_sink(
     """Build the foreachBatch writer for a (url, warc_ts, href) link
     stream (``stream_pages_to_edges`` output).  Returns the
     ``DataStreamWriter`` — call ``.trigger(availableNow=True)`` /
-    ``.start()`` on it."""
+    ``.start()`` on it.  ``edge_path`` is used once, when the table is
+    first created; afterwards inserts resolve the location from the
+    catalog (so relocating the table does not strand the stream)."""
+    os.makedirs(dict_dir, exist_ok=True)
 
     def merge(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        marker = os.path.join(edge_path, f"_batch_{batch_id}_COMMITTED")
-        if os.path.exists(marker):
-            return  # replayed batch: edges already appended
-        batch = batch.select("url", "href").persist()
-        try:
-            nodes = (
-                batch.select(F.col("url").alias("u"))
-                .unionByName(batch.select(F.col("href").alias("u")))
-                .distinct()
-            )
-            cur_ptr = os.path.join(dict_dir, "_CURRENT")
-            if os.path.exists(cur_ptr):
-                with open(cur_ptr) as fh:
-                    cur = spark.read.parquet(fh.read().strip())
-                # None when the published dictionary is empty (a prior
-                # batch carried zero link events)
-                base = cur.agg(F.max("id")).first()[0]
-                base = -1 if base is None else int(base)
-            else:
-                cur = spark.createDataFrame([], _DICT_SCHEMA)
-                base = -1
-            new = nodes.join(cur, nodes["u"] == cur["url"], "left_anti")
-            newd = assign_dense_ids(
-                new.select(F.col("u").alias("url")), "url"
-            ).select((F.col("id") + F.lit(base + 1)).alias("id"), "url")
-            d_next = cur.unionByName(newd)
-            vdir = os.path.join(dict_dir, f"v{batch_id}")
-            d_next.write.mode("overwrite").parquet(vdir)
-            tmp = cur_ptr + ".tmp"
-            with open(tmp, "w") as fh:
-                fh.write(vdir)
-            os.replace(tmp, cur_ptr)
-
-            d = spark.read.parquet(vdir)  # one pinned materialization
-            edges = (
-                batch.join(d.hint("shuffle_hash"), batch["url"] == d["url"])
-                .select(F.col("id").alias("src"), "href")
-                .join(
-                    d.hint("shuffle_hash"),
-                    F.col("href") == d["url"],
-                )
-                .select("src", F.col("id").alias("dst"))
-            )
-            (
-                edges.write.format("parquet")
-                .mode("append")
-                .option("path", edge_path)
-                .bucketBy(buckets, "src")
-                .sortBy("src")
-                .saveAsTable(edge_table)
-            )
-            # drop the session's cached file listing for the table, or
-            # same-session readers that already scanned it keep seeing
-            # the pre-append snapshot
-            spark.catalog.refreshTable(edge_table)
-            with open(marker, "w") as fh:
-                fh.write("ok")
-        finally:
-            batch.unpersist()
+        apply_link_batch(
+            batch, batch_id, edge_table, edge_path, dict_dir, buckets
+        )
 
     return (
         links.writeStream.foreachBatch(merge)

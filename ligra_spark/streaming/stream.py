@@ -204,23 +204,27 @@ def incremental_degree_sink(
     snapshot commit)."""
 
     def merge(batch: DataFrame, batch_id: int):
+        from .ingest_stream import _atomic_write
+
         spark = batch.sparkSession
         agg = batch.groupBy("url").agg(F.count(F.lit(1)).alias("out_links"))
         cur_ptr = os.path.join(out_dir, "_CURRENT")
+        vdir = os.path.join(out_dir, f"v{batch_id}")
         if os.path.exists(cur_ptr):
             with open(cur_ptr) as fh:
-                cur = spark.read.parquet(fh.read().strip())
+                published = fh.read().strip()
+            if published == vdir:
+                return  # replayed batch: this version already published
+            cur = spark.read.parquet(published)
             agg = (
                 cur.unionByName(agg)
                 .groupBy("url")
                 .agg(F.sum("out_links").alias("out_links"))
             )
-        vdir = os.path.join(out_dir, f"v{batch_id}")
+        # an uncommitted partial vdir from a crashed attempt is safely
+        # overwritten — the pointer doesn't name it yet
         agg.write.mode("overwrite").parquet(vdir)
-        tmp = cur_ptr + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(vdir)
-        os.replace(tmp, cur_ptr)
+        _atomic_write(cur_ptr, vdir)
 
     return (
         links.writeStream.foreachBatch(merge)

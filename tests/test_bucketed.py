@@ -268,3 +268,41 @@ def test_weighted_bucketed_graph_bellman_ford(spark, tiny_edges, tmp_path_factor
         g.unpersist()
     finally:
         spark.sql("DROP TABLE IF EXISTS test_edges_bucketed_w")
+
+
+def test_compact_unpartitioned_reduces_files(spark, tiny_edges, tmp_path):
+    """Repeated shuffle-free appends inflate task x bucket file counts;
+    compaction collapses to one file per bucket with identical rows and
+    the zero-exchange agg intact."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from ligra_spark.sources import compact_bucketed_table
+
+    n, src, dst = tiny_edges
+    e = spark.createDataFrame(
+        pd.DataFrame({"src": src.astype("int64"), "dst": dst.astype("int64")})
+    )
+    path = str(tmp_path / "cmp")
+    write_bucketed_edges(e, "test_cmp_u", path, buckets=4)
+    for _ in range(2):
+        (
+            e.limit(100).write.format("parquet").mode("append")
+            .option("path", path).bucketBy(4, "src").sortBy("src")
+            .saveAsTable("test_cmp_u")
+        )
+    try:
+        rows_before = spark.table("test_cmp_u").count()
+        files_before = len(glob.glob(os.path.join(path, "part-*")))
+        assert files_before > 4
+        new_path = str(tmp_path / "cmp_v2")
+        assert compact_bucketed_table(spark, "test_cmp_u", new_path) == rows_before
+        assert spark.table("test_cmp_u").count() == rows_before
+        files_after = len(glob.glob(os.path.join(new_path, "part-*")))
+        assert files_after <= 4 < files_before
+        agg = spark.table("test_cmp_u").groupBy("src").agg(F.count(F.lit(1)))
+        assert _exchanges(agg) == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS test_cmp_u")

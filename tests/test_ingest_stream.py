@@ -56,8 +56,9 @@ def streamed_graph(spark, tmp_path_factory):
 
 
 def _current_dict(spark, dict_dir):
-    with open(f"{dict_dir}/_CURRENT") as fh:
-        return spark.read.parquet(fh.read().strip())
+    from ligra_spark.streaming import read_stream_dictionary
+
+    return read_stream_dictionary(spark, dict_dir)
 
 
 def test_stream_dictionary_dense_and_complete(spark, streamed_graph):
@@ -187,8 +188,8 @@ def test_compact_streamed_table(spark, streamed_graph, tmp_path):
         for r in spark.sql("DESCRIBE FORMATTED stream_edges_b").collect()
         if r["col_name"].strip() == "Location"
     ][0].replace("file:", "")
-    files_before = len(glob.glob(os.path.join(loc, "part-*")))
-    assert files_before > 4  # two appended micro-batches x 4 buckets
+    files_before = len(glob.glob(os.path.join(loc, "batch_id=*", "part-*")))
+    assert files_before >= 8  # 2 batch partitions x 4 buckets
 
     new_path = str(tmp_path / "compacted")
     n = compact_bucketed_table(spark, "stream_edges_b", new_path)
@@ -199,8 +200,11 @@ def test_compact_streamed_table(spark, streamed_graph, tmp_path):
     agg = t2.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     p = _plan(agg)
     assert "Bucketed: true" in p and "Exchange" not in p
-    files_after = len(glob.glob(os.path.join(new_path, "part-*")))
-    assert files_after <= 4
+    files_after = len(glob.glob(os.path.join(new_path, "batch_id=*", "part-*")))
+    # per-(batch partition, bucket) minimum; never grows (the actual
+    # many-file reduction is pinned by the unpartitioned test in
+    # tests/test_bucketed.py where append inflation genuinely occurs)
+    assert files_after <= files_before and files_after <= 8
 
 
 def test_stream_continues_across_runs(spark, tmp_path):
@@ -273,3 +277,55 @@ def test_stream_continues_across_runs(spark, tmp_path):
         assert ("u/d", "u/a") in pairs and ("u/d", "u/e") in pairs
     finally:
         spark.sql("DROP TABLE IF EXISTS stream_edges_cont")
+
+
+def test_apply_link_batch_replay_idempotent(spark, tmp_path):
+    """Crash-replay semantics, tested directly: re-applying the SAME
+    batch (same batch_id) after a full or partial prior attempt leaves
+    dictionary and edge table byte-identical — the dictionary version
+    is reused once committed, and the edge insert dynamically
+    overwrites its own partition instead of appending."""
+    import pandas as pd
+
+    from ligra_spark.streaming import read_stream_dictionary
+    from ligra_spark.streaming.ingest_stream import apply_link_batch
+
+    dict_dir = str(tmp_path / "dict")
+    edge_path = str(tmp_path / "edges")
+    import os
+
+    os.makedirs(dict_dir, exist_ok=True)
+    b0 = spark.createDataFrame(
+        pd.DataFrame({"url": ["a", "b"], "href": ["b", "c"]})
+    )
+    b1 = spark.createDataFrame(
+        pd.DataFrame({"url": ["d"], "href": ["a"]})
+    )
+    try:
+        apply_link_batch(b0, 0, "replay_edges", edge_path, dict_dir, 2)
+        apply_link_batch(b1, 1, "replay_edges", edge_path, dict_dir, 2)
+        d1 = sorted(
+            (r["id"], r["url"])
+            for r in read_stream_dictionary(spark, dict_dir).collect()
+        )
+        e1 = sorted(
+            (r["src"], r["dst"], r["batch_id"])
+            for r in spark.table("replay_edges").collect()
+        )
+        assert len(e1) == 3 and sorted(i for i, _ in d1) == [0, 1, 2, 3]
+
+        # replay BOTH batches (crash-recovery re-run)
+        apply_link_batch(b0, 0, "replay_edges", edge_path, dict_dir, 2)
+        apply_link_batch(b1, 1, "replay_edges", edge_path, dict_dir, 2)
+        d2 = sorted(
+            (r["id"], r["url"])
+            for r in read_stream_dictionary(spark, dict_dir).collect()
+        )
+        e2 = sorted(
+            (r["src"], r["dst"], r["batch_id"])
+            for r in spark.table("replay_edges").collect()
+        )
+        assert d2 == d1
+        assert e2 == e1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS replay_edges")

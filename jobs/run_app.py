@@ -166,9 +166,13 @@ def main(argv=None):
             g, max_iters=args.max_iters, checkpoint_mgr=mgr, on_superstep=track
         )
     elif args.app == "components":
-        out, iters = apps.components(g, checkpoint_mgr=mgr, on_superstep=track)
+        out, iters = apps.components(
+            g, checkpoint_mgr=mgr, resume=args.resume, on_superstep=track
+        )
     elif args.app == "label_propagation":
-        out, iters = apps.label_propagation(g, checkpoint_mgr=mgr, on_superstep=track)
+        out, iters = apps.label_propagation(
+            g, checkpoint_mgr=mgr, resume=args.resume, on_superstep=track
+        )
     elif args.app == "triangle":
         from ligra_spark.apps.triangle import triangle_count_df
 

@@ -29,6 +29,7 @@ def components(
     max_iters: int = 10_000,
     checkpoint_mgr=None,
     checkpoint_every: int = 4,
+    resume: bool = False,
     name: str = "components",
     on_superstep=None,
 ) -> tuple[DataFrame, int]:
@@ -36,17 +37,26 @@ def components(
 
     A vertex re-enters the frontier iff its label changed this round
     (``Components.C:30-39``); loop until the frontier empties
-    (``Components.C:62-67``).
+    (``Components.C:62-67``).  With ``resume=True`` and a checkpoint
+    manager, continues from the latest committed superstep (the state
+    rows carry the ``changed`` frontier flag, so the frontier is
+    reconstructed from the checkpoint alone — north rule).
     """
-    init = graph.vertices.select(
-        "id", F.col("id").alias("label"), F.lit(True).alias("changed")
-    )
+    it = 0
+    if resume and checkpoint_mgr is not None and checkpoint_mgr.latest_step(name):
+        it = checkpoint_mgr.latest_step(name)
+        init = checkpoint_mgr.load(name, it, graph.num_partitions)
+    else:
+        init = graph.vertices.select(
+            "id", F.col("id").alias("label"), F.lit(True).alias("changed")
+        )
     st = IterState(
         init,
         num_partitions=graph.num_partitions,
         checkpoint_every=checkpoint_every,
         manager=checkpoint_mgr,
         name=name,
+        superstep=it,
     )
     # Convergence-tail rule: once the frontier is below this, persist
     # only the CHANGED rows per superstep (IterState.advance_sparse)
@@ -56,8 +66,13 @@ def components(
     sparse_threshold = (
         0 if checkpoint_mgr is not None else min(max(1024, graph.n // 20), graph.n // 4)
     )
-    it, n_changed = 0, graph.n
-    frontier = init.select("id", "label")
+    if it > 0:
+        # resumed: the frontier is the checkpointed changed-set
+        frontier = st.df.filter("changed").select("id", "label")
+        n_changed = frontier.count()
+    else:
+        n_changed = graph.n
+        frontier = init.select("id", "label")
     while n_changed > 0 and it < max_iters:
         it += 1
         msgs = edge_map(
@@ -84,7 +99,9 @@ def components(
                 )
             )
             new, n_changed = st.advance(
-                new, action=lambda df: df.filter("changed").count()
+                new,
+                action=lambda df: df.filter("changed").count(),
+                metrics={"superstep": it, "frontier_in": n_changed},
             )
             frontier = st.df.filter("changed").select("id", "label")
         else:
@@ -111,6 +128,7 @@ def label_propagation(
     max_iters: int = 10_000,
     checkpoint_mgr=None,
     checkpoint_every: int = 4,
+    resume: bool = False,
     name: str = "label_propagation",
     on_superstep=None,
 ) -> tuple[DataFrame, int]:
@@ -119,17 +137,23 @@ def label_propagation(
     (``Components-Shortcut.C:30-42``); a vertex stays active while its
     label changed this round.  Fixpoint labels equal ``components``.
     Returns ((id, label), rounds)."""
-    init = graph.vertices.select(
-        "id", F.col("id").alias("label"), F.lit(True).alias("active")
-    )
+    it = 0
+    if resume and checkpoint_mgr is not None and checkpoint_mgr.latest_step(name):
+        it = checkpoint_mgr.latest_step(name)
+        init = checkpoint_mgr.load(name, it, graph.num_partitions)
+    else:
+        init = graph.vertices.select(
+            "id", F.col("id").alias("label"), F.lit(True).alias("active")
+        )
     st = IterState(
         init,
         num_partitions=graph.num_partitions,
         checkpoint_every=checkpoint_every,
         manager=checkpoint_mgr,
         name=name,
+        superstep=it,
     )
-    it, n_active = 0, graph.n
+    n_active = init.filter("active").count() if it > 0 else graph.n
     while n_active > 0 and it < max_iters:
         it += 1
         frontier = st.df.filter("active").select("id", "label")
@@ -163,7 +187,9 @@ def label_propagation(
             )
         )
         new, n_active = st.advance(
-            new, action=lambda df: df.filter("active").count()
+            new,
+            action=lambda df: df.filter("active").count(),
+            metrics={"superstep": it, "active_in": n_active},
         )
         if on_superstep:
             on_superstep(it, {"active": n_active})

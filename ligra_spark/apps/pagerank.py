@@ -59,6 +59,7 @@ def pagerank(
         name=name,
         superstep=it,
     )
+    l1_prev = None  # previous superstep's L1 delta (known at save time)
     while it < max_iters:
         it += 1
         # dense superstep: every vertex is in the frontier every round
@@ -85,8 +86,9 @@ def pagerank(
         new, row = st.advance(
             new.select("id", "outdeg", "rank", "old"),
             action=lambda df: df.agg(F.sum(F.abs(F.col("rank") - F.col("old")))).first(),
+            metrics={"superstep": it, "l1_prev": l1_prev},
         )
-        l1 = row[0]
+        l1 = l1_prev = row[0]
         if on_superstep:
             on_superstep(it, {"l1": l1})
         if l1 < epsilon:

@@ -38,6 +38,69 @@ def test_pagerank_kill_resume_identical(spark, tiny_graph, tmp_path):
     np.testing.assert_allclose(ra, rb, atol=1e-12, rtol=0)
 
 
+def _path_graph(spark, n=24):
+    """Symmetric path 0-1-...-(n-1): CC needs ~n rounds, LP ~log n."""
+    import numpy as np
+
+    from ligra_spark.graph import LinkGraph
+    from tests.conftest import edges_df
+
+    a = np.arange(n - 1, dtype=np.int64)
+    src = np.concatenate([a, a + 1])
+    dst = np.concatenate([a + 1, a])
+    return LinkGraph.from_edges(
+        spark, edges_df(spark, src, dst), n=n, symmetric=True
+    ).materialize()
+
+
+def test_components_kill_resume_identical(spark, tmp_path):
+    from ligra_spark.apps import components
+    from ligra_spark.checkpoint import CheckpointManager
+
+    g = _path_graph(spark, 24)
+    mgr = CheckpointManager(spark, str(tmp_path / "ckpt_cc"))
+
+    def killer(it, m):
+        if it == 3:
+            raise _Kill()
+
+    with pytest.raises(_Kill):
+        components(g, checkpoint_mgr=mgr, on_superstep=killer)
+    assert mgr.latest_step("components") == 3
+    meta = mgr.metadata("components", 3)
+    assert meta["metrics"]["frontier_in"] > 0, "iteration metrics recorded"
+
+    resumed, iters = components(g, checkpoint_mgr=mgr, resume=True)
+    clean, clean_iters = components(g)
+    assert iters == clean_iters, "resume continues the superstep count"
+    a = {r["id"]: r["component"] for r in resumed.collect()}
+    b = {r["id"]: r["component"] for r in clean.collect()}
+    assert a == b and set(a.values()) == {0}
+
+
+def test_label_propagation_kill_resume_identical(spark, tmp_path):
+    from ligra_spark.apps import label_propagation
+    from ligra_spark.checkpoint import CheckpointManager
+
+    g = _path_graph(spark, 24)
+    mgr = CheckpointManager(spark, str(tmp_path / "ckpt_lp"))
+
+    def killer(it, m):
+        if it == 2:
+            raise _Kill()
+
+    with pytest.raises(_Kill):
+        label_propagation(g, checkpoint_mgr=mgr, on_superstep=killer)
+    assert mgr.latest_step("label_propagation") == 2
+
+    resumed, iters = label_propagation(g, checkpoint_mgr=mgr, resume=True)
+    clean, clean_iters = label_propagation(g)
+    assert iters == clean_iters
+    a = {r["id"]: r["label"] for r in resumed.collect()}
+    b = {r["id"]: r["label"] for r in clean.collect()}
+    assert a == b and set(a.values()) == {0}
+
+
 def test_torn_checkpoint_ignored(spark, tiny_graph, tmp_path):
     from ligra_spark.apps import pagerank
     from ligra_spark.checkpoint import CheckpointManager

@@ -131,6 +131,16 @@ def _q_components(spark, sf):
     return labels
 
 
+def _q_cc_star(spark, sf):
+    """Two-phase (large-star/small-star) CC — diameter-independent
+    round count; fixpoint labeling identical to min-label components,
+    so it shares the chained-min-rounds oracle."""
+    from ligra_spark.apps import cc_two_phase
+
+    labels, _ = cc_two_phase(_graph(spark, sf, symmetric=True))
+    return labels
+
+
 def _q_label_propagation(spark, sf):
     from ligra_spark.apps import label_propagation
 
@@ -573,6 +583,14 @@ def _q_doc_exact_dedup(spark, sf):
     return exact_duplicates(_t(spark, sf, "documents"))
 
 
+def _q_doc_neardup_clusters(spark, sf):
+    """Full near-dup dedup flow: MinHash → LSH pairs → transitive
+    closure via two-phase star contraction → canonical keeper."""
+    from ligra_spark.functions.dedup import neardup_clusters
+
+    return neardup_clusters(_t(spark, sf, "documents"))
+
+
 def _q_doc_token_count(spark, sf):
     from ligra_spark.functions import with_token_count
 
@@ -980,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank_full,
         "pagerank_delta": _q_pagerank_delta,
         "components": _q_components,
+        "cc_star": _q_cc_star,
         "label_propagation": _q_label_propagation,
         "bfs": _q_bfs_full,
         "bfscc": _q_bfscc,
@@ -1004,12 +1023,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyper_pagerank": _q_hyper_pagerank,
         # training-data pipeline: text analysis + dedup
         "doc_exact_dedup": _q_doc_exact_dedup,
-        "doc_token_count": _q_doc_token_count,
         "doc_quality": _q_doc_quality,
-        "doc_lang_guess": _q_doc_lang_guess,
         "doc_jaccard_pairs": _q_jaccard_pairs,
         "minhash_signatures": _q_minhash,
         "minhash_lsh_pairs": _q_lsh_pairs,
+        "doc_neardup_clusters": _q_doc_neardup_clusters,
         # composed end-to-end corpus-prep pipeline (annotate → filter →
         # exact dedup → LSH near-dedup → stats) — round 3
         "corpus_prep": _q_corpus_prep,
@@ -1037,6 +1055,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_entry.py and the judge can still run them.
         "out_degree": _q_out_degree,
         "degree_histogram": _q_degree_histogram,
+        # r02-green; token counting / language ID are also re-exercised
+        # every round inside corpus_prep's composed gate
+        "doc_token_count": _q_doc_token_count,
+        "doc_lang_guess": _q_doc_lang_guess,
         # r02-green; its fingerprint column is re-verified every round
         # inside corpus_prep's output
         "doc_fingerprint": _q_doc_fingerprint,
@@ -2696,6 +2718,34 @@ def _lsh_sql(num_hashes: int = 8, bands: int = 4) -> str:
     )
 
 
+def _neardup_clusters_sql(k: int = 12) -> str:
+    """Oracle for the composed near-dup dedup flow: the LSH-pairs
+    builder verbatim, then k chained min-label rounds over the
+    symmetric pair graph (k=12 ≫ any duplicate family's diameter at
+    sf0.01 — the Spark side runs the two-phase contraction to ITS
+    fixpoint, and both land on cluster = min doc id of the family)."""
+    sql = (
+        f"WITH p0 AS MATERIALIZED ({_lsh_sql(8, 4)}),\n"
+        "es AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM p0\n"
+        "  UNION SELECT doc_b, doc_a FROM p0),\n"
+        "v AS (SELECT DISTINCT doc_id AS id FROM documents),\n"
+        "l0 AS (SELECT id, id AS label FROM v)"
+    )
+    prev = "l0"
+    for i in range(1, k + 1):
+        sql += (
+            f",\nm{i} AS MATERIALIZED (SELECT es.dst AS id, min({prev}.label) AS minl\n"
+            f"  FROM es JOIN {prev} ON {prev}.id = es.src GROUP BY es.dst),\n"
+            f"l{i} AS MATERIALIZED (SELECT {prev}.id, least({prev}.label, coalesce(m{i}.minl, {prev}.label)) AS label\n"
+            f"  FROM {prev} LEFT JOIN m{i} ON m{i}.id = {prev}.id)"
+        )
+        prev = f"l{i}"
+    return sql + (
+        f"\nSELECT id AS doc_id, label AS cluster,"
+        f" CAST(label = id AS INT) AS keep FROM {prev}"
+    )
+
+
 def _simhash_sql() -> str:
     h = _hash_sql("tok", 99)
     sums = ",\n".join(f"  sum(({h} >> {b}) & 1) AS b{b}" for b in range(16))
@@ -2939,6 +2989,7 @@ def oracle_sql() -> dict[str, str]:
         # margin; CC/LP fixpoint depth 5; BFS depth 4; BF rounds 9).
         "pagerank": _pr_sql(12),
         "components": _cc_sql(12, label_col="component"),
+        "cc_star": _cc_sql(12, label_col="component"),
         "label_propagation": _cc_sql(12, label_col="label"),
         "bfscc": _cc_sql(12, label_col="label"),
         "cc_k4": _cc_sql(4),
@@ -3002,6 +3053,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_jaccard_pairs": _jaccard_sql(0.9),
         "minhash_signatures": _minhash_sql(8),
         "minhash_lsh_pairs": _lsh_sql(8, 4),
+        "doc_neardup_clusters": _neardup_clusters_sql(12),
         "corpus_prep": _corpus_prep_sql(),
         "simhash16": _simhash_sql(),
         "embedding_cosine_probe": _COSINE_SQL,

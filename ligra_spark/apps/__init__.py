@@ -2,6 +2,7 @@
 canonical reference app (SURVEY.md §2.4)."""
 
 from .pagerank import pagerank, pagerank_delta
+from .cc_star import cc_two_phase
 from .components import components, label_propagation
 from .triangle import triangle_count
 from .bfs import bfs_levels
@@ -72,6 +73,7 @@ __all__ = [
     "ecc_loglog",
     "pagerank",
     "pagerank_delta",
+    "cc_two_phase",
     "components",
     "label_propagation",
     "triangle_count",

@@ -33,6 +33,7 @@ __all__ = [
     "token_jaccard_pairs",
     "minhash_signatures",
     "lsh_candidate_pairs",
+    "neardup_clusters",
     "simhash16",
 ]
 
@@ -256,3 +257,54 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id", text: str = "text") -> Da
             _ones(b) * 2 > F.col("_ntok"), F.lit(1 << b).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return hashed.select("doc_id", sim.alias("simhash"))
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    min_shared_bands: int = 1,
+    id_col: str = "doc_id",
+    text: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(doc_id, cluster, keep) — the COMPLETE near-dup dedup flow a
+    web-scale corpus actually runs: MinHash signatures → banded-LSH
+    candidate pairs → connected components over the near-dup pair
+    graph → canonical keeper = min doc id per cluster (keep = 1).
+
+    LSH candidates are only PAIRS; transitive duplicate families (A~B,
+    B~C but A≯C) must be closed before picking keepers, or the corpus
+    keeps one doc per *pair* instead of one per *family*.  The closure
+    runs on ``apps.cc_star.two_phase_star_pairs`` — the
+    diameter-independent star contraction, so a pathological
+    chain-of-near-dups family (template drift across a million pages)
+    closes in O(log family) rounds, never O(family).  No stage is
+    all-pairs; ids stay sparse doc ids throughout (no dense-id rename
+    needed).
+    """
+    from ..apps.cc_star import two_phase_star_pairs
+
+    p = num_partitions or docs.sparkSession.sparkContext.defaultParallelism
+    sigs = minhash_signatures(
+        docs, num_hashes=num_hashes, shingle_k=shingle_k, id_col=id_col, text=text
+    )
+    pairs = lsh_candidate_pairs(sigs, num_hashes=num_hashes, bands=bands)
+    if min_shared_bands > 1:
+        pairs = pairs.filter(F.col("shared_bands") >= min_shared_bands)
+    stars, _ = two_phase_star_pairs(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")), p
+    )
+    cl = (
+        stars.groupBy("u")
+        .agg(F.min("v").alias("cluster"))
+        .withColumnRenamed("u", id_col)
+    )
+    return (
+        docs.select(id_col)
+        .distinct()
+        .join(cl.hint("shuffle_hash"), id_col, "left")
+        .select(id_col, F.coalesce("cluster", F.col(id_col)).alias("cluster"))
+        .withColumn("keep", (F.col("cluster") == F.col(id_col)).cast("int"))
+    )

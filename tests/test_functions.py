@@ -398,3 +398,51 @@ def test_minhash_simhash_match_python_reference(spark):
                 if sum((v >> b) & 1 for v in hs) * 2 > len(dtoks)
             )
             assert got_sim[i] == sim, (i, t)
+
+
+def test_neardup_clusters_family_closure(docs):
+    """Exact copies + LSH-linked near-dups collapse into one cluster
+    keyed by the min doc id; singletons keep themselves."""
+    from ligra_spark.functions.dedup import lsh_candidate_pairs
+    from ligra_spark.functions.dedup import minhash_signatures
+    from ligra_spark.functions.dedup import neardup_clusters
+
+    out = {r["doc_id"]: (r["cluster"], r["keep"]) for r in
+           neardup_clusters(docs).collect()}
+    assert set(out) == {0, 1, 2, 3, 4, 5}
+
+    # the cluster assignment must be the transitive closure of the LSH
+    # candidate pairs (union-find over the same pairs the LSH stage emits)
+    pairs = lsh_candidate_pairs(minhash_signatures(docs)).collect()
+    parent = {i: i for i in out}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r["doc_a"]), find(r["doc_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in out}
+    assert {i: c for i, (c, _) in out.items()} == expected
+    # exact dup family 0/1 must share a cluster rooted at 0; keeper flags
+    assert out[0] == (0, 1) and out[1][0] == 0 and out[1][1] == 0
+    # empty doc has no signature -> its own cluster, kept
+    assert out[4] == (4, 1)
+
+
+def test_neardup_clusters_transitive_chain(spark):
+    """A family linked only pairwise (A~B, B~C) still collapses to one
+    cluster — the star contraction closes transitivity."""
+    from ligra_spark.apps.cc_star import two_phase_star_pairs
+    from pyspark.sql import functions as F
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "u long, v long"
+    )
+    stars, rounds = two_phase_star_pairs(chain, 4)
+    got = {(r["u"], r["v"]) for r in stars.collect()}
+    assert got == {(2, 1), (3, 1), (4, 1), (11, 10)}

@@ -149,10 +149,17 @@ def main() -> None:
 
     phase("corpus_prep", lambda: corpus_prep(docs).count())
 
+    # round-3 dedup addition: the complete near-dup clustering flow
+    # (MinHash → LSH pairs → star-contraction transitive closure →
+    # one keeper per duplicate family)
+    from ligra_spark.functions.dedup import neardup_clusters
+
+    phase("neardup_cluster", lambda: neardup_clusters(docs).count())
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "ligra_spark headline phases (1hop/BFS/PR10/CC/triangle/minhash-LSH/ANN"
-        "/IVF/asof/range/sessions/kBFS-ecc/PPR/corpus-prep)",
+        "/IVF/asof/range/sessions/kBFS-ecc/PPR/corpus-prep/neardup)",
         "value": total,
         "unit": "sec",
         "queries": timings,

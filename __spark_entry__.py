@@ -141,6 +141,25 @@ def _q_cc_star(spark, sf):
     return labels
 
 
+def _q_cc_incremental(spark, sf):
+    """Streaming CC maintenance replayed as a batch query: the edge
+    set split into 3 deterministic hash-batches and folded through
+    ``apply_cc_batch`` (star-table versions + manifest commits in a
+    scratch dir); the maintained labels must equal batch CC — shares
+    the chained-min-rounds oracle with ``components``."""
+    import tempfile
+
+    from ligra_spark.streaming import apply_cc_batch, cc_labels
+
+    cc_dir = tempfile.mkdtemp(prefix="ccinc_")
+    for b in range(3):
+        batch = _edges(spark, sf).filter(
+            F.pmod(F.xxhash64("src", "dst"), F.lit(3)) == b
+        )
+        apply_cc_batch(batch, b, cc_dir, spark.sparkContext.defaultParallelism)
+    return cc_labels(spark, cc_dir, vertices=spark.range(V).select("id"))
+
+
 def _q_label_propagation(spark, sf):
     from ligra_spark.apps import label_propagation
 
@@ -999,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_delta": _q_pagerank_delta,
         "components": _q_components,
         "cc_star": _q_cc_star,
+        "cc_incremental": _q_cc_incremental,
         "label_propagation": _q_label_propagation,
         "bfs": _q_bfs_full,
         "bfscc": _q_bfscc,
@@ -1049,10 +1069,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_link_graph": _q_page_link_graph,
         "doc_media_decode": _q_doc_media_decode,
         "doc_image_features": _q_doc_image_features,
-        "doc_image_ppm": _q_doc_image_ppm,
         # ---- tail (slot 51+): fixed-k gates and app variants, all
-        # driver-green in CORRECTNESS_r01/r02; kept registered so
-        # tools/check_entry.py and the judge can still run them.
+        # driver-green in CORRECTNESS_r01/r02 (or replica-green r03);
+        # kept registered so tools/check_entry.py and the judge can
+        # still run them.
+        # replica-green r03: the real-PPM decode twin of the two
+        # multimodal rows above (same _IMAGE_FEATURES_SQL oracle)
+        "doc_image_ppm": _q_doc_image_ppm,
         "out_degree": _q_out_degree,
         "degree_histogram": _q_degree_histogram,
         # r02-green; token counting / language ID are also re-exercised
@@ -2990,6 +3013,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pr_sql(12),
         "components": _cc_sql(12, label_col="component"),
         "cc_star": _cc_sql(12, label_col="component"),
+        "cc_incremental": _cc_sql(12, label_col="component"),
         "label_propagation": _cc_sql(12, label_col="label"),
         "bfscc": _cc_sql(12, label_col="label"),
         "cc_k4": _cc_sql(4),

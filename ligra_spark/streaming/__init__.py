@@ -5,6 +5,13 @@ graph, with watermarked windowed link-rate aggregation and an
 incrementally-maintained degree table."""
 
 from .ingest_stream import incremental_link_graph_sink, read_stream_dictionary
+from .incremental_cc import (
+    apply_cc_batch,
+    cc_labels,
+    incremental_cc_sink,
+    read_star_pairs,
+    update_star_pairs,
+)
 from .stream import (
     stream_pages_to_edges,
     windowed_link_counts,
@@ -17,6 +24,11 @@ from .stream import (
 __all__ = [
     "incremental_link_graph_sink",
     "read_stream_dictionary",
+    "apply_cc_batch",
+    "cc_labels",
+    "incremental_cc_sink",
+    "read_star_pairs",
+    "update_star_pairs",
     "stream_pages_to_edges",
     "windowed_link_counts",
     "incremental_degree_sink",

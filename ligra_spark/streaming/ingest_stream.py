@@ -196,19 +196,42 @@ def incremental_link_graph_sink(
     dict_dir: str,
     checkpoint_dir: str,
     buckets: int,
+    cc_dir: str | None = None,
 ):
     """Build the foreachBatch writer for a (url, warc_ts, href) link
     stream (``stream_pages_to_edges`` output).  Returns the
     ``DataStreamWriter`` — call ``.trigger(availableNow=True)`` /
     ``.start()`` on it.  ``edge_path`` is used once, when the table is
     first created; afterwards inserts resolve the location from the
-    catalog (so relocating the table does not strand the stream)."""
+    catalog (so relocating the table does not strand the stream).
+
+    ``cc_dir``: also maintain the incremental connected-components
+    star table (``incremental_cc``) from each batch's committed edges
+    — between batches ``cc_labels(spark, cc_dir)`` answers component
+    queries over the graph-so-far without any recompute.  The CC fold
+    reads the batch's OWN edge-table partition (what was actually
+    committed, post dictionary mapping), so the two states can never
+    diverge; both steps are independently replay-idempotent."""
     os.makedirs(dict_dir, exist_ok=True)
+    if cc_dir is not None:
+        os.makedirs(cc_dir, exist_ok=True)
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         apply_link_batch(
             batch, batch_id, edge_table, edge_path, dict_dir, buckets
         )
+        if cc_dir is not None:
+            from .incremental_cc import apply_cc_batch
+
+            spark = batch.sparkSession
+            committed = (
+                spark.table(edge_table)
+                .filter(F.col("batch_id") == int(batch_id))
+                .select("src", "dst")
+            )
+            apply_cc_batch(
+                committed, batch_id, cc_dir, spark.sparkContext.defaultParallelism
+            )
 
     return (
         links.writeStream.foreachBatch(merge)

@@ -147,17 +147,27 @@ def _q_cc_incremental(spark, sf):
     ``apply_cc_batch`` (star-table versions + manifest commits in a
     scratch dir); the maintained labels must equal batch CC — shares
     the chained-min-rounds oracle with ``components``."""
+    import shutil
     import tempfile
 
     from ligra_spark.streaming import apply_cc_batch, cc_labels
 
     cc_dir = tempfile.mkdtemp(prefix="ccinc_")
-    for b in range(3):
-        batch = _edges(spark, sf).filter(
-            F.pmod(F.xxhash64("src", "dst"), F.lit(3)) == b
-        )
-        apply_cc_batch(batch, b, cc_dir, spark.sparkContext.defaultParallelism)
-    return cc_labels(spark, cc_dir, vertices=spark.range(V).select("id"))
+    try:
+        for b in range(3):
+            batch = _edges(spark, sf).filter(
+                F.pmod(F.xxhash64("src", "dst"), F.lit(3)) == b
+            )
+            apply_cc_batch(
+                batch, b, cc_dir, spark.sparkContext.defaultParallelism
+            )
+        # materialize off the scratch dir before deleting it — the
+        # caller collects AFTER this function returns
+        return cc_labels(
+            spark, cc_dir, vertices=spark.range(V).select("id")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(cc_dir, ignore_errors=True)
 
 
 def _q_label_propagation(spark, sf):

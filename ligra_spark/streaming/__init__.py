@@ -10,6 +10,7 @@ from .incremental_cc import (
     cc_labels,
     incremental_cc_sink,
     read_star_pairs,
+    star_labels,
     update_star_pairs,
 )
 from .stream import (
@@ -28,6 +29,7 @@ __all__ = [
     "cc_labels",
     "incremental_cc_sink",
     "read_star_pairs",
+    "star_labels",
     "update_star_pairs",
     "stream_pages_to_edges",
     "windowed_link_counts",

@@ -53,6 +53,7 @@ __all__ = [
     "update_star_pairs",
     "apply_cc_batch",
     "read_star_pairs",
+    "star_labels",
     "cc_labels",
     "incremental_cc_sink",
 ]
@@ -83,6 +84,10 @@ def update_star_pairs(
         .filter(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
+        # pin the canonical batch: it feeds endpoints, the contraction
+        # input AND (via centers) three joins below — without this a
+        # streaming micro-batch source is re-read once per consumer
+        .localCheckpoint(eager=True)
     )
     endpoints = (
         batch.select(F.col("u").alias("x"))
@@ -112,6 +117,10 @@ def update_star_pairs(
             ).select(F.col("x").alias("c"))
         )
         .distinct()
+        # tiny (≤ 2·|batch| rows) but referenced by the affected AND
+        # rest joins, each evaluated again at write time — pin it so
+        # the two prev-star scans inside its own lineage run once
+        .localCheckpoint(eager=True)
     )
     affected = prev_stars.join(
         centers.hint("shuffle_hash"), prev_stars["v"] == centers["c"], "left_semi"
@@ -122,6 +131,17 @@ def update_star_pairs(
     stars_new, rounds = two_phase_star_pairs(
         affected.unionByName(batch), num_partitions, max_iters=max_iters
     )
+    if rounds >= max_iters:
+        # a non-fixpoint table must never become the next fold's input:
+        # it breaks the members-in-u/centers-in-v invariant the center
+        # lookup above relies on.  (Converging EXACTLY at round
+        # max_iters trips this too — the safe false positive; raise
+        # max_iters.)  O(log² n) convergence means 100 rounds covers
+        # any physically storable graph.
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iters} rounds; "
+            "refusing to produce a non-fixpoint star table"
+        )
     return rest.unionByName(stars_new), rounds
 
 
@@ -147,11 +167,21 @@ def apply_cc_batch(
     batch_id: int,
     cc_dir: str,
     num_partitions: int,
+    retain_versions: int = 2,
 ) -> int:
     """Fold one micro-batch into the maintained star table — the
     foreachBatch body, module-level so replay idempotence is directly
     testable.  Returns contraction rounds run (0 when the batch was
-    already committed — replaying is a no-op)."""
+    already committed — replaying is a no-op).
+
+    After the commit, superseded version dirs beyond the newest
+    ``retain_versions`` are deleted — only ``_CURRENT``'s dir is ever
+    read by this module, but one predecessor is kept by default for
+    readers still evaluating a ``read_star_pairs`` plan captured
+    before the commit.  Without GC a continuous crawl accumulates one
+    full O(V) star-table copy per micro-batch, forever."""
+    import shutil
+
     spark = new_edges.sparkSession
     man = _read_cc_manifest(cc_dir)
     if int(batch_id) in [int(b) for b in man["batches"]]:
@@ -162,13 +192,37 @@ def apply_cc_batch(
     # a leftover dir from a crashed attempt is safely overwritten —
     # the manifest doesn't name it until the commit below
     stars.write.mode("overwrite").parquet(os.path.join(cc_dir, vname))
+    history = man.get("history", []) + [vname]
     _atomic_write(
         os.path.join(cc_dir, "_CURRENT"),
         json.dumps(
-            {"version": vname, "batches": man["batches"] + [int(batch_id)]}
+            {
+                "version": vname,
+                "batches": man["batches"] + [int(batch_id)],
+                "history": history[-max(retain_versions, 1) :],
+            }
         ),
     )
+    for old in history[: -max(retain_versions, 1)]:
+        shutil.rmtree(os.path.join(cc_dir, old), ignore_errors=True)
     return rounds
+
+
+def star_labels(stars: DataFrame) -> DataFrame:
+    """(id, component) from a star-pair table: members label their
+    center, centers label themselves, one groupBy-min over the union
+    — exactly one shuffle, and at most one row per id even on a
+    hand-fed NON-fixpoint table (where an id can appear as both
+    member and center; the min is a no-op at a true fixpoint — the
+    same defensive convention as ``cc_two_phase``)."""
+    return (
+        stars.select(F.col("u").alias("id"), F.col("v").alias("component"))
+        .unionByName(
+            stars.select(F.col("v").alias("id"), F.col("v").alias("component"))
+        )
+        .groupBy("id")
+        .agg(F.min("component").alias("component"))
+    )
 
 
 def cc_labels(
@@ -179,12 +233,7 @@ def cc_labels(
     ``cc_two_phase()`` over the union of all applied batches.  Pass
     ``vertices`` (an (id) DataFrame) to also label isolated vertices
     the edge stream never mentioned (they label themselves)."""
-    stars = read_star_pairs(spark, cc_dir)
-    labels = stars.select(
-        F.col("u").alias("id"), F.col("v").alias("component")
-    ).unionByName(
-        stars.select(F.col("v").alias("id"), F.col("v").alias("component")).distinct()
-    )
+    labels = star_labels(read_star_pairs(spark, cc_dir))
     if vertices is None:
         return labels
     return vertices.join(labels.hint("shuffle_hash"), "id", "left").select(

@@ -117,6 +117,29 @@ def test_orphan_version_dir_recovers(spark, tmp_path):
     assert _labels(spark, cc_dir) == _expected_labels()
 
 
+def test_superseded_versions_garbage_collected(spark, tmp_path):
+    """Only the newest ``retain_versions`` star-table dirs survive a
+    commit; labels stay correct after the GC."""
+    cc_dir = str(tmp_path / "cc")
+    _apply_all(spark, cc_dir)  # 3 batches, default retain_versions=2
+    dirs = sorted(d for d in os.listdir(cc_dir) if d.startswith("v"))
+    assert dirs == ["v1", "v2"]
+    assert _labels(spark, cc_dir) == _expected_labels()
+
+
+def test_unconverged_contraction_refuses_commit(spark):
+    """max_iters exhaustion raises instead of producing a non-fixpoint
+    star table (which would poison every later fold)."""
+    from ligra_spark.streaming import update_star_pairs
+
+    empty = spark.createDataFrame([], "u long, v long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        update_star_pairs(empty, chain, 4, max_iters=2)
+
+
 def test_untouched_components_pass_through(spark):
     """A batch touching one component re-contracts only it: the other
     component's star rows survive verbatim and the contraction
@@ -156,7 +179,10 @@ def test_streaming_sink_end_to_end(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(240)
+    try:
+        assert q.awaitTermination(240), "stream did not finish in 240s"
+    finally:
+        q.stop()
     man = json.load(open(os.path.join(cc_dir, "_CURRENT")))
     assert len(man["batches"]) >= 1  # micro-batch boundaries may differ
     assert _labels(spark, cc_dir) == _expected_labels()
@@ -197,7 +223,7 @@ def test_link_sink_maintains_cc(spark, tmp_path):
         .start()
     )
     try:
-        q.awaitTermination(240)
+        assert q.awaitTermination(240), "stream did not finish in 240s"
         edges = spark.table("stream_edges_cc").select("src", "dst")
         g = LinkGraph.from_edges(spark, edges, make_symmetric=True)
         want = {r["id"]: r["component"] for r in components(g)[0].collect()}
@@ -209,4 +235,5 @@ def test_link_sink_maintains_cc(spark, tmp_path):
         }
         assert got == want
     finally:
+        q.stop()
         spark.sql("DROP TABLE IF EXISTS stream_edges_cc")

@@ -62,20 +62,25 @@ def main():
     t_base = time.perf_counter() - t0
     n_stars = read_star_pairs(spark, cc_dir).count()
 
-    # compute-only fold: affected split + recontraction, no write
+    # the maintained fold (affected split + recontraction + full
+    # version write — the sandbox stand-in for an Iceberg bucket COW)
+    t0 = time.perf_counter()
+    r_incr = apply_cc_batch(batch, 1, cc_dir, p)
+    t_incr = time.perf_counter() - t0
+
+    # compute-only fold, measured SECOND against the explicit pre-fold
+    # version dir (v0) so both runs see the same warmed page cache —
+    # the fold-minus-compute delta prices the version write without an
+    # ordering confound
+    import os
+
     from ligra_spark.streaming import update_star_pairs
 
-    prev = read_star_pairs(spark, cc_dir)
+    prev = spark.read.parquet(os.path.join(cc_dir, "v0"))
     t0 = time.perf_counter()
     stars_c, _ = update_star_pairs(prev, batch, p)
     stars_c.count()
     t_incr_compute = time.perf_counter() - t0
-
-    # the maintained fold (same compute + full version write — the
-    # sandbox stand-in for an Iceberg bucket COW)
-    t0 = time.perf_counter()
-    r_incr = apply_cc_batch(batch, 1, cc_dir, p)
-    t_incr = time.perf_counter() - t0
 
     # the alternative: recompute CC from raw union edges, no write
     t0 = time.perf_counter()
@@ -89,14 +94,10 @@ def main():
     t_full = time.perf_counter() - t0
 
     # labels must agree exactly
+    from ligra_spark.streaming import star_labels
+
     inc = cc_labels(spark, cc_dir)
-    full = stars_full.select(
-        F.col("u").alias("id"), F.col("v").alias("component")
-    ).unionByName(
-        stars_full.select(
-            F.col("v").alias("id"), F.col("v").alias("component")
-        ).distinct()
-    )
+    full = star_labels(stars_full)
     mismatches = (
         inc.withColumnRenamed("component", "c_inc")
         .join(full, "id", "full_outer")

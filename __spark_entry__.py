@@ -131,6 +131,36 @@ def _q_components(spark, sf):
     return labels
 
 
+def _q_pagerank_csr(spark, sf):
+    """PageRank over the per-partition-CSR physical backend
+    (``csr_backend.make_csr_edge_map``): same app code and convergence
+    rule as ``pagerank``, different gather-scatter physics — sharing
+    its oracle IS the cross-backend check."""
+    import tempfile
+
+    from ligra_spark.apps import pagerank
+    from ligra_spark.csr_backend import make_csr_edge_map, pack_csr
+
+    g = _graph(spark, sf)
+    pack = pack_csr(g, tempfile.mkdtemp(prefix="csr_entry_pr_"))
+    scores, _ = pagerank(g, max_iters=100, edge_map_fn=make_csr_edge_map(pack))
+    return scores.select("id", F.round("rank", 8).alias("rank"))
+
+
+def _q_components_csr(spark, sf):
+    """Min-label components over the per-partition-CSR backend — exact
+    labels, shares the ``components`` oracle."""
+    import tempfile
+
+    from ligra_spark.apps import components
+    from ligra_spark.csr_backend import make_csr_edge_map, pack_csr
+
+    g = _graph(spark, sf, symmetric=True)
+    pack = pack_csr(g, tempfile.mkdtemp(prefix="csr_entry_cc_"))
+    labels, _ = components(g, edge_map_fn=make_csr_edge_map(pack))
+    return labels
+
+
 def _q_cc_star(spark, sf):
     """Two-phase (large-star/small-star) CC — diameter-independent
     round count; fixpoint labeling identical to min-label components,
@@ -1115,6 +1145,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyper_kcore_efficient": _q_hyper_kcore_efficient,
         "hyper_sssp": _q_hyper_sssp,
         "hyper_mis": _q_hyper_mis,
+        # per-partition-CSR physical backend twins (round 3) — same
+        # apps, same oracles as pagerank/components; tail slots, gate
+        # replica keeps them honest
+        "pagerank_csr": _q_pagerank_csr,
+        "components_csr": _q_components_csr,
     }
 
 
@@ -3154,4 +3189,8 @@ def oracle_sql() -> dict[str, str]:
         # identical pixel plane (sha256 repeated), but the Spark side
         # decodes REAL P6 bytes through the native numpy codec
         "doc_image_ppm": _IMAGE_FEATURES_SQL,
+        # CSR-backend twins share the join-engine oracles: matching
+        # them IS the cross-backend equality check
+        "pagerank_csr": _pr_sql(12),
+        "components_csr": _cc_sql(12, label_col="component"),
     }

@@ -32,6 +32,7 @@ def components(
     resume: bool = False,
     name: str = "components",
     on_superstep=None,
+    edge_map_fn=edge_map,
 ) -> tuple[DataFrame, int]:
     """Min-label propagation to fixpoint.  Returns ((id, component), rounds).
 
@@ -75,7 +76,7 @@ def components(
         frontier = init.select("id", "label")
     while n_changed > 0 and it < max_iters:
         it += 1
-        msgs = edge_map(
+        msgs = edge_map_fn(
             graph,
             frontier,
             message=F.col("label"),
@@ -131,6 +132,7 @@ def label_propagation(
     resume: bool = False,
     name: str = "label_propagation",
     on_superstep=None,
+    edge_map_fn=edge_map,
 ) -> tuple[DataFrame, int]:
     """Shortcutting label propagation: min-label edge pass from active
     vertices, then pointer-jump ``label = label[label]``
@@ -157,7 +159,7 @@ def label_propagation(
     while n_active > 0 and it < max_iters:
         it += 1
         frontier = st.df.filter("active").select("id", "label")
-        msgs = edge_map(
+        msgs = edge_map_fn(
             graph,
             frontier,
             message=F.col("label"),

@@ -40,8 +40,15 @@ def pagerank(
     resume: bool = False,
     name: str = "pagerank",
     on_superstep=None,
+    edge_map_fn=edge_map,
 ) -> tuple[DataFrame, int]:
-    """Returns ((id, rank) DataFrame, supersteps run)."""
+    """Returns ((id, rank) DataFrame, supersteps run).
+
+    ``edge_map_fn`` swaps the physical gather-scatter backend — pass
+    :func:`ligra_spark.csr_backend.make_csr_edge_map`'s adapter to run
+    the superstep over per-partition CSR arrays instead of the join
+    engine; everything else (state, convergence, checkpoints, resume)
+    is shared."""
     const = (1.0 - damping) / graph.n
     it = 0
     if resume and checkpoint_mgr is not None and checkpoint_mgr.latest_step(name):
@@ -64,7 +71,7 @@ def pagerank(
         it += 1
         # dense superstep: every vertex is in the frontier every round
         # (PageRank.C:86-98 never shrinks the frontier)
-        msgs = edge_map(
+        msgs = edge_map_fn(
             graph,
             st.df.select("id", F.try_divide("rank", "outdeg").alias("share")),
             message=F.col("share"),

@@ -70,6 +70,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import engine
+
 __all__ = ["CsrPack", "pack_csr", "load_pack", "csr_edge_map", "make_csr_edge_map"]
 
 # identity element for the min monoid: any real label is < n << 2^62
@@ -231,10 +233,18 @@ def csr_edge_map(
     return partials.groupBy("id").agg(agg("agg").alias("agg"))
 
 
-def make_csr_edge_map(pack: CsrPack):
+def make_csr_edge_map(pack: CsrPack, sparse_fallback: bool = True):
     """Adapter with :func:`ligra_spark.engine.edge_map`'s signature, for
     the apps' ``edge_map_fn`` hook — the payload column is the (single)
     ``extra_frontier_cols`` entry, the monoid is ``F.sum``/``F.min``.
+
+    ``sparse_fallback`` is Ligra's sparse/dense direction switch applied
+    ACROSS backends (``ligra/ligra.h:237,261``): when the frontier is
+    below the engine's broadcast threshold, route the pass to the join
+    engine's sparse path (broadcast frontier, partition-local BHJ) —
+    a tiny frontier doesn't amortize the Python roundtrip, and measured
+    CC wall time with the fallback recovers the join engine's
+    convergence-tail speed (CSR_BACKEND_r03.json).
     """
 
     def _em(
@@ -250,6 +260,20 @@ def make_csr_edge_map(pack: CsrPack):
         if in_edges or group_frontier_cols or len(extra_frontier_cols) != 1:
             raise NotImplementedError(
                 "CSR backend covers the single-payload out-edge hot path"
+            )
+        if (
+            sparse_fallback
+            and frontier_size is not None
+            and frontier_size
+            <= max(1024, int(engine.SPARSE_DENSE_FRACTION * graph.m))
+        ):
+            return engine.edge_map(
+                graph,
+                frontier,
+                message,
+                aggregate,
+                frontier_size=frontier_size,
+                extra_frontier_cols=extra_frontier_cols,
             )
         mode = "sum" if aggregate is F.sum else "min" if aggregate is F.min else None
         if mode is None:

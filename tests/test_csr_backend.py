@@ -115,6 +115,21 @@ def test_pagerank_csr_matches(tiny_graph, tiny_pack):
 
 
 def test_components_csr_exact(tiny_graph_sym, tiny_sym_pack):
+    """sparse_fallback=False: every superstep runs the CSR kernel (the
+    tiny graph sits below the broadcast threshold, so the default
+    hybrid would route everything to the join engine)."""
+    from ligra_spark.apps.components import components
+
+    base, _ = components(tiny_graph_sym)
+    csr, _ = components(
+        tiny_graph_sym,
+        edge_map_fn=make_csr_edge_map(tiny_sym_pack, sparse_fallback=False),
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, csr.collect()))
+
+
+def test_components_csr_hybrid(tiny_graph_sym, tiny_sym_pack):
+    """Default adapter (direction-switch ON) — same fixpoint labels."""
     from ligra_spark.apps.components import components
 
     base, _ = components(tiny_graph_sym)
@@ -127,6 +142,7 @@ def test_label_propagation_csr_exact(tiny_graph_sym, tiny_sym_pack):
 
     base, _ = label_propagation(tiny_graph_sym)
     csr, _ = label_propagation(
-        tiny_graph_sym, edge_map_fn=make_csr_edge_map(tiny_sym_pack)
+        tiny_graph_sym,
+        edge_map_fn=make_csr_edge_map(tiny_sym_pack, sparse_fallback=False),
     )
     assert sorted(map(tuple, base.collect())) == sorted(map(tuple, csr.collect()))

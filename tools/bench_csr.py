@@ -127,7 +127,8 @@ def main():
         "join": round(results["rmat16M"]["m"] / (results["rmat16M"]["pr10_join"] / 10)),
         "csr": round(results["rmat16M"]["m"] / (results["rmat16M"]["pr10_csr"] / 10)),
     }
-    with open("CSR_BACKEND_r03.json", "w") as f:
+    out = f"CSR_BACKEND_r03_c{cpus}.json" if cpus != 32 else "CSR_BACKEND_r03.json"
+    with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
 

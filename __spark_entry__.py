@@ -230,6 +230,21 @@ def _q_sssp_full(spark, sf):
     return dists
 
 
+def _q_sssp_csr(spark, sf):
+    """Bellman-Ford over the weighted CSR backend (min_plus monoid,
+    packed per-edge weights) — exact dists, shares the sssp oracle."""
+    import tempfile
+
+    from ligra_spark.apps import bellman_ford
+    from ligra_spark.csr_backend import make_csr_edge_map, pack_csr
+    from ligra_spark.graph import LinkGraph
+
+    g = LinkGraph.from_edges(spark, _edges_w(spark, sf), n=V)
+    pack = pack_csr(g, tempfile.mkdtemp(prefix="csr_entry_sssp_"))
+    dists, _ = bellman_ford(g, root=0, edge_map_fn=make_csr_edge_map(pack))
+    return dists
+
+
 def _q_bfscc(spark, sf):
     from ligra_spark.apps import bfscc
 
@@ -1150,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # replica keeps them honest
         "pagerank_csr": _q_pagerank_csr,
         "components_csr": _q_components_csr,
+        "sssp_csr": _q_sssp_csr,
     }
 
 
@@ -3193,4 +3209,5 @@ def oracle_sql() -> dict[str, str]:
         # them IS the cross-backend equality check
         "pagerank_csr": _pr_sql(12),
         "components_csr": _cc_sql(12, label_col="component"),
+        "sssp_csr": _sssp_sql(18),
     }

@@ -91,6 +91,7 @@ class CsrPack:
     m: int
     parts: int
     part_files: dict[int, str]  # part -> filename (relative to pack_dir)
+    weighted: bool = False
 
 
 def pack_csr(graph, pack_dir: str, parts: int | None = None) -> CsrPack:
@@ -101,6 +102,7 @@ def pack_csr(graph, pack_dir: str, parts: int | None = None) -> CsrPack:
     """
     P = int(parts or graph.num_partitions)
     os.makedirs(pack_dir, exist_ok=True)
+    weighted = "weight" in graph.edges.columns
 
     def _writer(key, pdf: pd.DataFrame) -> pd.DataFrame:
         part = int(key[0])
@@ -108,18 +110,23 @@ def pack_csr(graph, pack_dir: str, parts: int | None = None) -> CsrPack:
         dst = pdf["dst"].to_numpy(np.int64)
         order = np.argsort(dst, kind="stable")
         dst_sorted = dst[order]
-        esrc_div = src[order] // P
-        udst, ustart = np.unique(dst_sorted, return_index=True)
+        arrays = {
+            "esrc_div": src[order] // P,
+        }
+        arrays["udst"], arrays["ustart"] = np.unique(dst_sorted, return_index=True)
+        if weighted:
+            arrays["w"] = pdf["weight"].to_numpy(np.int64)[order]
         fname = f"part-{part:05d}.npz"
         path = os.path.join(pack_dir, fname)
         tmp = f"{path}.tmp.{os.getpid()}"
         with open(tmp, "wb") as f:
-            np.savez(f, esrc_div=esrc_div, udst=udst, ustart=ustart)
+            np.savez(f, **arrays)
         os.replace(tmp, path)  # atomic publish, idempotent under task retry
         return pd.DataFrame({"part": [part], "m": [len(src)], "file": [fname]})
 
+    cols = ["src", "dst"] + (["weight"] if weighted else [])
     rows = (
-        graph.edges.select("src", "dst")
+        graph.edges.select(*cols)
         .withColumn("part", F.pmod(F.col("src"), F.lit(P)).cast("int"))
         .groupBy("part")
         .applyInPandas(_writer, schema="part int, m long, file string")
@@ -130,13 +137,14 @@ def pack_csr(graph, pack_dir: str, parts: int | None = None) -> CsrPack:
         "n": graph.n,
         "m": graph.m,
         "parts": P,
+        "weighted": weighted,
         "part_files": {str(k): v for k, v in sorted(part_files.items())},
     }
     tmp = os.path.join(pack_dir, f"manifest.json.tmp.{os.getpid()}")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     os.replace(tmp, os.path.join(pack_dir, "manifest.json"))
-    return CsrPack(pack_dir, graph.n, graph.m, P, part_files)
+    return CsrPack(pack_dir, graph.n, graph.m, P, part_files, weighted)
 
 
 def load_pack(pack_dir: str) -> CsrPack:
@@ -149,6 +157,7 @@ def load_pack(pack_dir: str) -> CsrPack:
         int(man["m"]),
         int(man["parts"]),
         {int(k): v for k, v in man["part_files"].items()},
+        bool(man.get("weighted", False)),
     )
 
 
@@ -157,7 +166,7 @@ def _load_part(pack_dir: str, fname: str, part: int) -> dict:
     arrs = _PART_CACHE.get(key)
     if arrs is None:
         with np.load(os.path.join(pack_dir, fname)) as z:
-            arrs = {k: z[k] for k in ("esrc_div", "udst", "ustart")}
+            arrs = {k: z[k] for k in z.files}
         if len(_PART_CACHE) >= _CACHE_CAP:
             _PART_CACHE.pop(next(iter(_PART_CACHE)))
         _PART_CACHE[key] = arrs
@@ -181,8 +190,10 @@ def csr_edge_map(
     """
     if pack is None:  # (pack, frontier, mode) calling convention
         pack = spark_or_pack
-    if mode not in ("sum", "min"):
+    if mode not in ("sum", "min", "min_plus"):
         raise ValueError(f"unsupported monoid {mode!r}")
+    if mode == "min_plus" and not pack.weighted:
+        raise ValueError("min_plus needs a pack built from a weighted edge table")
     pack_dir, P, n = pack.pack_dir, pack.parts, pack.n
     part_files = pack.part_files
     xlen = (n - 1) // P + 1
@@ -219,6 +230,11 @@ def csr_edge_map(
         x = np.full(xlen, _MIN_SENTINEL, np.int64)
         x[idx] = pdf["payload"].to_numpy(np.int64)
         vals = x[arrs["esrc_div"]]
+        if mode == "min_plus":  # writeMin(dist + weight); weights may be
+            # negative (Bellman-Ford), so re-pin unset srcs explicitly
+            unset = vals == _MIN_SENTINEL
+            vals = vals + arrs["w"]
+            vals[unset] = _MIN_SENTINEL
         partial = np.minimum.reduceat(vals, arrs["ustart"])
         got = partial != _MIN_SENTINEL
         return pd.DataFrame({"id": arrs["udst"][got], "agg": partial[got]})
@@ -278,6 +294,9 @@ def make_csr_edge_map(pack: CsrPack, sparse_fallback: bool = True):
         mode = "sum" if aggregate is F.sum else "min" if aggregate is F.min else None
         if mode is None:
             raise NotImplementedError(f"CSR backend monoids: sum, min (got {aggregate})")
+        if mode == "min" and "weight" in str(message):
+            # writeMin(payload + weight) — Bellman-Ford's relaxation
+            mode = "min_plus"
         payload = extra_frontier_cols[0]
         return csr_edge_map(
             pack, frontier.select("id", F.col(payload).alias("payload")), mode

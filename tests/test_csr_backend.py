@@ -137,6 +137,26 @@ def test_components_csr_hybrid(tiny_graph_sym, tiny_sym_pack):
     assert sorted(map(tuple, base.collect())) == sorted(map(tuple, csr.collect()))
 
 
+def test_bellman_ford_csr_exact(spark, tiny_edges, tmp_path):
+    """Weighted min_plus mode: packed per-edge weights, exact dists."""
+    from ligra_spark.apps import bellman_ford
+    from ligra_spark.graph import LinkGraph
+    from tests.conftest import edges_df
+
+    n, src, dst = tiny_edges
+    rng = np.random.default_rng(3)
+    w = rng.integers(1, 8, size=len(src)).astype(np.int64)
+    g = LinkGraph.from_edges(spark, edges_df(spark, src, dst, w), n=n).materialize()
+    pack = pack_csr(g, str(tmp_path / "wpack"))
+    assert pack.weighted
+    base, _ = bellman_ford(g, root=0)
+    csr, _ = bellman_ford(
+        g, root=0, edge_map_fn=make_csr_edge_map(pack, sparse_fallback=False)
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, csr.collect()))
+    g.unpersist()
+
+
 def test_label_propagation_csr_exact(tiny_graph_sym, tiny_sym_pack):
     from ligra_spark.apps.components import label_propagation
 

@@ -176,3 +176,54 @@ def test_spark_submit_bucketed_table_pagerank(spark, tiny_graph, tmp_path):
     assert np.allclose(
         [got[i] for i in ids], [exp[i] for i in ids], rtol=0, atol=1e-6
     )
+
+
+def test_spark_submit_csr_backend_components(spark, tiny_graph_sym, tmp_path):
+    """--backend csr through real spark-submit: the grouped-pandas CSR
+    kernel (a closure over csr_backend, resolved in executor Python
+    workers ONLY via --py-files) packs and runs components; labels must
+    equal the in-process join-engine run exactly, and the pack manifest
+    must be committed where --csr-pack-dir points."""
+    zpath = _build_zip(str(tmp_path))
+    job = str(tmp_path / "run_app.py")
+    shutil.copyfile(os.path.join(REPO, "jobs", "run_app.py"), job)
+
+    edges = str(tmp_path / "edges_sym.parquet")
+    tiny_graph_sym.edges.select("src", "dst").write.mode("overwrite").parquet(edges)
+    out = str(tmp_path / "labels.parquet")
+    pack_dir = str(tmp_path / "pack")
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["PYSPARK_PYTHON"] = sys.executable
+
+    proc = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zpath,
+            job,
+            "--app", "components",
+            "--edges", edges,
+            "--n", str(tiny_graph_sym.n),
+            "--backend", "csr",
+            "--csr-pack-dir", pack_dir,
+            "--output", out,
+        ],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert os.path.exists(os.path.join(pack_dir, "manifest.json"))
+
+    from ligra_spark.apps import components
+
+    expected, _ = components(tiny_graph_sym)
+    exp = sorted((r["id"], r["component"]) for r in expected.collect())
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got == exp

@@ -26,8 +26,12 @@ import numpy as np
 from pyspark.sql import functions as F
 
 V_BENCH = 65536
-N_RMAT = 1 << 21
-M_RMAT = 16_000_000
+# override for bigger points: CSR_RMAT_N / CSR_RMAT_M (+ CSR_SKIP_BENCH=1
+# to run only the rMat pair, CSR_SKIP_PR=1 to run only CC)
+N_RMAT = int(os.environ.get("CSR_RMAT_N", 1 << 21))
+M_RMAT = int(os.environ.get("CSR_RMAT_M", 16_000_000))
+SKIP_BENCH = os.environ.get("CSR_SKIP_BENCH") == "1"
+SKIP_PR = os.environ.get("CSR_SKIP_PR") == "1"
 
 
 def timed(fn):
@@ -41,16 +45,18 @@ def run_pair(name, g, gsym, pack, pack_sym, pack_secs, results):
     from ligra_spark.csr_backend import make_csr_edge_map
 
     # warm-up both backends (JIT/codegen/worker spin-up, page cache)
-    pagerank(g, max_iters=2)
-    pagerank(g, max_iters=2, edge_map_fn=make_csr_edge_map(pack))
+    if not SKIP_PR:
+        pagerank(g, max_iters=2)
+        pagerank(g, max_iters=2, edge_map_fn=make_csr_edge_map(pack))
     components(gsym, max_iters=2)
     components(gsym, max_iters=2, edge_map_fn=make_csr_edge_map(pack_sym))
 
     entry = {"m": g.m, "m_sym": gsym.m, "pack_secs": pack_secs}
-    entry["pr10_join"], _ = timed(lambda: pagerank(g, max_iters=10))
-    entry["pr10_csr"], _ = timed(
-        lambda: pagerank(g, max_iters=10, edge_map_fn=make_csr_edge_map(pack))
-    )
+    if not SKIP_PR:
+        entry["pr10_join"], _ = timed(lambda: pagerank(g, max_iters=10))
+        entry["pr10_csr"], _ = timed(
+            lambda: pagerank(g, max_iters=10, edge_map_fn=make_csr_edge_map(pack))
+        )
     t, (ccj, rounds) = timed(lambda: components(gsym))
     entry["cc_join"], entry["cc_rounds"] = t, rounds
     t, (ccc, rounds2) = timed(
@@ -66,7 +72,8 @@ def run_pair(name, g, gsym, pack, pack_sym, pack_secs, results):
         .count()
     )
     assert diff == 0, f"{name}: CC labels diverge on {diff} vertices"
-    entry["pr_speedup_csr"] = round(entry["pr10_join"] / entry["pr10_csr"], 3)
+    if not SKIP_PR:
+        entry["pr_speedup_csr"] = round(entry["pr10_join"] / entry["pr10_csr"], 3)
     entry["cc_speedup_csr"] = round(entry["cc_join"] / entry["cc_csr"], 3)
     results[name] = entry
     print(name, json.dumps(entry), flush=True)
@@ -89,20 +96,21 @@ def main():
     tmp = tempfile.mkdtemp(prefix="csr_bench_")
 
     # --- bench graph (bench.py protocol) ---------------------------------
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    edges = li.select(
-        (F.col("l_orderkey") % V_BENCH).alias("src"),
-        (F.col("l_partkey") % V_BENCH).alias("dst"),
-    )
-    g = LinkGraph.from_edges(spark, edges, n=V_BENCH).materialize()
-    gsym = LinkGraph.from_edges(
-        spark, edges, n=V_BENCH, make_symmetric=True
-    ).materialize()
-    tp, pack = timed(lambda: pack_csr(g, f"{tmp}/bench"))
-    tps, pack_sym = timed(lambda: pack_csr(gsym, f"{tmp}/bench_sym"))
-    run_pair("bench", g, gsym, pack, pack_sym, [tp, tps], results)
-    for x in (g, gsym):
-        x.unpersist()
+    if not SKIP_BENCH:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        edges = li.select(
+            (F.col("l_orderkey") % V_BENCH).alias("src"),
+            (F.col("l_partkey") % V_BENCH).alias("dst"),
+        )
+        g = LinkGraph.from_edges(spark, edges, n=V_BENCH).materialize()
+        gsym = LinkGraph.from_edges(
+            spark, edges, n=V_BENCH, make_symmetric=True
+        ).materialize()
+        tp, pack = timed(lambda: pack_csr(g, f"{tmp}/bench"))
+        tps, pack_sym = timed(lambda: pack_csr(gsym, f"{tmp}/bench_sym"))
+        run_pair("bench", g, gsym, pack, pack_sym, [tp, tps], results)
+        for x in (g, gsym):
+            x.unpersist()
 
     # --- rMat 16M ---------------------------------------------------------
     from ligra_spark.rmat import make_symmetric, rmat_edges
@@ -121,13 +129,16 @@ def main():
     ).materialize()
     tp, pack = timed(lambda: pack_csr(g, f"{tmp}/rmat"))
     tps, pack_sym = timed(lambda: pack_csr(gsym, f"{tmp}/rmat_sym"))
-    run_pair("rmat16M", g, gsym, pack, pack_sym, [tp, tps], results)
+    rmat_name = f"rmat{M_RMAT // 1_000_000}M"
+    run_pair(rmat_name, g, gsym, pack, pack_sym, [tp, tps], results)
 
-    results["pr_superstep_edges_per_sec"] = {
-        "join": round(results["rmat16M"]["m"] / (results["rmat16M"]["pr10_join"] / 10)),
-        "csr": round(results["rmat16M"]["m"] / (results["rmat16M"]["pr10_csr"] / 10)),
-    }
-    out = f"CSR_BACKEND_r03_c{cpus}.json" if cpus != 32 else "CSR_BACKEND_r03.json"
+    if not SKIP_PR:
+        results["pr_superstep_edges_per_sec"] = {
+            "join": round(results[rmat_name]["m"] / (results[rmat_name]["pr10_join"] / 10)),
+            "csr": round(results[rmat_name]["m"] / (results[rmat_name]["pr10_csr"] / 10)),
+        }
+    tag = "" if (cpus == 32 and not SKIP_BENCH and M_RMAT == 16_000_000) else f"_c{cpus}_{M_RMAT // 1_000_000}M"
+    out = f"CSR_BACKEND_r03{tag}.json"
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))

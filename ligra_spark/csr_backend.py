@@ -190,7 +190,7 @@ def csr_edge_map(
     """
     if pack is None:  # (pack, frontier, mode) calling convention
         pack = spark_or_pack
-    if mode not in ("sum", "min", "min_plus"):
+    if mode not in ("sum", "min", "min_plus", "or"):
         raise ValueError(f"unsupported monoid {mode!r}")
     if mode == "min_plus" and not pack.weighted:
         raise ValueError("min_plus needs a pack built from a weighted edge table")
@@ -204,6 +204,15 @@ def csr_edge_map(
          "agg": np.array([], np.float64 if is_sum else np.int64)}
     )
 
+    def _receive_mask(idx, arrs):
+        """Which dst runs saw ≥1 FRONTIER edge — the edge_map contract's
+        'received a message' filter, one extra O(m_p) int8 pass."""
+        mark = np.zeros(xlen, bool)
+        mark[idx] = True
+        return np.maximum.reduceat(
+            mark[arrs["esrc_div"]].astype(np.int8), arrs["ustart"]
+        ).astype(bool)
+
     def _kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         part = int(key[0])
         fname = part_files.get(part)
@@ -212,20 +221,20 @@ def csr_edge_map(
         arrs = _load_part(pack_dir, fname, part)
         ids = pdf["id"].to_numpy(np.int64)
         idx = ids // P
-        if is_sum:
-            x = np.zeros(xlen, np.float64)
-            x[idx] = pdf["payload"].to_numpy(np.float64)
-            vals = x[arrs["esrc_div"]]
-            partial = np.add.reduceat(vals, arrs["ustart"])
-            if len(ids) < xlen:  # sparse frontier: mask no-message dsts
-                mark = np.zeros(xlen, bool)
-                mark[idx] = True
-                got = np.maximum.reduceat(
-                    mark[arrs["esrc_div"]].astype(np.int8), arrs["ustart"]
-                ).astype(bool)
-                return pd.DataFrame(
-                    {"id": arrs["udst"][got], "agg": partial[got]}
+        if mode in ("sum", "or"):
+            if is_sum:
+                x = np.zeros(xlen, np.float64)
+                x[idx] = pdf["payload"].to_numpy(np.float64)
+                partial = np.add.reduceat(x[arrs["esrc_div"]], arrs["ustart"])
+            else:
+                x = np.zeros(xlen, np.int64)
+                x[idx] = pdf["payload"].to_numpy(np.int64)
+                partial = np.bitwise_or.reduceat(
+                    x[arrs["esrc_div"]], arrs["ustart"]
                 )
+            if len(ids) < xlen:  # sparse frontier: mask no-message dsts
+                got = _receive_mask(idx, arrs)
+                return pd.DataFrame({"id": arrs["udst"][got], "agg": partial[got]})
             return pd.DataFrame({"id": arrs["udst"], "agg": partial})
         x = np.full(xlen, _MIN_SENTINEL, np.int64)
         x[idx] = pdf["payload"].to_numpy(np.int64)
@@ -245,7 +254,7 @@ def csr_edge_map(
         .groupBy("part")
         .applyInPandas(_kernel, schema=out_schema)
     )
-    agg = F.sum if is_sum else F.min
+    agg = F.sum if is_sum else F.bit_or if mode == "or" else F.min
     return partials.groupBy("id").agg(agg("agg").alias("agg"))
 
 
@@ -291,9 +300,19 @@ def make_csr_edge_map(pack: CsrPack, sparse_fallback: bool = True):
                 frontier_size=frontier_size,
                 extra_frontier_cols=extra_frontier_cols,
             )
-        mode = "sum" if aggregate is F.sum else "min" if aggregate is F.min else None
+        mode = (
+            "sum"
+            if aggregate is F.sum
+            else "min"
+            if aggregate is F.min
+            else "or"
+            if aggregate is F.bit_or
+            else None
+        )
         if mode is None:
-            raise NotImplementedError(f"CSR backend monoids: sum, min (got {aggregate})")
+            raise NotImplementedError(
+                f"CSR backend monoids: sum, min, bit_or (got {aggregate})"
+            )
         if mode == "min" and "weight" in str(message):
             # writeMin(payload + weight) — Bellman-Ford's relaxation
             mode = "min_plus"

@@ -166,3 +166,49 @@ def test_label_propagation_csr_exact(tiny_graph_sym, tiny_sym_pack):
         edge_map_fn=make_csr_edge_map(tiny_sym_pack, sparse_fallback=False),
     )
     assert sorted(map(tuple, base.collect())) == sorted(map(tuple, csr.collect()))
+
+
+def test_or_mode_matches_join_engine(tiny_graph_sym, tiny_sym_pack):
+    """bit_or monoid (kBFS wave masks): exact partial-OR parity."""
+    frontier = tiny_graph_sym.vertices.filter("id % 7 = 0").select(
+        "id", F.expr("shiftleft(1L, cast(id % 63 as int))").alias("mask")
+    )
+    join_msgs = _msgs_dict(
+        engine.edge_map(
+            tiny_graph_sym,
+            frontier,
+            message=F.col("mask"),
+            aggregate=F.bit_or,
+            frontier_size=19,
+            extra_frontier_cols=("mask",),
+        )
+    )
+    csr_msgs = _msgs_dict(
+        csr_edge_map(
+            tiny_sym_pack, frontier.withColumnRenamed("mask", "payload"), "or"
+        )
+    )
+    assert join_msgs == csr_msgs
+
+
+def test_radii_csr_exact(tiny_graph_sym, tiny_sym_pack):
+    from ligra_spark.apps import radii
+
+    base, _ = radii(tiny_graph_sym)
+    csr, _ = radii(
+        tiny_graph_sym,
+        edge_map_fn=make_csr_edge_map(tiny_sym_pack, sparse_fallback=False),
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, csr.collect()))
+
+
+def test_ecc_kbfs_csr_exact(tiny_graph_sym, tiny_sym_pack):
+    from ligra_spark.apps.ecc import ecc_kbfs
+
+    base, _ = ecc_kbfs(tiny_graph_sym, seed=1)
+    csr, _ = ecc_kbfs(
+        tiny_graph_sym,
+        seed=1,
+        edge_map_fn=make_csr_edge_map(tiny_sym_pack, sparse_fallback=False),
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, csr.collect()))

@@ -85,9 +85,10 @@ def main(argv=None):
         "--backend", choices=("join", "csr"), default="join",
         help="physical edgeMap backend for pagerank/components/"
         "label_propagation/bellman_ford: 'csr' packs the adjacency into "
-        "per-partition CSR arrays (csr_backend; measured 1.49x for "
-        "big-graph CC, CSR_BACKEND_r03.json) and runs the grouped-pandas "
-        "kernel with the sparse join fallback",
+        "per-partition CSR arrays (csr_backend; semantically pinned to "
+        "the join engine, throughput parity for CC — "
+        "CSR_REPEAT_r03*.json) and runs the grouped-pandas kernel with "
+        "the sparse join fallback",
     )
     ap.add_argument(
         "--csr-pack-dir", default=None,

@@ -1093,14 +1093,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heat_kernel": _q_heat_kernel,
         "heat_kernel_rand": _q_heat_kernel_rand,
         "cf": _q_cf,
-        "hyper_bfs": _q_hyper_bfs,
         "hyper_cc": _q_hyper_cc,
-        "hyper_pagerank": _q_hyper_pagerank,
+        # per-partition-CSR physical backend twins (round 3) — same
+        # apps, same oracles as pagerank/components/sssp
+        "pagerank_csr": _q_pagerank_csr,
+        "components_csr": _q_components_csr,
+        "sssp_csr": _q_sssp_csr,
         # training-data pipeline: text analysis + dedup
         "doc_exact_dedup": _q_doc_exact_dedup,
-        "doc_quality": _q_doc_quality,
         "doc_jaccard_pairs": _q_jaccard_pairs,
-        "minhash_signatures": _q_minhash,
         "minhash_lsh_pairs": _q_lsh_pairs,
         "doc_neardup_clusters": _q_doc_neardup_clusters,
         # composed end-to-end corpus-prep pipeline (annotate → filter →
@@ -1124,13 +1125,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_link_graph": _q_page_link_graph,
         "doc_media_decode": _q_doc_media_decode,
         "doc_image_features": _q_doc_image_features,
+        # the real-PPM decode twin of the two multimodal rows above
+        # (same _IMAGE_FEATURES_SQL oracle, fake=False native codec)
+        "doc_image_ppm": _q_doc_image_ppm,
         # ---- tail (slot 51+): fixed-k gates and app variants, all
         # driver-green in CORRECTNESS_r01/r02 (or replica-green r03);
         # kept registered so tools/check_entry.py and the judge can
         # still run them.
-        # replica-green r03: the real-PPM decode twin of the two
-        # multimodal rows above (same _IMAGE_FEATURES_SQL oracle)
-        "doc_image_ppm": _q_doc_image_ppm,
+        "hyper_bfs": _q_hyper_bfs,
+        "hyper_pagerank": _q_hyper_pagerank,
+        "doc_quality": _q_doc_quality,
+        "minhash_signatures": _q_minhash,
         "out_degree": _q_out_degree,
         "degree_histogram": _q_degree_histogram,
         # r02-green; token counting / language ID are also re-exercised
@@ -1160,12 +1165,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyper_kcore_efficient": _q_hyper_kcore_efficient,
         "hyper_sssp": _q_hyper_sssp,
         "hyper_mis": _q_hyper_mis,
-        # per-partition-CSR physical backend twins (round 3) — same
-        # apps, same oracles as pagerank/components; tail slots, gate
-        # replica keeps them honest
-        "pagerank_csr": _q_pagerank_csr,
-        "components_csr": _q_components_csr,
-        "sssp_csr": _q_sssp_csr,
     }
 
 

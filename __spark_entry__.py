@@ -117,6 +117,15 @@ def _q_pagerank_delta(spark, sf):
     return scores.select("id", F.round("rank", 8).alias("rank"))
 
 
+def _q_hits(spark, sf):
+    from ligra_spark.apps import hits
+
+    out, _ = hits(_graph(spark, sf), iters=5)
+    return out.select(
+        "id", F.round("auth", 8).alias("auth"), F.round("hub", 8).alias("hub")
+    )
+
+
 def _q_cc_k4(spark, sf):
     from ligra_spark.apps import components
 
@@ -1071,6 +1080,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangles,
         "pagerank": _q_pagerank_full,
         "pagerank_delta": _q_pagerank_delta,
+        # HITS hubs/authorities (our addition — the other canonical
+        # web-link fixpoint; exercises both traversal directions)
+        "hits": _q_hits,
         "components": _q_components,
         "cc_star": _q_cc_star,
         "cc_incremental": _q_cc_incremental,
@@ -1108,7 +1120,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact dedup → LSH near-dedup → stats) — round 3
         "corpus_prep": _q_corpus_prep,
         # similarity search
-        "embedding_cosine_probe": _q_cosine_probe,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -1136,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyper_pagerank": _q_hyper_pagerank,
         "doc_quality": _q_doc_quality,
         "minhash_signatures": _q_minhash,
+        "embedding_cosine_probe": _q_cosine_probe,
         "out_degree": _q_out_degree,
         "degree_histogram": _q_degree_histogram,
         # r02-green; token counting / language ID are also re-exercised
@@ -1187,6 +1199,34 @@ def _pr_sql(k: int) -> str:
         )
         prev = f"p{i}"
     return sql + f"\nSELECT id, round(rank, 8) AS rank FROM {prev}"
+
+
+def _hits_sql(k: int) -> str:
+    """Unrolled transcription of apps/hits.py's exact computation
+    shape: raw matvecs with the previous hub sum folded in as a
+    per-element scalar division (sh_0 = 1)."""
+    sql = (
+        f"WITH e AS MATERIALIZED ({EDGES_SQL}),\n"
+        f"v AS (SELECT CAST(range AS BIGINT) AS id FROM range({V})),\n"
+        "h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS hub_raw FROM v)"
+    )
+    for i in range(1, k + 1):
+        div = (
+            f"(SELECT sum(hub_raw) FROM h{i-1})" if i > 1 else "CAST(1.0 AS DOUBLE)"
+        )
+        sql += (
+            f",\na{i} AS MATERIALIZED (SELECT v.id, coalesce(s.x, CAST(0.0 AS DOUBLE)) AS auth_raw FROM v LEFT JOIN\n"
+            f"  (SELECT e.dst AS id, sum(h.hub_raw / {div}) AS x\n"
+            f"   FROM e JOIN h{i-1} h ON h.id = e.src GROUP BY e.dst) s USING (id)),\n"
+            f"h{i} AS MATERIALIZED (SELECT v.id, coalesce(s.x, CAST(0.0 AS DOUBLE)) AS hub_raw FROM v LEFT JOIN\n"
+            f"  (SELECT e.src AS id, sum(a.auth_raw) AS x\n"
+            f"   FROM e JOIN a{i} a ON a.id = e.dst GROUP BY e.src) s USING (id))"
+        )
+    return sql + (
+        f"\nSELECT a.id, round(a.auth_raw / (SELECT sum(auth_raw) FROM a{k}), 8) AS auth,\n"
+        f"round(h.hub_raw / (SELECT sum(hub_raw) FROM h{k}), 8) AS hub\n"
+        f"FROM a{k} a JOIN h{k} h ON a.id = h.id"
+    )
 
 
 def _cc_sql(k: int, label_col: str = "label") -> str:
@@ -3066,6 +3106,7 @@ def oracle_sql() -> dict[str, str]:
         "JOIN es e2 ON e1.dst = e2.src AND e1.src < e1.dst AND e2.src < e2.dst "
         "JOIN es e3 ON e3.src = e1.src AND e3.dst = e2.dst",
         "pagerank_k3": _pr_sql(3),
+        "hits": _hits_sql(5),
         # Convergence-defined apps, matched by VALUE with fixed-depth
         # chained CTEs sized 2x+ past the measured fixpoint depth at the
         # driver's gate scale (sf0.01: PR stops at iter 12 with 3x L1

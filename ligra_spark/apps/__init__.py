@@ -2,6 +2,7 @@
 canonical reference app (SURVEY.md §2.4)."""
 
 from .pagerank import pagerank, pagerank_delta
+from .hits import hits
 from .cc_star import cc_two_phase
 from .components import components, label_propagation
 from .triangle import triangle_count
@@ -71,6 +72,7 @@ __all__ = [
     "ecc_tk",
     "ecc_fm",
     "ecc_loglog",
+    "hits",
     "pagerank",
     "pagerank_delta",
     "cc_two_phase",

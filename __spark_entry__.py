@@ -1001,6 +1001,62 @@ def _q_page_link_graph(spark, sf):
     return g.edges.select("src", "dst")
 
 
+def _hosted_pages_df(spark, sf):
+    """Pages whose urls carry a real host (31 hosts, doc_id % 31) so
+    the host-graph contraction has something to contract; links target
+    other pages' full urls (doc_id*7 % 97 and doc_id*13 % 89)."""
+    docs = _t(spark, sf, "documents")
+
+    def url_of(k):
+        return F.concat(
+            F.lit("http://h"), (k % 31).cast("string"),
+            F.lit(".test/p"), k.cast("string"),
+        )
+
+    u = url_of(F.col("doc_id"))
+    l1 = url_of(F.col("doc_id") * 7 % 97)
+    l2 = url_of(F.col("doc_id") * 13 % 89)
+    html = F.concat(
+        F.lit("<title>D</title>"),
+        F.lit('<a href="'), l1, F.lit('">a</a>'),
+        F.lit('<a href="'), l2, F.lit('">b</a>'),
+    )
+    return docs.select(
+        u.alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def _q_host_link_graph(spark, sf):
+    """Common-Crawl-style host-graph construction driver-checked end to
+    end: hosted pages → page link graph → host contraction (dense host
+    ids = lexicographic host rank, weight = page-link multiplicity)."""
+    from ligra_spark.ingest import build_link_graph, contract_to_host_graph
+
+    g, d = build_link_graph(spark, _hosted_pages_df(spark, sf))
+    he, _ = contract_to_host_graph(g.edges, d)
+    return he
+
+
+_HOST_LINK_GRAPH_SQL = (
+    "WITH p AS (SELECT 'http://h' || (doc_id % 31) || '.test/p' || doc_id AS url,\n"
+    "  'http://h' || ((doc_id*7 % 97) % 31) || '.test/p' || (doc_id*7 % 97) AS href1,\n"
+    "  'http://h' || ((doc_id*13 % 89) % 31) || '.test/p' || (doc_id*13 % 89) AS href2\n"
+    "  FROM documents),\n"
+    "links AS (SELECT url, href1 AS href FROM p UNION ALL SELECT url, href2 AS href FROM p),\n"
+    "lk AS (SELECT l.url, l.href FROM links l JOIN p t ON t.url = l.href),\n"
+    "hd AS (SELECT host, CAST(row_number() OVER (ORDER BY host) - 1 AS BIGINT) AS hid FROM\n"
+    "  (SELECT DISTINCT regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/:?#]+)', 1) AS host FROM p))\n"
+    "SELECT hs.hid AS src, hdd.hid AS dst, count(*) AS weight FROM lk\n"
+    "JOIN hd hs ON hs.host = regexp_extract(lk.url, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/:?#]+)', 1)\n"
+    "JOIN hd hdd ON hdd.host = regexp_extract(lk.href, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/:?#]+)', 1)\n"
+    "GROUP BY hs.hid, hdd.hid"
+)
+
+
 def _media_df(spark, sf):
     docs = _t(spark, sf, "documents")
     return docs.select(
@@ -1113,7 +1169,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_csr": _q_sssp_csr,
         # training-data pipeline: text analysis + dedup
         "doc_exact_dedup": _q_doc_exact_dedup,
-        "doc_jaccard_pairs": _q_jaccard_pairs,
         "minhash_lsh_pairs": _q_lsh_pairs,
         "doc_neardup_clusters": _q_doc_neardup_clusters,
         # composed end-to-end corpus-prep pipeline (annotate → filter →
@@ -1134,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pages pipeline (north-rule ingest) + multimodal plumbing
         "page_extract": _q_page_extract,
         "page_link_graph": _q_page_link_graph,
+        "host_link_graph": _q_host_link_graph,
         "doc_media_decode": _q_doc_media_decode,
         "doc_image_features": _q_doc_image_features,
         # the real-PPM decode twin of the two multimodal rows above
@@ -1148,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "minhash_signatures": _q_minhash,
         "embedding_cosine_probe": _q_cosine_probe,
+        "doc_jaccard_pairs": _q_jaccard_pairs,
         "out_degree": _q_out_degree,
         "degree_histogram": _q_degree_histogram,
         # r02-green; token counting / language ID are also re-exercised
@@ -3240,6 +3297,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hub_onset": _HUB_ONSET_SQL,
         "page_extract": _PAGE_EXTRACT_SQL,
         "page_link_graph": _PAGE_LINK_GRAPH_SQL,
+        "host_link_graph": _HOST_LINK_GRAPH_SQL,
         "doc_media_decode": _MEDIA_DECODE_SQL,
         "doc_image_features": _IMAGE_FEATURES_SQL,
         # identical pixel plane (sha256 repeated), but the Spark side

@@ -38,7 +38,14 @@ from pyspark.sql import functions as F
 from .extract import extracted_pages
 from .graph import LinkGraph
 
-__all__ = ["assign_dense_ids", "build_vertex_dictionary", "build_edges", "build_link_graph"]
+__all__ = [
+    "assign_dense_ids",
+    "build_vertex_dictionary",
+    "build_edges",
+    "build_link_graph",
+    "host_of",
+    "contract_to_host_graph",
+]
 
 
 def assign_dense_ids(
@@ -131,6 +138,65 @@ def build_edges(
         .join(d_dst, "href", how)
         .select("src", "dst")
     )
+
+
+def host_of(url) -> F.Column:
+    """Host component of a url (the authority between ``scheme://`` and
+    the first ``/ : ? #``), '' when the url has no scheme.  Pure
+    Catalyst regexp so the extraction stays in whole-stage codegen and
+    has a byte-identical ANSI-SQL twin (``regexp_extract`` exists in
+    both engines with the same pattern semantics here)."""
+    return F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/:?#]+)", 1)
+
+
+def contract_to_host_graph(
+    edges: DataFrame,
+    dictionary: DataFrame,
+    host_col=None,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Contract a page-level edge table to the host level — the
+    Common-Crawl host-graph construction: vertices become hosts
+    (dense lexicographic ids), an edge (h1, h2, w) means w page-level
+    links point from pages on h1 to pages on h2 (self-loops = w
+    intra-host links; keep or filter downstream).
+
+    Inputs are ``build_link_graph``'s outputs: edges(src, dst) over
+    page ids and dictionary(id, url).  ``host_col`` overrides the url →
+    host expression (default :func:`host_of` over ``url``).
+
+    Scale shape: the page→host map is one n-row projection of the
+    dictionary; stamping hosts onto edges is two shuffle-hash joins on
+    page id (the src-side join is exchange-free when edges are already
+    src-partitioned), and the contraction itself is one
+    groupBy(hsrc, hdst) whose map-side partial aggregation absorbs the
+    fan-in of large hosts before the shuffle — no host-level skew
+    reaches the wire.
+
+    Returns (host_edges(src, dst, weight), host_dictionary(id, host)).
+    """
+    hosts = dictionary.select(
+        "id", (host_col if host_col is not None else host_of(F.col("url"))).alias("host")
+    )
+    hdict = assign_dense_ids(
+        hosts.select("host").distinct(), "host", num_partitions
+    ).select("id", "host")
+    page2host = hosts.join(
+        hdict.select(F.col("host"), F.col("id").alias("hid")), "host"
+    ).select("id", "hid")
+    host_edges = (
+        edges.join(
+            page2host.select(F.col("id").alias("src"), F.col("hid").alias("hsrc")),
+            "src",
+        )
+        .join(
+            page2host.select(F.col("id").alias("dst"), F.col("hid").alias("hdst")),
+            "dst",
+        )
+        .groupBy(F.col("hsrc").alias("src"), F.col("hdst").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    return host_edges, hdict
 
 
 def build_link_graph(

@@ -128,3 +128,28 @@ def test_assign_dense_ids_survives_union_stage(spark):
     assert got == list(range(50))
     by_url = {r["url"]: r["id"] for r in u.collect()}
     assert all(by_url[k] == i for i, k in enumerate(sorted(by_url)))
+
+
+def test_host_graph_contraction(tiny_pages, spark):
+    """Host-level contraction == the known fixture mapping: url host is
+    id>>4 (16 pages per host), so host edge weights are the multiset
+    counts of (src>>4, dst>>4); host ids are the lexicographic rank of
+    the zero-padded host strings == numeric host order."""
+    from ligra_spark.ingest import build_link_graph, contract_to_host_graph
+
+    pages, (n, src, dst) = tiny_pages
+    g, d = build_link_graph(spark, pages, num_partitions=4)
+    he, hd = contract_to_host_graph(g.edges, d, num_partitions=4)
+    hosts = hd.toPandas().sort_values("id").reset_index(drop=True)
+    n_hosts = (n + 15) // 16
+    assert list(hosts["id"]) == list(range(n_hosts))
+    assert list(hosts["host"]) == [f"host{h:05d}.example" for h in range(n_hosts)]
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in he.collect()
+    }
+    expected: dict = {}
+    for s, t in zip(src >> 4, dst >> 4):
+        expected[(s, t)] = expected.get((s, t), 0) + 1
+    assert got == expected
+    g.unpersist()

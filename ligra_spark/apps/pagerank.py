@@ -41,6 +41,7 @@ def pagerank(
     name: str = "pagerank",
     on_superstep=None,
     edge_map_fn=edge_map,
+    init: DataFrame | None = None,
 ) -> tuple[DataFrame, int]:
     """Returns ((id, rank) DataFrame, supersteps run).
 
@@ -48,18 +49,37 @@ def pagerank(
     :func:`ligra_spark.csr_backend.make_csr_edge_map`'s adapter to run
     the superstep over per-partition CSR arrays instead of the join
     engine; everything else (state, convergence, checkpoints, resume)
-    is shared."""
+    is shared.
+
+    ``init`` warm-starts the iteration from an (id, rank) DataFrame
+    instead of the uniform 1/n vector (ids absent from ``init`` get
+    1/n).  PageRank's fixpoint is start-independent, so a near-fixpoint
+    start — e.g. the previous scores of a slightly-grown graph —
+    reconverges in a handful of supersteps instead of the cold-start
+    depth (see ``streaming.incremental_pagerank``)."""
     const = (1.0 - damping) / graph.n
     it = 0
     if resume and checkpoint_mgr is not None and checkpoint_mgr.latest_step(name):
         it = checkpoint_mgr.latest_step(name)
-        init = checkpoint_mgr.load(name, it, graph.num_partitions)
+        init_df = checkpoint_mgr.load(name, it, graph.num_partitions)
+    elif init is not None:
+        init_df = (
+            graph.out_degrees.join(
+                init.select("id", F.col("rank").alias("_r")).hint("shuffle_hash"),
+                "id",
+                "left",
+            )
+            .select(
+                "id", "outdeg",
+                F.coalesce("_r", F.lit(1.0 / graph.n)).alias("rank"),
+            )
+        )
     else:
-        init = graph.out_degrees.select(
+        init_df = graph.out_degrees.select(
             "id", "outdeg", F.lit(1.0 / graph.n).alias("rank")
         )
     st = IterState(
-        init,
+        init_df,
         num_partitions=graph.num_partitions,
         checkpoint_every=checkpoint_every,
         manager=checkpoint_mgr,

@@ -13,6 +13,12 @@ from .incremental_cc import (
     star_labels,
     update_star_pairs,
 )
+from .incremental_pagerank import (
+    apply_pr_batch,
+    incremental_pagerank_sink,
+    read_pr_manifest,
+    read_pr_scores,
+)
 from .stream import (
     stream_pages_to_edges,
     windowed_link_counts,
@@ -31,6 +37,10 @@ __all__ = [
     "read_star_pairs",
     "star_labels",
     "update_star_pairs",
+    "apply_pr_batch",
+    "incremental_pagerank_sink",
+    "read_pr_manifest",
+    "read_pr_scores",
     "stream_pages_to_edges",
     "windowed_link_counts",
     "incremental_degree_sink",

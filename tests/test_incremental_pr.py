@@ -1,0 +1,182 @@
+"""Incremental PageRank maintenance: warm-started refresh equals a
+cold run over the union of all batches (both within the convergence
+tolerance of the unique fixpoint), in fewer supersteps; replay is a
+no-op; the streaming sink drives the same fold."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import edges_df
+
+
+def _split(spark, tiny_edges, b, mod=3):
+    n, src, dst = tiny_edges
+    keep = (src * 7919 + dst) % mod == b
+    return edges_df(spark, src[keep], dst[keep])
+
+
+def _cold(spark, tiny_edges):
+    from ligra_spark.apps import pagerank
+    from ligra_spark.graph import LinkGraph
+
+    n, src, dst = tiny_edges
+    g = LinkGraph.from_edges(spark, edges_df(spark, src, dst), n=n).materialize()
+    scores, steps = pagerank(g)
+    pdf = scores.toPandas().sort_values("id").reset_index(drop=True)
+    g.unpersist()
+    return pdf["rank"].to_numpy(), steps
+
+
+def test_incremental_matches_cold_pagerank(spark, tiny_edges, tmp_path):
+    from ligra_spark.streaming import apply_pr_batch, read_pr_manifest, read_pr_scores
+
+    n = tiny_edges[0]
+    pr_dir = str(tmp_path / "pr")
+    steps = [
+        apply_pr_batch(_split(spark, tiny_edges, b), b, pr_dir, n, 4)
+        for b in range(3)
+    ]
+    cold_ranks, _ = _cold(spark, tiny_edges)
+    got = (
+        read_pr_scores(spark, pr_dir)
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)["rank"]
+        .to_numpy()
+    )
+    assert len(got) == n
+    np.testing.assert_allclose(got, cold_ranks, atol=1e-6, rtol=0)
+    man = read_pr_manifest(pr_dir)
+    assert man["batches"] == [0, 1, 2]
+    assert man["supersteps"] == {str(b): s for b, s in enumerate(steps)}
+
+
+def test_warm_start_saves_supersteps(spark, tmp_path):
+    """The warm-start saving, on an honest design: a degree-skewed rMat
+    graph (uniform is far from the fixpoint) and a small (2%) final
+    edge delta.  A 1/3-of-edges delta on the near-regular sample graph
+    shows NO saving — the old fixpoint is then farther from the new one
+    than uniform is — which is why this test pins the small-delta case
+    (measured here: cold 16 supersteps, warm 12)."""
+    from ligra_spark.apps import pagerank
+    from ligra_spark.graph import LinkGraph
+    from ligra_spark.rmat import rmat_edges
+    from ligra_spark.streaming import apply_pr_batch, read_pr_manifest
+
+    n = 1 << 10
+    src, dst = rmat_edges(10, 8 * n, seed=7)
+    h = (src * 7919 + dst) % 50
+    pr_dir = str(tmp_path / "pr")
+    base = apply_pr_batch(edges_df(spark, src[h != 0], dst[h != 0]), 0, pr_dir, n, 4)
+    warm = apply_pr_batch(edges_df(spark, src[h == 0], dst[h == 0]), 1, pr_dir, n, 4)
+    g = LinkGraph.from_edges(spark, edges_df(spark, src, dst), n=n).materialize()
+    _, cold = pagerank(g)
+    g.unpersist()
+    assert warm < cold, (base, warm, cold)
+    assert read_pr_manifest(pr_dir)["supersteps"] == {"0": base, "1": warm}
+
+
+def test_warm_start_from_fixpoint_is_one_step(spark, tiny_edges):
+    """Warm-starting from the exact fixpoint of the same graph
+    reconverges immediately — the mechanism's sanity anchor."""
+    from ligra_spark.apps import pagerank
+
+    from tests.conftest import edges_df as _e
+    from ligra_spark.graph import LinkGraph
+
+    n, src, dst = tiny_edges
+    g = LinkGraph.from_edges(spark, _e(spark, src, dst), n=n).materialize()
+    scores, _ = pagerank(g)
+    scores = scores.cache()
+    scores.count()
+    _, steps = pagerank(g, init=scores)
+    g.unpersist()
+    scores.unpersist()
+    assert steps <= 2, steps
+
+
+def test_replay_is_noop(spark, tiny_edges, tmp_path):
+    from ligra_spark.streaming import apply_pr_batch, read_pr_scores
+
+    n = tiny_edges[0]
+    pr_dir = str(tmp_path / "pr")
+    apply_pr_batch(_split(spark, tiny_edges, 0), 0, pr_dir, n, 4)
+    before = read_pr_scores(spark, pr_dir).toPandas().sort_values("id")
+    assert apply_pr_batch(_split(spark, tiny_edges, 0), 0, pr_dir, n, 4) == 0
+    after = read_pr_scores(spark, pr_dir).toPandas().sort_values("id")
+    np.testing.assert_array_equal(
+        before["rank"].to_numpy(), after["rank"].to_numpy()
+    )
+
+
+def test_universe_growth_new_vertices(spark, tmp_path):
+    """Batch 2 introduces vertices beyond batch 1's universe; they
+    warm-start at 1/n and the final scores match a cold run on the
+    union with the grown n."""
+    from ligra_spark.apps import pagerank
+    from ligra_spark.graph import LinkGraph
+    from ligra_spark.streaming import apply_pr_batch, read_pr_scores
+
+    e1 = np.array([[0, 1], [1, 2], [2, 0]])
+    e2 = np.array([[2, 3], [3, 4], [4, 0]])
+    pr_dir = str(tmp_path / "pr")
+    apply_pr_batch(edges_df(spark, e1[:, 0], e1[:, 1]), 0, pr_dir, 3, 4)
+    apply_pr_batch(edges_df(spark, e2[:, 0], e2[:, 1]), 1, pr_dir, 5, 4)
+    got = (
+        read_pr_scores(spark, pr_dir)
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert list(got["id"]) == list(range(5))
+    allsrc = np.concatenate([e1[:, 0], e2[:, 0]])
+    alldst = np.concatenate([e1[:, 1], e2[:, 1]])
+    g = LinkGraph.from_edges(spark, edges_df(spark, allsrc, alldst), n=5)
+    cold, _ = pagerank(g)
+    cold_pdf = cold.toPandas().sort_values("id").reset_index(drop=True)
+    np.testing.assert_allclose(
+        got["rank"].to_numpy(), cold_pdf["rank"].to_numpy(), atol=1e-6, rtol=0
+    )
+    g.unpersist()
+
+
+def test_streaming_sink_end_to_end(spark, tiny_edges, tmp_path):
+    from ligra_spark.streaming import incremental_pagerank_sink, read_pr_scores
+
+    n = tiny_edges[0]
+    src_dir = str(tmp_path / "edges_in")
+    for b in range(3):
+        _split(spark, tiny_edges, b).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src_dir, f"b{b}")
+        )
+    stream = (
+        spark.readStream.schema("src long, dst long")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    pr_dir = str(tmp_path / "pr")
+    q = (
+        incremental_pagerank_sink(stream, pr_dir, str(tmp_path / "ck"), n, 4)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(240), "stream did not finish in 240s"
+    finally:
+        q.stop()
+    man = json.load(open(os.path.join(pr_dir, "_CURRENT")))
+    assert len(man["batches"]) >= 1
+    cold_ranks, _ = _cold(spark, tiny_edges)
+    got = (
+        read_pr_scores(spark, pr_dir)
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)["rank"]
+        .to_numpy()
+    )
+    np.testing.assert_allclose(got, cold_ranks, atol=1e-6, rtol=0)

@@ -1041,6 +1041,17 @@ def _q_host_link_graph(spark, sf):
     return he
 
 
+def _q_anchor_text_agg(spark, sf):
+    """Inbound anchor-text aggregation per link target
+    (ligra_spark.extract.anchor_text_summary): inlink count, distinct
+    anchor texts, and the most-frequent anchor (deterministic
+    tie-break) — the classic web-corpus signal for pages known only
+    from links pointing at them."""
+    from ligra_spark.extract import anchor_text_summary
+
+    return anchor_text_summary(_pages_df(spark, sf))
+
+
 _HOST_LINK_GRAPH_SQL = (
     "WITH p AS (SELECT 'http://h' || (doc_id % 31) || '.test/p' || doc_id AS url,\n"
     "  'http://h' || ((doc_id*7 % 97) % 31) || '.test/p' || (doc_id*7 % 97) AS href1,\n"
@@ -1144,7 +1155,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_incremental": _q_cc_incremental,
         "label_propagation": _q_label_propagation,
         "bfs": _q_bfs_full,
-        "bfscc": _q_bfscc,
         "sssp": _q_sssp_full,
         "delta_stepping": _q_delta_stepping,
         "ecc_kbfs": _q_ecc_kbfs,
@@ -1190,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_extract": _q_page_extract,
         "page_link_graph": _q_page_link_graph,
         "host_link_graph": _q_host_link_graph,
+        "anchor_text_agg": _q_anchor_text_agg,
         "doc_media_decode": _q_doc_media_decode,
         "doc_image_features": _q_doc_image_features,
         # the real-PPM decode twin of the two multimodal rows above
@@ -1199,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-green in CORRECTNESS_r01/r02 (or replica-green r03);
         # kept registered so tools/check_entry.py and the judge can
         # still run them.
+        "bfscc": _q_bfscc,
         "hyper_bfs": _q_hyper_bfs,
         "hyper_pagerank": _q_hyper_pagerank,
         "doc_quality": _q_doc_quality,
@@ -3298,6 +3310,22 @@ def oracle_sql() -> dict[str, str]:
         "page_extract": _PAGE_EXTRACT_SQL,
         "page_link_graph": _PAGE_LINK_GRAPH_SQL,
         "host_link_graph": _HOST_LINK_GRAPH_SQL,
+        # DuckDB's parallel unnest zips the two regexp arrays exactly
+        # like the Spark side's arrays_zip
+        "anchor_text_agg": (
+            f"WITH pages AS MATERIALIZED ({_PAGE_HTML_SQL}),\n"
+            "a AS (SELECT unnest(regexp_extract_all(html, '<a href=\"([^\"]*)\">', 1)) AS href,\n"
+            "             unnest(regexp_extract_all(html, '<a href=\"[^\"]*\">(.*?)</a>', 1)) AS anchor_text\n"
+            "      FROM pages),\n"
+            "c AS (SELECT href, anchor_text, count(*) AS cnt FROM a GROUP BY 1, 2),\n"
+            "r AS (SELECT href, anchor_text,\n"
+            "             row_number() OVER (PARTITION BY href ORDER BY cnt DESC, anchor_text) AS rn,\n"
+            "             CAST(sum(cnt) OVER (PARTITION BY href) AS BIGINT) AS inlinks,\n"
+            "             CAST(count(*) OVER (PARTITION BY href) AS BIGINT) AS distinct_anchors\n"
+            "      FROM c)\n"
+            "SELECT href AS url, inlinks, distinct_anchors, anchor_text AS top_anchor\n"
+            "FROM r WHERE rn = 1"
+        ),
         "doc_media_decode": _MEDIA_DECODE_SQL,
         "doc_image_features": _IMAGE_FEATURES_SQL,
         # identical pixel plane (sha256 repeated), but the Spark side

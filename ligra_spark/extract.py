@@ -19,7 +19,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["html_str", "extract_text_col", "extract_links_col", "extracted_pages"]
+__all__ = [
+    "html_str",
+    "extract_text_col",
+    "extract_links_col",
+    "extracted_pages",
+    "anchor_pairs",
+    "anchor_text_summary",
+]
 
 _TITLE_RE = r"<title>(.*?)</title>"
 _PARA_RE = r"<p>(.*?)</p>"
@@ -57,4 +64,59 @@ def extracted_pages(pages: DataFrame) -> DataFrame:
             "extracted_text": extract_text_col(h),
             "links": extract_links_col(h),
         }
+    )
+
+
+def anchor_pairs(pages: DataFrame) -> DataFrame:
+    """One row per <a> tag: (url, pos, href, anchor_text), document
+    order, duplicates preserved.
+
+    The two regexp passes match the same ``<a href="...">...</a>``
+    instances, so the href and anchor-text arrays align positionally;
+    ``arrays_zip`` pairs them without re-parsing (a tag that matches
+    only one pattern — truncated html — null-fills, same as DuckDB's
+    parallel unnest).  All codegen scan-project until the explode; at
+    100 TB this reads only (url, html) from the pages table.
+    """
+    h = html_str("html")
+    zipped = F.arrays_zip(
+        F.regexp_extract_all(h, F.lit(_HREF_RE), F.lit(1)).alias("href"),
+        F.regexp_extract_all(h, F.lit(_ANCHOR_TEXT_RE), F.lit(1)).alias(
+            "anchor_text"
+        ),
+    )
+    return pages.select(
+        "url", F.posexplode(zipped).alias("pos", "a")
+    ).select("url", "pos", F.col("a.href").alias("href"), F.col("a.anchor_text").alias("anchor_text"))
+
+
+def anchor_text_summary(pages: DataFrame) -> DataFrame:
+    """Inbound anchor-text aggregation per link target — the classic
+    web-corpus op (inbound anchors describe the target page; used as a
+    ranking/labeling signal for pages never crawled themselves).
+
+    Returns (url, inlinks, distinct_anchors, top_anchor) where ``url``
+    is the link TARGET, ``inlinks`` counts all <a> tags pointing at it,
+    and ``top_anchor`` is the most frequent anchor text (ties broken by
+    lexicographically smallest — deterministic, engine-independent).
+
+    Two shuffles, both with map-side partial aggregation: one on
+    (href, anchor_text) to count, one on href to fold counts; the
+    tie-break rides the second agg as min(struct(-cnt, text)) — no
+    window, no second scan of the pages table.  Anchor-text skew
+    (billions of tags saying "home") is absorbed by the partial aggs.
+    """
+    cnt = (
+        anchor_pairs(pages)
+        .groupBy("href", "anchor_text")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    best = F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("anchor_text")))
+    return (
+        cnt.groupBy(F.col("href").alias("url"))
+        .agg(
+            F.sum("cnt").alias("inlinks"),
+            F.count(F.lit(1)).alias("distinct_anchors"),
+            best.getField("anchor_text").alias("top_anchor"),
+        )
     )

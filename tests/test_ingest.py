@@ -153,3 +153,63 @@ def test_host_graph_contraction(tiny_pages, spark):
         expected[(s, t)] = expected.get((s, t), 0) + 1
     assert got == expected
     g.unpersist()
+
+
+def test_anchor_pairs_alignment_and_order(spark):
+    """href/anchor arrays zip positionally, document order, duplicates
+    preserved."""
+    import pandas as pd
+
+    from ligra_spark.extract import anchor_pairs
+
+    html = (
+        '<title>t</title><a href="a">one</a><p>x</p>'
+        '<a href="b">two</a><a href="a">one</a>'
+    ).encode()
+    pages = spark.createDataFrame(
+        pd.DataFrame({"url": ["p0"], "html": [html]})
+    )
+    got = anchor_pairs(pages).toPandas().sort_values("pos")
+    assert list(got["href"]) == ["a", "b", "a"]
+    assert list(got["anchor_text"]) == ["one", "two", "one"]
+    assert list(got["pos"]) == [0, 1, 2]
+
+
+def test_anchor_text_summary_counts_and_tiebreak(spark):
+    """inlinks/distinct counts exact; top_anchor = max count with
+    lexicographically-smallest tie-break (deterministic across
+    engines/partitionings)."""
+    import pandas as pd
+
+    from ligra_spark.extract import anchor_text_summary
+
+    def page(url, anchors):
+        h = "".join(f'<a href="{t}">{a}</a>' for t, a in anchors).encode()
+        return {"url": url, "html": h}
+
+    pages = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                page("p0", [("x", "beta"), ("x", "alpha"), ("y", "solo")]),
+                page("p1", [("x", "alpha"), ("x", "beta"), ("x", "beta")]),
+            ]
+        )
+    )
+    got = (
+        anchor_text_summary(pages)
+        .toPandas()
+        .set_index("url")
+        .sort_index()
+    )
+    # x: beta 3, alpha 2 -> top beta; y: solo
+    assert got.loc["x", "inlinks"] == 5
+    assert got.loc["x", "distinct_anchors"] == 2
+    assert got.loc["x", "top_anchor"] == "beta"
+    assert got.loc["y", "inlinks"] == 1
+    assert got.loc["y", "top_anchor"] == "solo"
+    # tie case: equal counts -> lexicographically smallest
+    pages2 = spark.createDataFrame(
+        pd.DataFrame([page("p0", [("z", "bb"), ("z", "aa")])])
+    )
+    got2 = anchor_text_summary(pages2).toPandas()
+    assert got2.loc[0, "top_anchor"] == "aa"

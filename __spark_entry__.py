@@ -1041,6 +1041,15 @@ def _q_host_link_graph(spark, sf):
     return he
 
 
+def _q_triangle_lcc(spark, sf):
+    """Per-vertex triangle counts + local clustering coefficient
+    (apps.triangle.per_vertex_triangles) — the per-vertex array the
+    reference accumulates (Triangle.C:46-56) before printing its sum."""
+    from ligra_spark.apps import per_vertex_triangles
+
+    return per_vertex_triangles(_graph(spark, sf, symmetric=True))
+
+
 def _q_anchor_text_agg(spark, sf):
     """Inbound anchor-text aggregation per link target
     (ligra_spark.extract.anchor_text_summary): inlink count, distinct
@@ -1145,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # graph engine (SURVEY.md §2.4 apps over the derived link graph)
         "triangle_count": _q_triangles,
+        "triangle_lcc": _q_triangle_lcc,
         "pagerank": _q_pagerank_full,
         "pagerank_delta": _q_pagerank_delta,
         # HITS hubs/authorities (our addition — the other canonical
@@ -1161,7 +1171,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ecc_tk": _q_ecc_tk,
         "setcover": _q_setcover,
         "bc": _q_bc,
-        "radii": _q_radii,
         "mis": _q_mis,
         "kcore": _q_kcore,
         "kcore_julienne": _q_kcore_julienne,
@@ -1211,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kept registered so tools/check_entry.py and the judge can
         # still run them.
         "bfscc": _q_bfscc,
+        "radii": _q_radii,
         "hyper_bfs": _q_hyper_bfs,
         "hyper_pagerank": _q_hyper_pagerank,
         "doc_quality": _q_doc_quality,
@@ -3174,6 +3184,19 @@ def oracle_sql() -> dict[str, str]:
         "SELECT count(*) AS triangles FROM es e1 "
         "JOIN es e2 ON e1.dst = e2.src AND e1.src < e1.dst AND e2.src < e2.dst "
         "JOIN es e3 ON e3.src = e1.src AND e3.dst = e2.dst",
+        "triangle_lcc": f"WITH e0 AS ({EDGES_SQL}), es AS ({SYM_SQL}),\n"
+        "t AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w FROM es e1\n"
+        "  JOIN es e2 ON e1.dst = e2.src AND e1.src < e1.dst AND e2.src < e2.dst\n"
+        "  JOIN es e3 ON e3.src = e1.src AND e3.dst = e2.dst),\n"
+        "x AS (SELECT u AS id FROM t UNION ALL SELECT v FROM t UNION ALL SELECT w FROM t),\n"
+        "tc AS (SELECT id, count(*) AS tri FROM x GROUP BY id),\n"
+        "deg AS (SELECT src AS id, count(*) AS deg FROM es GROUP BY src),\n"
+        f"v AS (SELECT CAST(range AS BIGINT) AS id FROM range({V}))\n"
+        "SELECT v.id, CAST(coalesce(tc.tri, 0) AS BIGINT) AS triangles,\n"
+        "  round(CASE WHEN coalesce(deg.deg, 0) >= 2\n"
+        "    THEN 2.0 * coalesce(tc.tri, 0) / (deg.deg * (deg.deg - 1.0))\n"
+        "    ELSE 0.0 END, 8) AS lcc\n"
+        "FROM v LEFT JOIN tc ON tc.id = v.id LEFT JOIN deg ON deg.id = v.id",
         "pagerank_k3": _pr_sql(3),
         "hits": _hits_sql(5),
         # Convergence-defined apps, matched by VALUE with fixed-depth

@@ -5,7 +5,7 @@ from .pagerank import pagerank, pagerank_delta
 from .hits import hits
 from .cc_star import cc_two_phase
 from .components import components, label_propagation
-from .triangle import triangle_count
+from .triangle import per_vertex_triangles, triangle_count
 from .bfs import bfs_levels
 from .bellman_ford import bellman_ford
 from .kcore import kcore
@@ -78,6 +78,7 @@ __all__ = [
     "cc_two_phase",
     "components",
     "label_propagation",
+    "per_vertex_triangles",
     "triangle_count",
     "bfs_levels",
     "bellman_ford",

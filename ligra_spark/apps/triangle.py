@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["triangle_count", "oriented_edges"]
+__all__ = ["triangle_count", "oriented_edges", "per_vertex_triangles"]
 
 
 def oriented_edges(graph) -> DataFrame:
@@ -51,6 +51,45 @@ def triangle_count(graph) -> int:
         d.select(F.col("src").alias("u"), F.col("dst").alias("w")), ["u", "w"]
     )
     return closed.count()
+
+
+def per_vertex_triangles(graph) -> DataFrame:
+    """(id, triangles, lcc) for ALL n vertices — the per-vertex counts
+    the reference accumulates before summing (``Triangle.C:46-56``
+    writes a per-vertex count array; the printed total is its sum),
+    plus the local clustering coefficient 2·tri / (deg·(deg−1))
+    (0 for deg < 2), the standard per-page community-density signal.
+
+    Same three-join oriented plan as :func:`triangle_count`; each
+    closed triangle then credits its three corners via one explode +
+    partial-agg'd groupBy — a fourth shuffle whose input is one row
+    per triangle, not per wedge.  Requires graph.symmetric.
+    """
+    d = oriented_edges(graph)
+    a = d.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    b = d.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    wedges = a.join(b, "v")
+    closed = wedges.join(
+        d.select(F.col("src").alias("u"), F.col("dst").alias("w")), ["u", "w"]
+    )
+    tri = (
+        closed.select(F.explode(F.array("u", "v", "w")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    deg = graph.out_degrees  # symmetric graph: out-degree == degree
+    t = F.coalesce("tri", F.lit(0))
+    return deg.join(tri, "id", "left").select(
+        "id",
+        t.alias("triangles"),
+        F.round(
+            F.when(
+                F.col("outdeg") >= 2,
+                2.0 * t / (F.col("outdeg") * (F.col("outdeg") - 1)),
+            ).otherwise(0.0),
+            8,
+        ).alias("lcc"),
+    )
 
 
 def triangle_count_df(graph) -> DataFrame:

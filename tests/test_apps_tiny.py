@@ -82,6 +82,31 @@ def test_triangle_count_exact(tiny_graph_sym, tiny_sym):
     assert triangle_count(tiny_graph_sym) == expected
 
 
+def test_per_vertex_triangles_numpy_exact(tiny_graph_sym, tiny_sym):
+    """Per-vertex counts sum to 3x the global count and match a brute
+    numpy adjacency-intersection oracle; lcc = 2*tri/(d*(d-1))."""
+    import numpy as np
+
+    from ligra_spark.apps import per_vertex_triangles, triangle_count
+
+    n, src, dst = tiny_sym
+    adj = np.zeros((n, n), dtype=bool)
+    adj[src, dst] = True
+    np.fill_diagonal(adj, False)
+    # per-vertex triangles = diag(A^3) / 2 on the boolean-symmetric graph
+    a = adj.astype(np.int64)
+    tri = np.diag(a @ a @ a) // 2
+    deg = a.sum(1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lcc = np.where(deg >= 2, 2.0 * tri / (deg * (deg - 1.0)), 0.0)
+    pdf = per_vertex_triangles(tiny_graph_sym).toPandas().sort_values("id")
+    np.testing.assert_array_equal(pdf["triangles"].to_numpy(), tri)
+    np.testing.assert_allclose(
+        pdf["lcc"].to_numpy(), np.round(lcc, 8), atol=1e-8, rtol=0
+    )
+    assert int(pdf["triangles"].sum()) == 3 * triangle_count(tiny_graph_sym)
+
+
 # ---------------------------------------------------------------- bfs
 def test_bfs_levels(tiny_graph, tiny_edges):
     from ligra_spark.apps import bfs_levels

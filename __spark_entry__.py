@@ -1041,6 +1041,46 @@ def _q_host_link_graph(spark, sf):
     return he
 
 
+def _q_host_rank(spark, sf):
+    """Weighted PageRank over the contracted host graph
+    (apps.pagerank_weighted, weight = page-link multiplicity) — the
+    crawl-prioritization host-rank, driver-checked end to end from
+    pages through contraction to ranking.  Fixed 12 supersteps
+    (epsilon=0) so the fixed-depth SQL oracle pins every value."""
+    from ligra_spark.apps import pagerank_weighted
+    from ligra_spark.graph import LinkGraph
+    from ligra_spark.ingest import build_link_graph, contract_to_host_graph
+
+    g, d = build_link_graph(spark, _hosted_pages_df(spark, sf))
+    he, hd = contract_to_host_graph(g.edges, d)
+    hg = LinkGraph.from_edges(spark, he, n=hd.count(), num_partitions=8)
+    scores, _ = pagerank_weighted(hg, max_iters=12, epsilon=0)
+    return scores.select("id", F.round("rank", 8).alias("rank"))
+
+
+def _host_rank_sql(k: int) -> str:
+    """Unrolled weighted-PR CTE over the host-graph transcription;
+    same association as the Spark side: (rank / sum_w) * weight."""
+    sql = (
+        f"WITH hg AS MATERIALIZED ({_HOST_LINK_GRAPH_SQL}),\n"
+        "v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM hg UNION ALL SELECT dst FROM hg)),\n"
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),\n"
+        "wo AS (SELECT src AS id, CAST(sum(weight) AS DOUBLE) AS w FROM hg GROUP BY src),\n"
+        "p0 AS (SELECT id, (SELECT 1.0/n FROM nn) AS rank FROM v)"
+    )
+    prev = "p0"
+    for i in range(1, k + 1):
+        sql += (
+            f",\nc{i} AS MATERIALIZED (SELECT hg.dst AS id, sum({prev}.rank / wo.w * hg.weight) AS contrib\n"
+            f"  FROM hg JOIN {prev} ON {prev}.id = hg.src JOIN wo ON wo.id = hg.src\n"
+            "  GROUP BY hg.dst),\n"
+            f"p{i} AS MATERIALIZED (SELECT v.id, 0.85 * coalesce(c{i}.contrib, 0) + (SELECT 0.15/n FROM nn) AS rank\n"
+            f"  FROM v LEFT JOIN c{i} ON c{i}.id = v.id)"
+        )
+        prev = f"p{i}"
+    return sql + f"\nSELECT id, round(rank, 8) AS rank FROM {prev}"
+
+
 def _q_triangle_lcc(spark, sf):
     """Per-vertex triangle counts + local clustering coefficient
     (apps.triangle.per_vertex_triangles) — the per-vertex array the
@@ -1171,7 +1211,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ecc_tk": _q_ecc_tk,
         "setcover": _q_setcover,
         "bc": _q_bc,
-        "mis": _q_mis,
         "kcore": _q_kcore,
         "kcore_julienne": _q_kcore_julienne,
         "ppr": _q_ppr,
@@ -1209,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_extract": _q_page_extract,
         "page_link_graph": _q_page_link_graph,
         "host_link_graph": _q_host_link_graph,
+        "host_rank": _q_host_rank,
         "anchor_text_agg": _q_anchor_text_agg,
         "doc_media_decode": _q_doc_media_decode,
         "doc_image_features": _q_doc_image_features,
@@ -1221,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # still run them.
         "bfscc": _q_bfscc,
         "radii": _q_radii,
+        "mis": _q_mis,
         "hyper_bfs": _q_hyper_bfs,
         "hyper_pagerank": _q_hyper_pagerank,
         "doc_quality": _q_doc_quality,
@@ -3333,6 +3374,7 @@ def oracle_sql() -> dict[str, str]:
         "page_extract": _PAGE_EXTRACT_SQL,
         "page_link_graph": _PAGE_LINK_GRAPH_SQL,
         "host_link_graph": _HOST_LINK_GRAPH_SQL,
+        "host_rank": _host_rank_sql(12),
         # DuckDB's parallel unnest zips the two regexp arrays exactly
         # like the Spark side's arrays_zip
         "anchor_text_agg": (

@@ -1,7 +1,7 @@
 """Built-in link-graph apps — the query surface of the engine, one per
 canonical reference app (SURVEY.md §2.4)."""
 
-from .pagerank import pagerank, pagerank_delta
+from .pagerank import pagerank, pagerank_delta, pagerank_weighted
 from .hits import hits
 from .cc_star import cc_two_phase
 from .components import components, label_propagation
@@ -75,6 +75,7 @@ __all__ = [
     "hits",
     "pagerank",
     "pagerank_delta",
+    "pagerank_weighted",
     "cc_two_phase",
     "components",
     "label_propagation",

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..engine import IterState, edge_map
 
-__all__ = ["pagerank", "pagerank_delta"]
+__all__ = ["pagerank", "pagerank_delta", "pagerank_weighted"]
 
 
 def pagerank(
@@ -119,6 +119,77 @@ def pagerank(
         if on_superstep:
             on_superstep(it, {"l1": l1})
         if l1 < epsilon:
+            break
+    return st.df.select("id", "rank"), it
+
+
+def pagerank_weighted(
+    graph,
+    max_iters: int = 100,
+    damping: float = 0.85,
+    epsilon: float = 1e-7,
+    on_superstep=None,
+) -> tuple[DataFrame, int]:
+    """Weighted PageRank over an edge table with a ``weight`` column —
+    our extension of the reference's unweighted app for the contracted
+    host graph (``ingest.contract_to_host_graph``), where weight =
+    page-link multiplicity: a host pointed at by 10k page links gets
+    10k/Σw of its linker's rank, the standard crawl-prioritization
+    host-rank.  Self-loops participate like any edge (intra-host mass
+    returns to the host).
+
+    Same superstep shape as :func:`pagerank` — one shuffle, share =
+    rank / Σ(outgoing weight) travels with the frontier, the per-edge
+    ``weight`` multiplies it inside the groupBy(dst) message — and the
+    same reference quirks: no dangling redistribution (wout = 0 loses
+    its mass), L1 stop, uniform 1/n start.  ``epsilon=0`` disables the
+    convergence test (exactly ``max_iters`` supersteps — what the
+    fixed-depth SQL oracle pins)."""
+    const = (1.0 - damping) / graph.n
+    wout = graph.edges.groupBy(F.col("src").alias("id")).agg(
+        F.sum("weight").cast("double").alias("wout")
+    )
+    init = (
+        graph.out_degrees.join(wout.hint("shuffle_hash"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("wout", F.lit(0.0)).alias("wout"),
+            F.lit(1.0 / graph.n).alias("rank"),
+        )
+    )
+    st = IterState(init, num_partitions=graph.num_partitions)
+    it = 0
+    while it < max_iters:
+        it += 1
+        msgs = edge_map(
+            graph,
+            st.df.select("id", F.try_divide("rank", "wout").alias("share")),
+            message=F.col("share") * F.col("weight"),
+            aggregate=F.sum,
+            extra_frontier_cols=("share",),
+        )
+        new = (
+            st.df.select("id", "wout", F.col("rank").alias("old"))
+            .join(msgs.hint("shuffle_hash"), "id", "left")
+            .select(
+                "id",
+                "wout",
+                (
+                    F.lit(damping) * F.coalesce("agg", F.lit(0.0)) + F.lit(const)
+                ).alias("rank"),
+                "old",
+            )
+        )
+        new, row = st.advance(
+            new,
+            action=lambda df: df.agg(
+                F.sum(F.abs(F.col("rank") - F.col("old")))
+            ).first(),
+        )
+        l1 = row[0]
+        if on_superstep:
+            on_superstep(it, {"l1": l1})
+        if epsilon > 0 and l1 < epsilon:
             break
     return st.df.select("id", "rank"), it
 

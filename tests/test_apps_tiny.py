@@ -146,3 +146,54 @@ def test_kcore_fork_quirk(tiny_graph_sym, tiny_sym):
     got_df, _ = kcore(tiny_graph_sym, max_k=10)
     got = np.array(_collect_by_id(got_df, "core", n))
     np.testing.assert_array_equal(got, expected)
+
+
+def test_pagerank_weighted_numpy_exact(spark):
+    """Weighted PageRank == numpy transcription (share = rank/sum_w,
+    per-edge multiply by weight, no dangling redistribution); the
+    unit-weight case degenerates to unweighted pagerank."""
+    import numpy as np
+    import pandas as pd
+
+    from ligra_spark.apps import pagerank, pagerank_weighted
+    from ligra_spark.graph import LinkGraph
+
+    rng_src = np.array([0, 0, 1, 2, 2, 3, 4, 4, 2], dtype=np.int64)
+    rng_dst = np.array([1, 2, 2, 0, 3, 4, 0, 2, 2], dtype=np.int64)
+    w = np.array([3, 1, 2, 5, 1, 4, 2, 1, 7], dtype=np.int64)
+    n, iters = 6, 12  # vertex 5 isolated; fixed depth
+
+    def np_wpr():
+        rank = np.full(n, 1.0 / n)
+        wout = np.zeros(n)
+        np.add.at(wout, rng_src, w.astype(float))
+        for _ in range(iters):
+            contrib = np.zeros(n)
+            share = np.zeros(n)
+            nz = wout > 0
+            share[nz] = rank[nz] / wout[nz]
+            np.add.at(contrib, rng_dst, share[rng_src] * w)
+            rank = 0.85 * contrib + 0.15 / n
+        return rank
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": rng_src, "dst": rng_dst, "weight": w})
+    )
+    g = LinkGraph.from_edges(spark, edges, n=n, num_partitions=4).materialize()
+    got_df, it = pagerank_weighted(g, max_iters=iters, epsilon=0)
+    assert it == iters
+    got = got_df.toPandas().sort_values("id")["rank"].to_numpy()
+    np.testing.assert_allclose(got, np_wpr(), atol=1e-12, rtol=0)
+    g.unpersist()
+
+    # unit weights == unweighted pagerank at the same depth
+    edges1 = spark.createDataFrame(
+        pd.DataFrame({"src": rng_src, "dst": rng_dst, "weight": np.ones_like(w)})
+    )
+    g1 = LinkGraph.from_edges(spark, edges1, n=n, num_partitions=4).materialize()
+    got1, _ = pagerank_weighted(g1, max_iters=iters, epsilon=0)
+    base, _ = pagerank(g1, max_iters=iters, epsilon=0.0)
+    a = got1.toPandas().sort_values("id")["rank"].to_numpy()
+    b = base.toPandas().sort_values("id")["rank"].to_numpy()
+    np.testing.assert_allclose(a, b, atol=1e-12, rtol=0)
+    g1.unpersist()

@@ -1041,6 +1041,23 @@ def _q_host_link_graph(spark, sf):
     return he
 
 
+def _q_reciprocity(spark, sf):
+    """Directed-edge reciprocity over the link graph
+    (apps.graph_stats.reciprocity)."""
+    from ligra_spark.apps import reciprocity
+
+    return reciprocity(_graph(spark, sf))
+
+
+def _q_assortativity(spark, sf):
+    """Degree-degree Pearson assortativity over the symmetric graph
+    (apps.graph_stats.degree_assortativity) — exact integer moment
+    sums, one final double formula."""
+    from ligra_spark.apps import degree_assortativity
+
+    return degree_assortativity(_graph(spark, sf, symmetric=True))
+
+
 def _q_host_rank(spark, sf):
     """Weighted PageRank over the contracted host graph
     (apps.pagerank_weighted, weight = page-link multiplicity) — the
@@ -1195,6 +1212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph engine (SURVEY.md §2.4 apps over the derived link graph)
         "triangle_count": _q_triangles,
         "triangle_lcc": _q_triangle_lcc,
+        "reciprocity": _q_reciprocity,
+        "assortativity": _q_assortativity,
         "pagerank": _q_pagerank_full,
         "pagerank_delta": _q_pagerank_delta,
         # HITS hubs/authorities (our addition — the other canonical
@@ -1209,7 +1228,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_stepping": _q_delta_stepping,
         "ecc_kbfs": _q_ecc_kbfs,
         "ecc_tk": _q_ecc_tk,
-        "setcover": _q_setcover,
         "bc": _q_bc,
         "kcore": _q_kcore,
         "kcore_julienne": _q_kcore_julienne,
@@ -1218,7 +1236,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nibble": _q_nibble,
         "heat_kernel": _q_heat_kernel,
         "heat_kernel_rand": _q_heat_kernel_rand,
-        "cf": _q_cf,
         "hyper_cc": _q_hyper_cc,
         # per-partition-CSR physical backend twins (round 3) — same
         # apps, same oracles as pagerank/components/sssp
@@ -1262,6 +1279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfscc": _q_bfscc,
         "radii": _q_radii,
         "mis": _q_mis,
+        "setcover": _q_setcover,
+        "cf": _q_cf,
         "hyper_bfs": _q_hyper_bfs,
         "hyper_pagerank": _q_hyper_pagerank,
         "doc_quality": _q_doc_quality,
@@ -3238,6 +3257,24 @@ def oracle_sql() -> dict[str, str]:
         "    THEN 2.0 * coalesce(tc.tri, 0) / (deg.deg * (deg.deg - 1.0))\n"
         "    ELSE 0.0 END, 8) AS lcc\n"
         "FROM v LEFT JOIN tc ON tc.id = v.id LEFT JOIN deg ON deg.id = v.id",
+        "reciprocity": f"WITH e0 AS ({EDGES_SQL}),\n"
+        "e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),\n"
+        "r AS (SELECT count(*) AS reciprocated FROM e\n"
+        "  WHERE EXISTS (SELECT 1 FROM e x WHERE x.src = e.dst AND x.dst = e.src)),\n"
+        "t AS (SELECT count(*) AS edges FROM e)\n"
+        "SELECT t.edges, r.reciprocated,\n"
+        "  round(CAST(r.reciprocated AS DOUBLE) / t.edges, 8) AS reciprocity\n"
+        "FROM t, r",
+        "assortativity": f"WITH e0 AS ({EDGES_SQL}), es AS ({SYM_SQL}),\n"
+        "deg AS (SELECT src AS id, count(*) AS d FROM es GROUP BY src),\n"
+        "xy AS (SELECT a.d AS x, b.d AS y FROM es\n"
+        "  JOIN deg a ON a.id = es.src JOIN deg b ON b.id = es.dst),\n"
+        "s AS (SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,\n"
+        "  sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM xy)\n"
+        "SELECT CAST(m AS BIGINT) AS pairs,\n"
+        "  round((sxy - sx*sy/CAST(m AS DOUBLE))\n"
+        "    / sqrt((sxx - sx*sx/CAST(m AS DOUBLE)) * (syy - sy*sy/CAST(m AS DOUBLE))), 8)\n"
+        "  AS assortativity FROM s",
         "pagerank_k3": _pr_sql(3),
         "hits": _hits_sql(5),
         # Convergence-defined apps, matched by VALUE with fixed-depth

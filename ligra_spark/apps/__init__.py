@@ -3,6 +3,7 @@ canonical reference app (SURVEY.md §2.4)."""
 
 from .pagerank import pagerank, pagerank_delta, pagerank_weighted
 from .hits import hits
+from .graph_stats import degree_assortativity, reciprocity
 from .cc_star import cc_two_phase
 from .components import components, label_propagation
 from .triangle import per_vertex_triangles, triangle_count
@@ -73,6 +74,8 @@ __all__ = [
     "ecc_fm",
     "ecc_loglog",
     "hits",
+    "degree_assortativity",
+    "reciprocity",
     "pagerank",
     "pagerank_delta",
     "pagerank_weighted",

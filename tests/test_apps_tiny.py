@@ -197,3 +197,34 @@ def test_pagerank_weighted_numpy_exact(spark):
     b = base.toPandas().sort_values("id")["rank"].to_numpy()
     np.testing.assert_allclose(a, b, atol=1e-12, rtol=0)
     g1.unpersist()
+
+
+def test_graph_stats_numpy_exact(tiny_graph, tiny_graph_sym, tiny_edges, tiny_sym):
+    """Reciprocity and assortativity match direct numpy computation."""
+    import numpy as np
+
+    from ligra_spark.apps import degree_assortativity, reciprocity
+
+    n, src, dst = tiny_edges
+    pairs = {(int(a), int(b)) for a, b in zip(src, dst) if a != b}
+    rec = sum(1 for a, b in pairs if (b, a) in pairs)
+    row = reciprocity(tiny_graph).collect()[0]
+    assert row["edges"] == len(pairs)
+    assert row["reciprocated"] == rec
+    assert abs(row["reciprocity"] - round(rec / len(pairs), 8)) < 1e-12
+
+    ns, ss, ds = tiny_sym
+    # distinct non-loop symmetric edge list (matches graph builder)
+    es = np.unique(np.stack([ss, ds], 1), axis=0)
+    es = es[es[:, 0] != es[:, 1]]
+    deg = np.bincount(es[:, 0], minlength=ns)
+    x = deg[es[:, 0]].astype(np.float64)
+    y = deg[es[:, 1]].astype(np.float64)
+    m = len(es)
+    num = (x * y).sum() - x.sum() * y.sum() / m
+    den = np.sqrt(
+        ((x * x).sum() - x.sum() ** 2 / m) * ((y * y).sum() - y.sum() ** 2 / m)
+    )
+    row = degree_assortativity(tiny_graph_sym).collect()[0]
+    assert row["pairs"] == m
+    assert abs(row["assortativity"] - round(num / den, 8)) < 1e-8

@@ -1041,6 +1041,68 @@ def _q_host_link_graph(spark, sf):
     return he
 
 
+def _q_url_normalize(spark, sf):
+    """RFC 3986 §6.2 url canonicalization (extract.normalize_url) over
+    deterministically-messy urls built from doc_id: mixed-case scheme
+    and host, default/explicit/absent ports, empty vs cased vs queried
+    paths, fragments.  The oracle derives the canonical form by CASE
+    analysis on doc_id — no regex — so it is an independent
+    derivation, not a transcription."""
+    from ligra_spark.extract import normalize_url
+
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    scheme = F.element_at(
+        F.array(
+            F.lit("http"), F.lit("HTTP"), F.lit("https"),
+            F.lit("HTTPS"), F.lit("ftp"),
+        ),
+        (d % 5 + 1).cast("int"),
+    )
+    port = F.element_at(
+        F.array(F.lit(":80"), F.lit(":443"), F.lit(":8080"), F.lit("")),
+        (d % 4 + 1).cast("int"),
+    )
+    path = F.element_at(
+        F.array(
+            F.lit(""),
+            F.concat(F.lit("/P/"), d.cast("string")),
+            F.concat(F.lit("/p/"), d.cast("string"), F.lit("?q=1")),
+        ),
+        (d % 3 + 1).cast("int"),
+    )
+    frag = F.when(d % 2 == 0, F.lit("#Sec")).otherwise(F.lit(""))
+    messy = F.concat(
+        scheme, F.lit("://HoSt"), (d % 31).cast("string"),
+        F.lit(".ExAmple.COM"), port, path, frag,
+    )
+    return docs.select(
+        "doc_id", messy.alias("url"), normalize_url(messy).alias("canonical")
+    )
+
+
+_URL_NORMALIZE_SQL = (
+    "WITH m AS (SELECT doc_id,\n"
+    "  CASE doc_id % 5 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP' WHEN 2 THEN 'https'\n"
+    "    WHEN 3 THEN 'HTTPS' ELSE 'ftp' END AS scheme,\n"
+    "  CASE doc_id % 5 WHEN 0 THEN 'http' WHEN 1 THEN 'http' WHEN 2 THEN 'https'\n"
+    "    WHEN 3 THEN 'https' ELSE 'ftp' END AS scheme_l,\n"
+    "  CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443' WHEN 2 THEN ':8080' ELSE '' END AS port,\n"
+    "  CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN '/P/' || doc_id\n"
+    "    ELSE '/p/' || doc_id || '?q=1' END AS path,\n"
+    "  CASE doc_id % 2 WHEN 0 THEN '#Sec' ELSE '' END AS frag\n"
+    "  FROM documents)\n"
+    "SELECT doc_id,\n"
+    "  scheme || '://HoSt' || (doc_id % 31) || '.ExAmple.COM' || port || path || frag AS url,\n"
+    "  scheme_l || '://host' || (doc_id % 31) || '.example.com' ||\n"
+    "  CASE WHEN port = ':80' AND scheme_l <> 'http' THEN ':80'\n"
+    "       WHEN port = ':443' AND scheme_l <> 'https' THEN ':443'\n"
+    "       WHEN port = ':8080' THEN ':8080' ELSE '' END ||\n"
+    "  CASE WHEN path = '' THEN '/' ELSE path END AS canonical\n"
+    "FROM m"
+)
+
+
 def _q_reciprocity(spark, sf):
     """Directed-edge reciprocity over the link graph
     (apps.graph_stats.reciprocity)."""
@@ -1229,7 +1291,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ecc_kbfs": _q_ecc_kbfs,
         "ecc_tk": _q_ecc_tk,
         "bc": _q_bc,
-        "kcore": _q_kcore,
         "kcore_julienne": _q_kcore_julienne,
         "ppr": _q_ppr,
         "ppr_sweep": _q_ppr_sweep,
@@ -1267,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_link_graph": _q_host_link_graph,
         "host_rank": _q_host_rank,
         "anchor_text_agg": _q_anchor_text_agg,
+        "url_normalize": _q_url_normalize,
         "doc_media_decode": _q_doc_media_decode,
         "doc_image_features": _q_doc_image_features,
         # the real-PPM decode twin of the two multimodal rows above
@@ -1281,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis": _q_mis,
         "setcover": _q_setcover,
         "cf": _q_cf,
+        "kcore": _q_kcore,
         "hyper_bfs": _q_hyper_bfs,
         "hyper_pagerank": _q_hyper_pagerank,
         "doc_quality": _q_doc_quality,
@@ -3412,6 +3475,7 @@ def oracle_sql() -> dict[str, str]:
         "page_link_graph": _PAGE_LINK_GRAPH_SQL,
         "host_link_graph": _HOST_LINK_GRAPH_SQL,
         "host_rank": _host_rank_sql(12),
+        "url_normalize": _URL_NORMALIZE_SQL,
         # DuckDB's parallel unnest zips the two regexp arrays exactly
         # like the Spark side's arrays_zip
         "anchor_text_agg": (

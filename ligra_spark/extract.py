@@ -26,6 +26,7 @@ __all__ = [
     "extracted_pages",
     "anchor_pairs",
     "anchor_text_summary",
+    "normalize_url",
 ]
 
 _TITLE_RE = r"<title>(.*?)</title>"
@@ -64,6 +65,46 @@ def extracted_pages(pages: DataFrame) -> DataFrame:
             "extracted_text": extract_text_col(h),
             "links": extract_links_col(h),
         }
+    )
+
+
+_SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://"
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/:?#]+)"
+_PORT_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/:?#]+:([0-9]+)"
+_REST_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+([/?][^#]*)?"
+
+
+def normalize_url(url: Column) -> Column:
+    """RFC 3986 §6.2 syntax-based normalization of an absolute url —
+    the canonicalization step before link-graph construction and url
+    dedup on a crawl (two spellings of one page must collide to one
+    vertex):
+
+      - strip the fragment (never sent to the server),
+      - lowercase scheme and host (case-insensitive per §3.1/§3.2.2),
+      - drop the default port (:80 for http, :443 for https),
+      - empty path → "/" (§6.2.3).
+
+    Query strings, non-default ports and path case are preserved (they
+    are semantically significant).  A string with no scheme://host
+    prefix (relative reference) is returned fragment-stripped but
+    otherwise untouched.  Pure Catalyst regexp/case expressions —
+    codegen scan-project, no UDF.
+    """
+    u = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(u, _HOST_RE, 1))
+    port = F.regexp_extract(u, _PORT_RE, 1)
+    rest = F.regexp_extract(u, _REST_RE, 1)
+    default = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    portpart = F.when((port == "") | default, F.lit("")).otherwise(
+        F.concat(F.lit(":"), port)
+    )
+    restpart = F.when(rest == "", F.lit("/")).otherwise(rest)
+    return F.when(scheme == "", u).otherwise(
+        F.concat(scheme, F.lit("://"), host, portpart, restpart)
     )
 
 

@@ -213,3 +213,27 @@ def test_anchor_text_summary_counts_and_tiebreak(spark):
     )
     got2 = anchor_text_summary(pages2).toPandas()
     assert got2.loc[0, "top_anchor"] == "aa"
+
+
+def test_normalize_url_rfc3986_cases(spark):
+    """Syntax-based normalization: case, default ports, empty path,
+    fragment; relative references pass through fragment-stripped."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from ligra_spark.extract import normalize_url
+
+    cases = [
+        ("HTTP://WWW.Example.COM:80", "http://www.example.com/"),
+        ("https://Host.test:443/a?q=1#frag", "https://host.test/a?q=1"),
+        ("http://h.test:8080/P", "http://h.test:8080/P"),
+        ("ftp://H.test:80/x", "ftp://h.test:80/x"),
+        ("https://h.test:80/", "https://h.test:80/"),
+        ("http://h.test#only-frag", "http://h.test/"),
+        ("relative/path#f", "relative/path"),
+        ("http://h.test/CaseKept/Q?A=B", "http://h.test/CaseKept/Q?A=B"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"u": [c[0] for c in cases]}))
+    got = df.select(normalize_url(F.col("u")).alias("c")).toPandas()["c"]
+    assert list(got) == [c[1] for c in cases]

@@ -119,17 +119,31 @@ def build_edges(
     pages: DataFrame,
     dictionary: DataFrame,
     drop_unknown_targets: bool = True,
+    canonicalize: bool = False,
 ) -> DataFrame:
     """(src, dst) long edge table: explode per-page link arrays and map
     both endpoints through the dictionary.  Duplicate links preserved.
     Links to urls outside the page set are dropped (Ligra graphs are
     closed over their vertex set) unless drop_unknown_targets=False, in
     which case they raise at join time via inner-join row loss anyway.
+
+    ``canonicalize`` maps both endpoints through
+    :func:`ligra_spark.extract.normalize_url` before the dictionary
+    join — the dictionary must then hold canonical urls (see
+    :func:`build_link_graph`).  Still one codegen scan-project before
+    the joins; spelling variants of one page collide to one vertex.
     """
     links = (
         extracted_pages(pages)
         .select("url", F.explode("links").alias("href"))
     )
+    if canonicalize:
+        from .extract import normalize_url
+
+        links = links.select(
+            normalize_url(F.col("url")).alias("url"),
+            normalize_url(F.col("href")).alias("href"),
+        )
     d_src = dictionary.select(F.col("url"), F.col("id").alias("src"))
     d_dst = dictionary.select(F.col("url").alias("href"), F.col("id").alias("dst"))
     how = "inner"  # unknown targets drop out of the join
@@ -204,11 +218,26 @@ def build_link_graph(
     pages: DataFrame,
     num_partitions: int | None = None,
     make_symmetric: bool = False,
+    canonicalize: bool = False,
 ) -> tuple[LinkGraph, DataFrame]:
-    """Full ingestion: returns (LinkGraph, dictionary)."""
-    dictionary = build_vertex_dictionary(pages, num_partitions).persist()
+    """Full ingestion: returns (LinkGraph, dictionary).
+
+    ``canonicalize`` runs both page urls and link targets through
+    :func:`ligra_spark.extract.normalize_url` first, so spelling
+    variants (case, default ports, fragments, empty path) collapse to
+    ONE vertex; the dictionary then holds distinct canonical urls and
+    pages sharing a canonical url merge their out-links."""
+    if canonicalize:
+        from .extract import normalize_url
+
+        urls = pages.select(
+            normalize_url(F.col("url")).alias("url")
+        ).distinct()
+        dictionary = build_vertex_dictionary(urls, num_partitions).persist()
+    else:
+        dictionary = build_vertex_dictionary(pages, num_partitions).persist()
     n = dictionary.count()
-    edges = build_edges(pages, dictionary)
+    edges = build_edges(pages, dictionary, canonicalize=canonicalize)
     g = LinkGraph.from_edges(
         spark, edges, n=n, num_partitions=num_partitions, make_symmetric=make_symmetric
     )

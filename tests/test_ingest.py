@@ -237,3 +237,36 @@ def test_normalize_url_rfc3986_cases(spark):
     df = spark.createDataFrame(pd.DataFrame({"u": [c[0] for c in cases]}))
     got = df.select(normalize_url(F.col("u")).alias("c")).toPandas()["c"]
     assert list(got) == [c[1] for c in cases]
+
+
+def test_build_link_graph_canonicalize(spark):
+    """Spelling variants (case, default port, fragment) collapse to one
+    vertex; links in variant spellings resolve to the same target."""
+    import pandas as pd
+
+    def page(url, hrefs):
+        h = "".join(f'<a href="{t}">x</a>' for t in hrefs).encode()
+        return {"url": url, "html": h}
+
+    pages = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                page("HTTP://A.test:80/", ["http://b.test/#frag"]),
+                page("http://a.test/", ["HTTP://B.test"]),
+                page("http://b.test/", ["http://a.test:80/"]),
+            ]
+        )
+    )
+    from ligra_spark.ingest import build_link_graph
+
+    g, d = build_link_graph(spark, pages, num_partitions=2, canonicalize=True)
+    dd = d.toPandas().sort_values("url").reset_index(drop=True)
+    # 3 raw pages -> 2 canonical vertices, lexicographic dense ids
+    assert list(dd["url"]) == ["http://a.test/", "http://b.test/"]
+    assert list(dd["id"]) == [0, 1]
+    e = sorted(map(tuple, g.edges.select("src", "dst").toPandas().to_numpy()))
+    # both a-spellings link to b (2 edges kept as duplicates); b links to a
+    assert e == [(0, 1), (0, 1), (1, 0)]
+    # without canonicalization the variants stay separate vertices
+    g2, d2 = build_link_graph(spark, pages, num_partitions=2)
+    assert d2.count() == 3

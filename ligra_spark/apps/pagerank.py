@@ -128,6 +128,10 @@ def pagerank_weighted(
     max_iters: int = 100,
     damping: float = 0.85,
     epsilon: float = 1e-7,
+    checkpoint_mgr=None,
+    checkpoint_every: int = 4,
+    resume: bool = False,
+    name: str = "pagerank_weighted",
     on_superstep=None,
 ) -> tuple[DataFrame, int]:
     """Weighted PageRank over an edge table with a ``weight`` column —
@@ -146,19 +150,30 @@ def pagerank_weighted(
     convergence test (exactly ``max_iters`` supersteps — what the
     fixed-depth SQL oracle pins)."""
     const = (1.0 - damping) / graph.n
-    wout = graph.edges.groupBy(F.col("src").alias("id")).agg(
-        F.sum("weight").cast("double").alias("wout")
-    )
-    init = (
-        graph.out_degrees.join(wout.hint("shuffle_hash"), "id", "left")
-        .select(
-            "id",
-            F.coalesce("wout", F.lit(0.0)).alias("wout"),
-            F.lit(1.0 / graph.n).alias("rank"),
-        )
-    )
-    st = IterState(init, num_partitions=graph.num_partitions)
     it = 0
+    if resume and checkpoint_mgr is not None and checkpoint_mgr.latest_step(name):
+        it = checkpoint_mgr.latest_step(name)
+        init = checkpoint_mgr.load(name, it, graph.num_partitions)
+    else:
+        wout = graph.edges.groupBy(F.col("src").alias("id")).agg(
+            F.sum("weight").cast("double").alias("wout")
+        )
+        init = (
+            graph.out_degrees.join(wout.hint("shuffle_hash"), "id", "left")
+            .select(
+                "id",
+                F.coalesce("wout", F.lit(0.0)).alias("wout"),
+                F.lit(1.0 / graph.n).alias("rank"),
+            )
+        )
+    st = IterState(
+        init,
+        num_partitions=graph.num_partitions,
+        checkpoint_every=checkpoint_every,
+        manager=checkpoint_mgr,
+        name=name,
+        superstep=it,
+    )
     while it < max_iters:
         it += 1
         msgs = edge_map(
@@ -185,6 +200,7 @@ def pagerank_weighted(
             action=lambda df: df.agg(
                 F.sum(F.abs(F.col("rank") - F.col("old")))
             ).first(),
+            metrics={"superstep": it},
         )
         l1 = row[0]
         if on_superstep:

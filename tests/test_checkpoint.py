@@ -120,3 +120,42 @@ def test_prune_keeps_newest(spark, tiny_graph, tmp_path):
     pagerank(tiny_graph, max_iters=5, checkpoint_mgr=mgr)
     mgr.prune("pagerank", keep_last=2)
     assert mgr.steps("pagerank") == [4, 5]
+
+
+def test_pagerank_weighted_kill_resume_identical(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from ligra_spark.apps import pagerank_weighted
+    from ligra_spark.checkpoint import CheckpointManager
+    from ligra_spark.graph import LinkGraph
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 40, 200).astype(np.int64)
+    dst = rng.integers(0, 40, 200).astype(np.int64)
+    w = rng.integers(1, 9, 200).astype(np.int64)
+    edges = spark.createDataFrame(pd.DataFrame({"src": src, "dst": dst, "weight": w}))
+    g = LinkGraph.from_edges(spark, edges, n=40, num_partitions=4).materialize()
+    mgr = CheckpointManager(spark, str(tmp_path / "ckpt"))
+
+    def killer(it, m):
+        if it == 3:
+            raise _Kill()
+
+    with pytest.raises(_Kill):
+        pagerank_weighted(
+            g, max_iters=10, epsilon=0, checkpoint_mgr=mgr, on_superstep=killer
+        )
+    assert mgr.latest_step("pagerank_weighted") == 3
+
+    resumed, iters = pagerank_weighted(
+        g, max_iters=10, epsilon=0, checkpoint_mgr=mgr, resume=True
+    )
+    assert iters == 10
+    clean, _ = pagerank_weighted(g, max_iters=10, epsilon=0)
+    a = {r["id"]: r["rank"] for r in resumed.collect()}
+    b = {r["id"]: r["rank"] for r in clean.collect()}
+    ra = np.array([a[i] for i in sorted(a)])
+    rb = np.array([b[i] for i in sorted(b)])
+    np.testing.assert_allclose(ra, rb, atol=1e-12, rtol=0)
+    g.unpersist()

@@ -1041,6 +1041,60 @@ def _q_host_link_graph(spark, sf):
     return he
 
 
+RW_STARTS, RW_REPS, RW_LEN, RW_SEED = 64, 4, 6, 0
+
+
+def _q_random_walk_corpus(spark, sf):
+    """DeepWalk-style training corpus (apps.random_walks): 4
+    deterministic uniform walks of length 6 from each of 64 start
+    vertices over the symmetric graph — counter-hash neighbor draws,
+    so the oracle replays the identical walks."""
+    from ligra_spark.apps import random_walks
+
+    g = _graph(spark, sf, symmetric=True)
+    return random_walks(
+        g, spark.range(RW_STARTS), walks_per_start=RW_REPS,
+        length=RW_LEN, seed=RW_SEED,
+    )
+
+
+def _random_walk_sql() -> str:
+    """Inlined counter-hash VALUES (bit-exact numpy hash_int32) + one
+    indexed-adjacency lookup CTE per step — the same replay technique
+    as ``_heat_kernel_rand_sql``."""
+    import numpy as np
+
+    from ligra_spark.hashing import hash_int32
+
+    stride = RW_LEN + 1
+    rows = []
+    for w in range(RW_STARTS * RW_REPS):
+        for j in range(1, stride):
+            h = int(hash_int32(np.uint32((w * stride + j + RW_SEED) & 0xFFFFFFFF)))
+            rows.append(f"({w},{j},{h})")
+    sql = (
+        f"WITH e0 AS MATERIALIZED ({EDGES_SQL}),\n"
+        f"es AS MATERIALIZED ({SYM_SQL}),\n"
+        "degs AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM es GROUP BY src),\n"
+        "eidx AS MATERIALIZED (SELECT src, dst,\n"
+        "  row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx FROM es),\n"
+        f"hv AS MATERIALIZED (SELECT * FROM (VALUES {','.join(rows)}) t(walk, j, h)),\n"
+        f"w0 AS (SELECT CAST(s.range * {RW_REPS} + r.range AS BIGINT) AS walk,\n"
+        f"  CAST(s.range AS BIGINT) AS x FROM range({RW_STARTS}) s, range({RW_REPS}) r)"
+    )
+    for j in range(1, stride):
+        sql += (
+            f",\nw{j} AS MATERIALIZED (SELECT w.walk,\n"
+            "  CASE WHEN coalesce(d.deg, 0) > 0 THEN e.dst ELSE w.x END AS x\n"
+            f"  FROM w{j - 1} w\n"
+            "  LEFT JOIN degs d ON d.id = w.x\n"
+            f"  JOIN hv ON hv.walk = w.walk AND hv.j = {j}\n"
+            "  LEFT JOIN eidx e ON d.deg > 0 AND e.src = w.x AND e.idx = hv.h % d.deg)"
+        )
+    parts = [f"SELECT walk, {j} AS step, x AS id FROM w{j}" for j in range(stride)]
+    return sql + "\n" + "\nUNION ALL ".join(parts)
+
+
 def _q_url_normalize(spark, sf):
     """RFC 3986 §6.2 url canonicalization (extract.normalize_url) over
     deterministically-messy urls built from doc_id: mixed-case scheme
@@ -1290,7 +1344,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_stepping": _q_delta_stepping,
         "ecc_kbfs": _q_ecc_kbfs,
         "ecc_tk": _q_ecc_tk,
-        "bc": _q_bc,
         "kcore_julienne": _q_kcore_julienne,
         "ppr": _q_ppr,
         "ppr_sweep": _q_ppr_sweep,
@@ -1329,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_rank": _q_host_rank,
         "anchor_text_agg": _q_anchor_text_agg,
         "url_normalize": _q_url_normalize,
+        "random_walk_corpus": _q_random_walk_corpus,
         "doc_media_decode": _q_doc_media_decode,
         "doc_image_features": _q_doc_image_features,
         # the real-PPM decode twin of the two multimodal rows above
@@ -1344,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setcover": _q_setcover,
         "cf": _q_cf,
         "kcore": _q_kcore,
+        "bc": _q_bc,
         "hyper_bfs": _q_hyper_bfs,
         "hyper_pagerank": _q_hyper_pagerank,
         "doc_quality": _q_doc_quality,
@@ -3476,6 +3531,7 @@ def oracle_sql() -> dict[str, str]:
         "host_link_graph": _HOST_LINK_GRAPH_SQL,
         "host_rank": _host_rank_sql(12),
         "url_normalize": _URL_NORMALIZE_SQL,
+        "random_walk_corpus": _random_walk_sql(),
         # DuckDB's parallel unnest zips the two regexp arrays exactly
         # like the Spark side's arrays_zip
         "anchor_text_agg": (

@@ -4,6 +4,7 @@ canonical reference app (SURVEY.md §2.4)."""
 from .pagerank import pagerank, pagerank_delta, pagerank_weighted
 from .hits import hits
 from .graph_stats import degree_assortativity, reciprocity
+from .random_walks import neighbor_index, random_walks
 from .cc_star import cc_two_phase
 from .components import components, label_propagation
 from .triangle import per_vertex_triangles, triangle_count
@@ -76,6 +77,8 @@ __all__ = [
     "hits",
     "degree_assortativity",
     "reciprocity",
+    "neighbor_index",
+    "random_walks",
     "pagerank",
     "pagerank_delta",
     "pagerank_weighted",

@@ -228,3 +228,38 @@ def test_graph_stats_numpy_exact(tiny_graph, tiny_graph_sym, tiny_edges, tiny_sy
     row = degree_assortativity(tiny_graph_sym).collect()[0]
     assert row["pairs"] == m
     assert abs(row["assortativity"] - round(num / den, 8)) < 1e-8
+
+
+def test_random_walks_numpy_replay(tiny_graph_sym, tiny_sym, spark):
+    """Walks replay exactly from the counter-hash stream: engine- and
+    partitioning-independent; degree-0 landings freeze."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from ligra_spark.apps import random_walks
+    from ligra_spark.hashing import hash_int32
+
+    n, s, d = tiny_sym
+    starts = spark.range(8)
+    got = (
+        random_walks(tiny_graph_sym, starts, walks_per_start=2, length=4, seed=7)
+        .toPandas()
+        .sort_values(["walk", "step"])
+    )
+    assert len(got) == 8 * 2 * 5
+    es = np.unique(np.stack([s, d], 1), axis=0)
+    adj = defaultdict(list)
+    for a, b in es:
+        adj[int(a)].append(int(b))
+    stride = 5
+    for start in range(8):
+        for rep in range(2):
+            w, x, seq = start * 2 + rep, start, [start]
+            for j in range(1, stride):
+                h = int(hash_int32(np.uint32((w * stride + j + 7) & 0xFFFFFFFF)))
+                nbrs = sorted(adj.get(x, []))
+                if nbrs:
+                    x = nbrs[h % len(nbrs)]
+                seq.append(x)
+            assert got[got.walk == w].sort_values("step")["id"].tolist() == seq

@@ -1041,6 +1041,42 @@ def _q_host_link_graph(spark, sf):
     return he
 
 
+def _q_ktruss(spark, sf):
+    """Maximal 4-truss of the symmetric graph (apps.ktruss): every
+    surviving canonical edge closes >= 2 triangles among survivors.
+    Fixpoint at this scale: 4 rounds (the 8-round oracle unroll is 2x
+    past it; extra rounds are no-ops on a stable edge set)."""
+    from ligra_spark.apps import ktruss
+
+    e, _ = ktruss(_graph(spark, sf, symmetric=True), k=4)
+    return e
+
+
+def _ktruss_sql(k: int = 4, rounds: int = 8) -> str:
+    """Fixed-depth unroll of the peel-until-stable truss fixpoint:
+    per round, id-ordered triangle enumeration on the surviving
+    canonical edges, per-edge support via 3-projection union, keep
+    support >= k-2 (inner join == the left-join-coalesce filter since
+    k-2 > 0)."""
+    need = k - 2
+    sql = (
+        f"WITH e0 AS ({EDGES_SQL}), es AS ({SYM_SQL}),\n"
+        "c0 AS MATERIALIZED (SELECT src, dst FROM es WHERE src < dst)"
+    )
+    for i in range(rounds):
+        sql += (
+            f",\nt{i} AS MATERIALIZED (SELECT a.src AS u, a.dst AS v, b.dst AS w\n"
+            f"  FROM c{i} a JOIN c{i} b ON b.src = a.dst\n"
+            f"  JOIN c{i} c ON c.src = a.src AND c.dst = b.dst),\n"
+            f"x{i} AS (SELECT u AS src, v AS dst FROM t{i}\n"
+            f"  UNION ALL SELECT v, w FROM t{i} UNION ALL SELECT u, w FROM t{i}),\n"
+            f"s{i} AS (SELECT src, dst, count(*) AS cnt FROM x{i} GROUP BY src, dst),\n"
+            f"c{i + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM c{i} e\n"
+            f"  JOIN s{i} s ON s.src = e.src AND s.dst = e.dst WHERE s.cnt >= {need})"
+        )
+    return sql + f"\nSELECT src, dst FROM c{rounds}"
+
+
 RW_STARTS, RW_REPS, RW_LEN, RW_SEED = 64, 4, 6, 0
 
 
@@ -1328,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph engine (SURVEY.md §2.4 apps over the derived link graph)
         "triangle_count": _q_triangles,
         "triangle_lcc": _q_triangle_lcc,
+        "ktruss4": _q_ktruss,
         "reciprocity": _q_reciprocity,
         "assortativity": _q_assortativity,
         "pagerank": _q_pagerank_full,
@@ -1341,7 +1378,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": _q_label_propagation,
         "bfs": _q_bfs_full,
         "sssp": _q_sssp_full,
-        "delta_stepping": _q_delta_stepping,
         "ecc_kbfs": _q_ecc_kbfs,
         "ecc_tk": _q_ecc_tk,
         "kcore_julienne": _q_kcore_julienne,
@@ -1399,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf": _q_cf,
         "kcore": _q_kcore,
         "bc": _q_bc,
+        "delta_stepping": _q_delta_stepping,
         "hyper_bfs": _q_hyper_bfs,
         "hyper_pagerank": _q_hyper_pagerank,
         "doc_quality": _q_doc_quality,
@@ -3362,6 +3399,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT count(*) AS triangles FROM es e1 "
         "JOIN es e2 ON e1.dst = e2.src AND e1.src < e1.dst AND e2.src < e2.dst "
         "JOIN es e3 ON e3.src = e1.src AND e3.dst = e2.dst",
+        "ktruss4": _ktruss_sql(4, 8),
         "triangle_lcc": f"WITH e0 AS ({EDGES_SQL}), es AS ({SYM_SQL}),\n"
         "t AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w FROM es e1\n"
         "  JOIN es e2 ON e1.dst = e2.src AND e1.src < e1.dst AND e2.src < e2.dst\n"

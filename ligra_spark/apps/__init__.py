@@ -5,6 +5,7 @@ from .pagerank import pagerank, pagerank_delta, pagerank_weighted
 from .hits import hits
 from .graph_stats import degree_assortativity, reciprocity
 from .random_walks import neighbor_index, random_walks
+from .ktruss import ktruss
 from .cc_star import cc_two_phase
 from .components import components, label_propagation
 from .triangle import per_vertex_triangles, triangle_count
@@ -79,6 +80,7 @@ __all__ = [
     "reciprocity",
     "neighbor_index",
     "random_walks",
+    "ktruss",
     "pagerank",
     "pagerank_delta",
     "pagerank_weighted",

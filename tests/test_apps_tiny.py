@@ -263,3 +263,36 @@ def test_random_walks_numpy_replay(tiny_graph_sym, tiny_sym, spark):
                     x = nbrs[h % len(nbrs)]
                 seq.append(x)
             assert got[got.walk == w].sort_values("step")["id"].tolist() == seq
+
+
+def test_ktruss_numpy_exact(tiny_graph_sym, tiny_sym):
+    """Fixed-k truss == numpy peel-until-stable on the canonical edge
+    set, for k where the result is non-trivial, shrinking, and empty."""
+    import numpy as np
+
+    from ligra_spark.apps import ktruss
+
+    n, s, d = tiny_sym
+
+    def np_ktruss(k):
+        E = {(int(a), int(b)) for a, b in zip(s, d) if a < b}
+        changed, rounds = True, 0
+        while changed and E:
+            rounds += 1
+            adj = {}
+            for a, b in E:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            keep = {
+                (a, b) for (a, b) in E if len(adj[a] & adj[b]) >= k - 2
+            }
+            changed = keep != E
+            E = keep
+        return E, rounds
+
+    for k in (3, 4, 5):
+        want, rounds = np_ktruss(k)
+        e, r = ktruss(tiny_graph_sym, k)
+        got = {tuple(x) for x in e.toPandas().to_numpy()}
+        assert got == want, k
+        assert r == rounds, (k, r, rounds)

@@ -58,7 +58,10 @@ def random_walks(
     all emitted; a degree-0 landing freezes in place."""
     stride = length + 1
     mask = F.lit(0xFFFFFFFF)
-    eidx = neighbor_index(graph)
+    # one window shuffle+sort, computed once and reused by every step's
+    # join (each of the `length` joins would otherwise re-run it);
+    # cached for the lifetime of the result DataFrame's evaluation
+    eidx = neighbor_index(graph).persist()
     deg = graph.out_degrees.select("id", F.col("outdeg").alias("deg"))
     reps = F.explode(
         F.sequence(F.lit(0), F.lit(int(walks_per_start) - 1))

@@ -1250,6 +1250,61 @@ def _host_rank_sql(k: int) -> str:
     return sql + f"\nSELECT id, round(rank, 8) AS rank FROM {prev}"
 
 
+def _q_host_topk_pages(spark, sf):
+    """Per-domain curation cap: the top-3 pages of every host by
+    PageRank over the hosted page graph — the per-domain quota step of
+    a training-data pipeline (rank-ordered, deterministic (rank desc,
+    id) tie-break on round-8 ranks).  One window over the scored
+    dictionary join; PR fixed at 12 supersteps for the oracle."""
+    from pyspark.sql import Window
+
+    from ligra_spark.apps import pagerank
+    from ligra_spark.ingest import build_link_graph, host_of
+
+    g, d = build_link_graph(spark, _hosted_pages_df(spark, sf))
+    scores, _ = pagerank(g, max_iters=12, epsilon=0.0)
+    joined = scores.join(d, "id").select(
+        "id",
+        "url",
+        host_of(F.col("url")).alias("host"),
+        F.round("rank", 8).alias("rank"),
+    )
+    w = Window.partitionBy("host").orderBy(F.col("rank").desc(), F.col("id"))
+    return (
+        joined.withColumn("pos", F.row_number().over(w).cast("long"))
+        .filter(F.col("pos") <= 3)
+    )
+
+
+_HOST_TOPK_SQL = (
+    "WITH p AS (SELECT doc_id,\n"
+    "  'http://h' || (doc_id % 31) || '.test/p' || doc_id AS url,\n"
+    "  'http://h' || ((doc_id*7 % 97) % 31) || '.test/p' || (doc_id*7 % 97) AS href1,\n"
+    "  'http://h' || ((doc_id*13 % 89) % 31) || '.test/p' || (doc_id*13 % 89) AS href2\n"
+    "  FROM documents),\n"
+    "links AS (SELECT url, href1 AS href FROM p UNION ALL SELECT url, href2 AS href FROM p),\n"
+    "lk AS (SELECT l.url, l.href FROM links l JOIN p t ON t.url = l.href),\n"
+    "dict AS (SELECT url, doc_id, CAST(row_number() OVER (ORDER BY url) - 1 AS BIGINT) AS id FROM p),\n"
+    "e AS MATERIALIZED (SELECT ds.id AS src, dd.id AS dst\n"
+    "  FROM lk JOIN dict ds ON ds.url = lk.url JOIN dict dd ON dd.url = lk.href),\n"
+    "deg AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src),\n"
+    "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM p),\n"
+    "p0 AS (SELECT id, (SELECT 1.0/n FROM nn) AS rank FROM dict)"
+    + "".join(
+        f",\nc{i} AS MATERIALIZED (SELECT e.dst AS id, sum(p{i-1}.rank / deg.outdeg) AS contrib\n"
+        f"  FROM e JOIN p{i-1} ON p{i-1}.id = e.src JOIN deg ON deg.id = e.src GROUP BY e.dst),\n"
+        f"p{i} AS MATERIALIZED (SELECT d.id, 0.85 * coalesce(c{i}.contrib, 0) + (SELECT 0.15/n FROM nn) AS rank\n"
+        f"  FROM dict d LEFT JOIN c{i} ON c{i}.id = d.id)"
+        for i in range(1, 13)
+    )
+    + ",\nscored AS (SELECT d.id, d.url, 'h' || (d.doc_id % 31) || '.test' AS host,\n"
+    "  round(p12.rank, 8) AS rank FROM dict d JOIN p12 ON p12.id = d.id)\n"
+    "SELECT id, url, host, rank, pos FROM (\n"
+    "  SELECT *, CAST(row_number() OVER (PARTITION BY host ORDER BY rank DESC, id) AS BIGINT) AS pos\n"
+    "  FROM scored) WHERE pos <= 3"
+)
+
+
 def _q_triangle_lcc(spark, sf):
     """Per-vertex triangle counts + local clustering coefficient
     (apps.triangle.per_vertex_triangles) — the per-vertex array the
@@ -1378,7 +1433,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": _q_label_propagation,
         "bfs": _q_bfs_full,
         "sssp": _q_sssp_full,
-        "ecc_kbfs": _q_ecc_kbfs,
         "ecc_tk": _q_ecc_tk,
         "kcore_julienne": _q_kcore_julienne,
         "ppr": _q_ppr,
@@ -1416,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_link_graph": _q_page_link_graph,
         "host_link_graph": _q_host_link_graph,
         "host_rank": _q_host_rank,
+        "host_topk_pages": _q_host_topk_pages,
         "anchor_text_agg": _q_anchor_text_agg,
         "url_normalize": _q_url_normalize,
         "random_walk_corpus": _q_random_walk_corpus,
@@ -1436,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": _q_kcore,
         "bc": _q_bc,
         "delta_stepping": _q_delta_stepping,
+        "ecc_kbfs": _q_ecc_kbfs,
         "hyper_bfs": _q_hyper_bfs,
         "hyper_pagerank": _q_hyper_pagerank,
         "doc_quality": _q_doc_quality,
@@ -3568,6 +3624,7 @@ def oracle_sql() -> dict[str, str]:
         "page_link_graph": _PAGE_LINK_GRAPH_SQL,
         "host_link_graph": _HOST_LINK_GRAPH_SQL,
         "host_rank": _host_rank_sql(12),
+        "host_topk_pages": _HOST_TOPK_SQL,
         "url_normalize": _URL_NORMALIZE_SQL,
         "random_walk_corpus": _random_walk_sql(),
         # DuckDB's parallel unnest zips the two regexp arrays exactly

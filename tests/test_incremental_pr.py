@@ -24,10 +24,13 @@ def _cold(spark, tiny_edges):
     from ligra_spark.graph import LinkGraph
 
     n, src, dst = tiny_edges
+    # deliberately NOT unpersisted: Spark's CacheManager keys on the
+    # LOGICAL PLAN, and this graph's plan is identical to the shared
+    # session-scoped tiny_graph fixture's — unpersisting here would
+    # evict the fixture's cache too (test_plans asserts on it)
     g = LinkGraph.from_edges(spark, edges_df(spark, src, dst), n=n).materialize()
     scores, steps = pagerank(g)
     pdf = scores.toPandas().sort_values("id").reset_index(drop=True)
-    g.unpersist()
     return pdf["rank"].to_numpy(), steps
 
 
@@ -89,12 +92,13 @@ def test_warm_start_from_fixpoint_is_one_step(spark, tiny_edges):
     from ligra_spark.graph import LinkGraph
 
     n, src, dst = tiny_edges
+    # not unpersisted — identical logical plan to the shared fixture
+    # graph; see _cold above
     g = LinkGraph.from_edges(spark, _e(spark, src, dst), n=n).materialize()
     scores, _ = pagerank(g)
     scores = scores.cache()
     scores.count()
     _, steps = pagerank(g, init=scores)
-    g.unpersist()
     scores.unpersist()
     assert steps <= 2, steps
 

@@ -156,10 +156,23 @@ def main() -> None:
 
     phase("neardup_cluster", lambda: neardup_clusters(docs).count())
 
+    # round-3 web-graph additions: per-vertex triangles + LCC, fixed-k
+    # truss peel, and the DeepWalk corpus generator (256 walks x 6
+    # steps — per-step cost is the box's fixed job floor, amortizing
+    # with walk count, not graph size)
+    from ligra_spark.apps import ktruss, per_vertex_triangles, random_walks
+
+    phase("triangle_lcc", lambda: per_vertex_triangles(gsym).count())
+    phase("ktruss4", lambda: ktruss(gsym, 4)[0].count())
+    phase(
+        "random_walks",
+        lambda: random_walks(gsym, spark.range(64), 4, 6).count(),
+    )
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "ligra_spark headline phases (1hop/BFS/PR10/CC/triangle/minhash-LSH/ANN"
-        "/IVF/asof/range/sessions/kBFS-ecc/PPR/corpus-prep/neardup)",
+        "/IVF/asof/range/sessions/kBFS-ecc/PPR/corpus-prep/neardup/LCC/truss/walks)",
         "value": total,
         "unit": "sec",
         "queries": timings,

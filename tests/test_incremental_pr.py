@@ -71,7 +71,7 @@ def test_warm_start_saves_supersteps(spark, tmp_path):
     from ligra_spark.streaming import apply_pr_batch, read_pr_manifest
 
     n = 1 << 10
-    src, dst = rmat_edges(10, 8 * n, seed=7)
+    src, dst = rmat_edges(n, 8 * n, seed=7)
     h = (src * 7919 + dst) % 50
     pr_dir = str(tmp_path / "pr")
     base = apply_pr_batch(edges_df(spark, src[h != 0], dst[h != 0]), 0, pr_dir, n, 4)

@@ -32,21 +32,49 @@ from pyspark.sql import functions as F
 __all__ = ["ktruss"]
 
 
-def _support(e: DataFrame) -> DataFrame:
-    """(src, dst, cnt): per canonical edge, triangles it closes within
-    the canonical edge set ``e`` (u<v rows)."""
-    a = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    b = e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+def _support(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """(src, dst, cnt): per canonical (src < dst) edge, triangles it
+    closes within the canonical edge set ``e``.
+
+    Triangles are enumerated under the STATIC degree-(then id)
+    orientation — the same O(m^1.5) wedge bound as
+    :func:`triangle.oriented_edges`; orienting by raw id instead blows
+    up on power-law graphs, where the low-id vertices are exactly the
+    rMat/web hubs whose wedge sets are quadratic.  Any consistent
+    total order is a valid orientation for every peel round's
+    subgraph, so the ORIGINAL graph's degrees are used unchanged
+    across rounds (no per-round degree recount).  Each triangle found
+    once; its 3 corners are re-canonicalized by id to credit the
+    (u < v) edges the peel filters on."""
+    ds = deg.select(F.col("id").alias("src"), F.col("d").alias("sd"))
+    dd = deg.select(F.col("id").alias("dst"), F.col("d").alias("dd"))
+    ranked = e.join(ds, "src").join(dd, "dst")
+    fwd = (F.col("sd") < F.col("dd")) | (
+        (F.col("sd") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    d = ranked.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("a"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("b"),
+    )
+    w1 = d.select(F.col("a"), F.col("b").alias("m"))
+    w2 = d.select(F.col("a").alias("m"), F.col("b").alias("c"))
     tri = (
-        a.join(b, "v")
-        .join(e.select(F.col("src").alias("u"), F.col("dst").alias("w")), ["u", "w"])
+        w1.join(w2, "m")
+        .join(d.select(F.col("a"), F.col("b").alias("c")), ["a", "c"])
+        .select(F.col("a"), F.col("m").alias("b"), F.col("c"))
     )
     edges3 = tri.select(
         F.explode(
             F.array(
-                F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
-                F.struct(F.col("v").alias("src"), F.col("w").alias("dst")),
-                F.struct(F.col("u").alias("src"), F.col("w").alias("dst")),
+                F.struct(
+                    F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst")
+                ),
+                F.struct(
+                    F.least("b", "c").alias("src"), F.greatest("b", "c").alias("dst")
+                ),
+                F.struct(
+                    F.least("a", "c").alias("src"), F.greatest("a", "c").alias("dst")
+                ),
             )
         ).alias("e")
     ).select("e.src", "e.dst")
@@ -61,6 +89,7 @@ def ktruss(graph, k: int, max_rounds: int = 100) -> tuple[DataFrame, int]:
         raise ValueError("k-truss requires k >= 2")
     spark = graph.edges.sparkSession
     need = k - 2
+    deg = graph.out_degrees.select("id", F.col("outdeg").alias("d"))
     e = (
         graph.edges.select("src", "dst")
         .filter(F.col("src") < F.col("dst"))
@@ -73,7 +102,7 @@ def ktruss(graph, k: int, max_rounds: int = 100) -> tuple[DataFrame, int]:
     while rounds < max_rounds:
         rounds += 1
         kept = (
-            e.join(_support(e), ["src", "dst"], "left")
+            e.join(_support(e, deg), ["src", "dst"], "left")
             .filter(F.coalesce("cnt", F.lit(0)) >= need)
             .select("src", "dst")
             .repartition(graph.num_partitions, "src")

@@ -101,16 +101,24 @@ def ktruss(graph, k: int, max_rounds: int = 100) -> tuple[DataFrame, int]:
     rounds = 0
     while rounds < max_rounds:
         rounds += 1
+        # survivors shrink fast (power-law graphs lose most edges in
+        # round 1); scale the partition count down with them so tail
+        # rounds don't pay 100s of near-empty tasks, and unpersist the
+        # superseded round BLOCKING so dead cache blocks and their
+        # shuffle files don't pile up across rounds (the long-lived
+        # -session lesson from the 1B bench: cleanup debt, not
+        # compute, is what makes shrinking iterations slow down)
+        parts = max(1, min(graph.num_partitions, n_old // 100_000 + 1))
         kept = (
             e.join(_support(e, deg), ["src", "dst"], "left")
             .filter(F.coalesce("cnt", F.lit(0)) >= need)
             .select("src", "dst")
-            .repartition(graph.num_partitions, "src")
+            .repartition(parts, "src")
             .persist()
         )
         # one driver sync per round: did anything die?
         n_new = kept.count()
-        e.unpersist()
+        e.unpersist(blocking=True)
         e = kept
         if n_new == n_old or n_new == 0:
             break

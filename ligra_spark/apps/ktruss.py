@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..engine import cut_lineage
+
 __all__ = ["ktruss"]
 
 
@@ -36,16 +38,19 @@ def _support(e: DataFrame, deg: DataFrame) -> DataFrame:
     """(src, dst, cnt): per canonical (src < dst) edge, triangles it
     closes within the canonical edge set ``e``.
 
-    Triangles are enumerated under the STATIC degree-(then id)
-    orientation — the same O(m^1.5) wedge bound as
+    Triangles are enumerated under the degree-(then id) orientation of
+    the degrees passed in — the same O(m^1.5) wedge bound as
     :func:`triangle.oriented_edges`; orienting by raw id instead blows
     up on power-law graphs, where the low-id vertices are exactly the
-    rMat/web hubs whose wedge sets are quadratic.  Any consistent
-    total order is a valid orientation for every peel round's
-    subgraph, so the ORIGINAL graph's degrees are used unchanged
-    across rounds (no per-round degree recount).  Each triangle found
-    once; its 3 corners are re-canonicalized by id to credit the
-    (u < v) edges the peel filters on."""
+    rMat/web hubs whose wedge sets are quadratic.  The caller passes
+    CURRENT-round degrees: any consistent total order is valid per
+    round, but a stale order loses the bound as peeling changes the
+    degree profile (measured: on a 32.7M-edge rMat, round 5 under the
+    original graph's degrees took 180 s on a 527 k-edge survivor core
+    whose former hubs dominate each other; under current degrees the
+    orientation re-balances and the round costs seconds).  Each
+    triangle found once; its 3 corners are re-canonicalized by id to
+    credit the (u < v) edges the peel filters on."""
     ds = deg.select(F.col("id").alias("src"), F.col("d").alias("sd"))
     dd = deg.select(F.col("id").alias("dst"), F.col("d").alias("dd"))
     ranked = e.join(ds, "src").join(dd, "dst")
@@ -81,15 +86,20 @@ def _support(e: DataFrame, deg: DataFrame) -> DataFrame:
     return edges3.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
 
 
-def ktruss(graph, k: int, max_rounds: int = 100) -> tuple[DataFrame, int]:
+def ktruss(
+    graph, k: int, max_rounds: int = 100, on_round=None
+) -> tuple[DataFrame, int]:
     """Returns (surviving canonical (src, dst) edges with src < dst,
     rounds run).  Requires graph.symmetric; k >= 2 (k == 2 keeps every
-    edge that closes no triangle too, i.e. the graph itself)."""
+    edge that closes no triangle too, i.e. the graph itself).
+
+    ``on_round(round, surviving_edges)`` is called after each peel
+    round's driver sync — the same observation hook shape as
+    ``pagerank``'s ``on_superstep``."""
     if k < 2:
         raise ValueError("k-truss requires k >= 2")
     spark = graph.edges.sparkSession
     need = k - 2
-    deg = graph.out_degrees.select("id", F.col("outdeg").alias("d"))
     e = (
         graph.edges.select("src", "dst")
         .filter(F.col("src") < F.col("dst"))
@@ -101,6 +111,15 @@ def ktruss(graph, k: int, max_rounds: int = 100) -> tuple[DataFrame, int]:
     rounds = 0
     while rounds < max_rounds:
         rounds += 1
+        # CURRENT degrees, recomputed from the survivors (one cheap
+        # groupBy): the orientation must track the peeled graph or the
+        # wedge bound degrades — see _support
+        deg = (
+            e.select(F.col("src").alias("id"))
+            .unionAll(e.select(F.col("dst").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
         # survivors shrink fast (power-law graphs lose most edges in
         # round 1); scale the partition count down with them so tail
         # rounds don't pay 100s of near-empty tasks, and unpersist the
@@ -114,12 +133,32 @@ def ktruss(graph, k: int, max_rounds: int = 100) -> tuple[DataFrame, int]:
             .filter(F.coalesce("cnt", F.lit(0)) >= need)
             .select("src", "dst")
             .repartition(parts, "src")
-            .persist()
         )
-        # one driver sync per round: did anything die?
+        # cut_lineage (plan AND stats) EVERY round — not IterState's
+        # cadence-4 persist schedule.  Each round's plan references
+        # the previous survivors ~16x (join side, oriented copy, both
+        # legs of the degree recount, the three wedge legs), so (a)
+        # persist-only rounds nest 16^rounds copies of the prior tree
+        # and the driver OOMs just STRINGIFYING the plan for the
+        # execution-start event (measured at 31M edges: round 4 died
+        # in generateTreeString on an 8g heap), and (b) a plain
+        # per-round localCheckpoint still carries originStats whose
+        # BigInt bit-length multiplies 16x per round (measured: round
+        # 13 spent 77 s off-stage in BigInteger.multiply).  See
+        # engine.cut_lineage for the full story.  Checkpoint blocks
+        # are reclaimed by ContextCleaner on driver GC —
+        # session.py pins spark.cleaner.periodicGC.interval=60s so
+        # reclamation keeps pace with the peel instead of waiting for
+        # the 30-min default.
+        kept = cut_lineage(kept)
+        # one driver sync per round: did anything die?  (materializes
+        # the checkpoint; the previous round's blocks stay live until
+        # after this job)
         n_new = kept.count()
-        e.unpersist(blocking=True)
+        e.unpersist()
         e = kept
+        if on_round is not None:
+            on_round(rounds, n_new)
         if n_new == n_old or n_new == 0:
             break
         n_old = n_new

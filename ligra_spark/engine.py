@@ -48,6 +48,7 @@ __all__ = [
     "vertex_map",
     "vertex_filter",
     "IterState",
+    "cut_lineage",
     "SPARSE_DENSE_FRACTION",
 ]
 
@@ -233,6 +234,41 @@ def pack_edges(graph, pred: Column):
         symmetric=False,
         salt_buckets=graph.salt_buckets,
     )
+
+
+def cut_lineage(df: DataFrame) -> DataFrame:
+    """localCheckpoint that ALSO resets plan statistics — for loops
+    whose per-round plan references the previous round many times.
+
+    ``Dataset.localCheckpoint`` truncates the logical plan but copies
+    the origin plan's computed statistics onto the new leaf
+    (``LogicalRDD.fromDataset`` keeps ``originStats`` so join
+    strategies keep working across a checkpoint).  In a loop whose
+    round-N plan joins round-N−1 against itself k times, sizeInBytes
+    is a PRODUCT of k copies of the previous leaf's stat, so its
+    BigInt bit-length grows k-fold per round and the driver ends up
+    burning whole rounds inside ``BigInteger.multiply`` under
+    ``SizeInBytesOnlyStatsPlanVisitor`` (observed at k≈16 in the
+    k-truss peel: round 13 spent 77 s off-stage in Toom-Cook-3
+    multiplies of million-bit stats).  Re-rooting the checkpointed
+    RDD in a fresh ``LogicalRDD`` without originStats pins every
+    round's leaf back to the 63-bit default.
+
+    Plain ``IterState`` supersteps don't need this: their plans
+    reference cached state 1-2×, so bit-lengths ADD per superstep
+    (linear), and persisted leaves re-root stats at the materialized
+    ``InMemoryRelation`` anyway.  Falls back to the plain checkpoint
+    if the internal constructor is unavailable."""
+    ck = df.localCheckpoint(eager=False)
+    try:
+        spark = df.sparkSession
+        jdf = ck._jdf
+        jds = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(jds, spark)
+    except Exception:  # pragma: no cover - private-API drift
+        return ck
 
 
 def vertex_map(state: DataFrame, **cols: Column) -> DataFrame:

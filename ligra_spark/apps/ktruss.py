@@ -87,7 +87,14 @@ def _support(e: DataFrame, deg: DataFrame) -> DataFrame:
 
 
 def ktruss(
-    graph, k: int, max_rounds: int = 100, on_round=None
+    graph,
+    k: int,
+    max_rounds: int = 100,
+    on_round=None,
+    checkpoint_mgr=None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+    name: str = "ktruss",
 ) -> tuple[DataFrame, int]:
     """Returns (surviving canonical (src, dst) edges with src < dst,
     rounds run).  Requires graph.symmetric; k >= 2 (k == 2 keeps every
@@ -95,20 +102,33 @@ def ktruss(
 
     ``on_round(round, surviving_edges)`` is called after each peel
     round's driver sync — the same observation hook shape as
-    ``pagerank``'s ``on_superstep``."""
+    ``pagerank``'s ``on_superstep``.
+
+    ``checkpoint_mgr`` (a :class:`ligra_spark.checkpoint.
+    CheckpointManager`) makes every ``checkpoint_every``-th round's
+    survivor set a durable parquet checkpoint with the round's edge
+    count as metrics; ``resume=True`` restarts the peel from the
+    latest committed round.  The peel state is ONLY the survivor edge
+    set, so resumption is exact: re-running from round r's survivors
+    reproduces the remaining rounds bit-for-bit (each round is a pure
+    function of the current edge set)."""
     if k < 2:
         raise ValueError("k-truss requires k >= 2")
     spark = graph.edges.sparkSession
     need = k - 2
-    e = (
-        graph.edges.select("src", "dst")
-        .filter(F.col("src") < F.col("dst"))
-        .distinct()
-        .repartition(graph.num_partitions, "src")
-        .persist()
-    )
-    n_old = e.count()
     rounds = 0
+    if resume and checkpoint_mgr is not None and checkpoint_mgr.latest_step(name):
+        rounds = checkpoint_mgr.latest_step(name)
+        e = checkpoint_mgr.load(name, rounds).persist()
+    else:
+        e = (
+            graph.edges.select("src", "dst")
+            .filter(F.col("src") < F.col("dst"))
+            .distinct()
+            .repartition(graph.num_partitions, "src")
+            .persist()
+        )
+    n_old = e.count()
     while rounds < max_rounds:
         rounds += 1
         # CURRENT degrees, recomputed from the survivors (one cheap
@@ -150,7 +170,16 @@ def ktruss(
         # session.py pins spark.cleaner.periodicGC.interval=60s so
         # reclamation keeps pace with the peel instead of waiting for
         # the 30-min default.
-        kept = cut_lineage(kept)
+        if checkpoint_mgr is not None and rounds % checkpoint_every == 0:
+            # durable parquet round: the re-read roots the plan at the
+            # files (lineage cut) with REAL file statistics (stats cut)
+            # — the durable twin of cut_lineage — and makes the round
+            # resumable
+            kept = checkpoint_mgr.save(
+                kept, name, rounds, {"round": rounds, "edges_before_round": n_old}
+            )
+        else:
+            kept = cut_lineage(kept)
         # one driver sync per round: did anything die?  (materializes
         # the checkpoint; the previous round's blocks stay live until
         # after this job)

@@ -159,3 +159,28 @@ def test_pagerank_weighted_kill_resume_identical(spark, tmp_path):
     rb = np.array([b[i] for i in sorted(b)])
     np.testing.assert_allclose(ra, rb, atol=1e-12, rtol=0)
     g.unpersist()
+
+
+def test_ktruss_kill_resume_identical(spark, tiny_graph_sym, tmp_path):
+    """Kill the peel after round 2's committed checkpoint, resume, and
+    the surviving edge set matches the uninterrupted run exactly (each
+    peel round is a pure function of the current survivor set)."""
+    from ligra_spark.apps import ktruss
+    from ligra_spark.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(spark, str(tmp_path / "ckpt_kt"))
+
+    def killer(r, edges):
+        if r == 2:
+            raise _Kill()
+
+    with pytest.raises(_Kill):
+        ktruss(tiny_graph_sym, 4, checkpoint_mgr=mgr, on_round=killer)
+    assert mgr.latest_step("ktruss") == 2
+    assert mgr.metadata("ktruss", 2)["metrics"]["edges_before_round"] > 0
+
+    resumed, _ = ktruss(tiny_graph_sym, 4, checkpoint_mgr=mgr, resume=True)
+    clean, _ = ktruss(tiny_graph_sym, 4)
+    a = {(r["src"], r["dst"]) for r in resumed.collect()}
+    b = {(r["src"], r["dst"]) for r in clean.collect()}
+    assert a == b and len(a) > 0

@@ -1052,6 +1052,55 @@ def _q_ktruss(spark, sf):
     return e
 
 
+def _q_truss_decomposition(spark, sf):
+    """Per-edge trussness (apps.truss_decomposition): the max k whose
+    k-truss contains the edge — KCore.C's decomposition idea one level
+    up the cohesion ladder.  Gate graphs peel to empty at k = 5 with
+    max trussness 4 (both SFs, measured), so the oracle's 4-level
+    unroll is one level past the fixpoint."""
+    from ligra_spark.apps import truss_decomposition
+
+    res, _ = truss_decomposition(_graph(spark, sf, symmetric=True))
+    return res
+
+
+def _truss_decomp_sql(levels=(3, 4, 5, 6), rounds: int = 5) -> str:
+    """Nested unroll of the trussness peel: per level k, ``rounds``
+    peel rounds (identity once the level's fixpoint is reached —
+    measured fixpoints: 2/4/1 rounds for k=3/4/5 at both gate SFs);
+    edges removed within level k get trussness k-1.  Each level starts
+    from the previous level's survivors (the (k)-truss is inside the
+    (k-1)-truss)."""
+    sql = (
+        f"WITH e0 AS ({EDGES_SQL}), es AS ({SYM_SQL}),\n"
+        "lvl3r0 AS MATERIALIZED (SELECT src, dst FROM es WHERE src < dst)"
+    )
+    parts = []
+    for k in levels:
+        need = k - 2
+        for i in range(rounds):
+            cur, nxt = f"lvl{k}r{i}", f"lvl{k}r{i + 1}"
+            sql += (
+                f",\nt{k}_{i} AS MATERIALIZED (SELECT a.src AS u, a.dst AS v, b.dst AS w\n"
+                f"  FROM {cur} a JOIN {cur} b ON b.src = a.dst\n"
+                f"  JOIN {cur} c ON c.src = a.src AND c.dst = b.dst),\n"
+                f"x{k}_{i} AS (SELECT u AS src, v AS dst FROM t{k}_{i}\n"
+                f"  UNION ALL SELECT v, w FROM t{k}_{i} UNION ALL SELECT u, w FROM t{k}_{i}),\n"
+                f"s{k}_{i} AS (SELECT src, dst, count(*) AS cnt FROM x{k}_{i} GROUP BY src, dst),\n"
+                f"{nxt} AS MATERIALIZED (SELECT e.src, e.dst FROM {cur} e\n"
+                f"  JOIN s{k}_{i} s ON s.src = e.src AND s.dst = e.dst WHERE s.cnt >= {need})"
+            )
+        parts.append(
+            f"SELECT src, dst, CAST({k - 1} AS BIGINT) AS trussness FROM\n"
+            f"  (SELECT src, dst FROM lvl{k}r0 EXCEPT SELECT src, dst FROM lvl{k}r{rounds}) rm{k}"
+        )
+        if k != levels[-1]:
+            sql += (
+                f",\nlvl{k + 1}r0 AS MATERIALIZED (SELECT src, dst FROM lvl{k}r{rounds})"
+            )
+    return sql + "\n" + "\nUNION ALL\n".join(parts)
+
+
 def _ktruss_sql(k: int = 4, rounds: int = 8) -> str:
     """Fixed-depth unroll of the peel-until-stable truss fixpoint:
     per round, id-ordered triangle enumeration on the surviving
@@ -1420,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangles,
         "triangle_lcc": _q_triangle_lcc,
         "ktruss4": _q_ktruss,
+        "truss_decomposition": _q_truss_decomposition,
         "reciprocity": _q_reciprocity,
         "assortativity": _q_assortativity,
         "pagerank": _q_pagerank_full,
@@ -1440,7 +1490,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nibble": _q_nibble,
         "heat_kernel": _q_heat_kernel,
         "heat_kernel_rand": _q_heat_kernel_rand,
-        "hyper_cc": _q_hyper_cc,
         # per-partition-CSR physical backend twins (round 3) — same
         # apps, same oracles as pagerank/components/sssp
         "pagerank_csr": _q_pagerank_csr,
@@ -1484,6 +1533,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kept registered so tools/check_entry.py and the judge can
         # still run them.
         "bfscc": _q_bfscc,
+        # rotated out of the head-50 (r02-green) to make room for
+        # truss_decomposition
+        "hyper_cc": _q_hyper_cc,
         "radii": _q_radii,
         "mis": _q_mis,
         "setcover": _q_setcover,
@@ -3456,6 +3508,7 @@ def oracle_sql() -> dict[str, str]:
         "JOIN es e2 ON e1.dst = e2.src AND e1.src < e1.dst AND e2.src < e2.dst "
         "JOIN es e3 ON e3.src = e1.src AND e3.dst = e2.dst",
         "ktruss4": _ktruss_sql(4, 8),
+        "truss_decomposition": _truss_decomp_sql(),
         "triangle_lcc": f"WITH e0 AS ({EDGES_SQL}), es AS ({SYM_SQL}),\n"
         "t AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w FROM es e1\n"
         "  JOIN es e2 ON e1.dst = e2.src AND e1.src < e1.dst AND e2.src < e2.dst\n"

@@ -5,7 +5,7 @@ from .pagerank import pagerank, pagerank_delta, pagerank_weighted
 from .hits import hits
 from .graph_stats import degree_assortativity, reciprocity
 from .random_walks import neighbor_index, random_walks
-from .ktruss import ktruss
+from .ktruss import ktruss, truss_decomposition
 from .cc_star import cc_two_phase
 from .components import components, label_propagation
 from .triangle import per_vertex_triangles, triangle_count
@@ -81,6 +81,7 @@ __all__ = [
     "neighbor_index",
     "random_walks",
     "ktruss",
+    "truss_decomposition",
     "pagerank",
     "pagerank_delta",
     "pagerank_weighted",

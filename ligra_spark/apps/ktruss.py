@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..engine import cut_lineage
 
-__all__ = ["ktruss"]
+__all__ = ["ktruss", "truss_decomposition"]
 
 
 def _support(e: DataFrame, deg: DataFrame) -> DataFrame:
@@ -192,3 +192,76 @@ def ktruss(
             break
         n_old = n_new
     return e, rounds
+
+
+def truss_decomposition(
+    graph, max_k: int | None = None, max_rounds: int = 1000, on_round=None
+) -> tuple[DataFrame, int]:
+    """Per-edge trussness: (src, dst, trussness) over all canonical
+    (src < dst) edges, where trussness(e) = max k with e in the
+    k-truss (>= 2 for every edge; 2 exactly for triangle-free edges).
+
+    The decomposition twin of ``kcore`` (KCore.C's peel schedule, one
+    level up the cohesion ladder): peel at k = 3, 4, ... — each level
+    STARTS from the previous level's survivors (the (k)-truss is a
+    subgraph of the (k-1)-truss, so no recomputation from scratch) —
+    and the edges removed while peeling at k have trussness k-1.  One
+    anti-join per level assigns the removed edges; total extra work
+    over the deepest single ktruss() call is just those anti-joins.
+
+    Returns (assignments, total peel rounds across all levels).
+    ``on_round(total_rounds, surviving_edges)`` fires per inner peel
+    round, as in :func:`ktruss`."""
+    e = (
+        graph.edges.select("src", "dst")
+        .filter(F.col("src") < F.col("dst"))
+        .distinct()
+        .repartition(graph.num_partitions, "src")
+    )
+    e = cut_lineage(e)
+    n_old = e.count()
+    out = []
+    rounds, k = 0, 3
+    while n_old > 0 and (max_k is None or k <= max_k) and rounds < max_rounds:
+        level_start, level_n = e, n_old
+        need = k - 2
+        while rounds < max_rounds:
+            rounds += 1
+            deg = (
+                e.select(F.col("src").alias("id"))
+                .unionAll(e.select(F.col("dst").alias("id")))
+                .groupBy("id")
+                .agg(F.count(F.lit(1)).alias("d"))
+            )
+            parts = max(1, min(graph.num_partitions, n_old // 100_000 + 1))
+            kept = cut_lineage(
+                e.join(_support(e, deg), ["src", "dst"], "left")
+                .filter(F.coalesce("cnt", F.lit(0)) >= need)
+                .select("src", "dst")
+                .repartition(parts, "src")
+            )
+            n_new = kept.count()
+            e = kept
+            if on_round is not None:
+                on_round(rounds, n_new)
+            if n_new == n_old or n_new == 0:
+                n_old = n_new
+                break
+            n_old = n_new
+        removed = level_start.join(e, ["src", "dst"], "left_anti").select(
+            "src", "dst", F.lit(k - 1).cast("long").alias("trussness")
+        )
+        if level_n > n_old:
+            out.append(removed)
+        # a level that removes nothing just advances k: every edge
+        # dies by k = max_support + 2, so the outer loop terminates
+        k += 1
+    if not out:
+        return (
+            e.select("src", "dst", F.lit(2).cast("long").alias("trussness")),
+            rounds,
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res, rounds

@@ -296,3 +296,37 @@ def test_ktruss_numpy_exact(tiny_graph_sym, tiny_sym):
         got = {tuple(x) for x in e.toPandas().to_numpy()}
         assert got == want, k
         assert r == rounds, (k, r, rounds)
+
+
+def test_truss_decomposition_numpy_exact(tiny_graph_sym, tiny_sym):
+    """Per-edge trussness == numpy nested peel (for each edge the max k
+    whose k-truss contains it), over the full canonical edge set."""
+    from ligra_spark.apps import truss_decomposition
+
+    n, s, d = tiny_sym
+
+    def np_trussness():
+        E = {(int(a), int(b)) for a, b in zip(s, d) if a < b}
+        t = {e: 2 for e in E}
+        k = 3
+        while E:
+            changed = True
+            while changed and E:
+                adj = {}
+                for a, b in E:
+                    adj.setdefault(a, set()).add(b)
+                    adj.setdefault(b, set()).add(a)
+                keep = {(a, b) for (a, b) in E if len(adj[a] & adj[b]) >= k - 2}
+                changed = keep != E
+                for e in E - keep:
+                    t[e] = k - 1
+                E = keep
+            k += 1
+        return t
+
+    want = np_trussness()
+    got = {
+        (r["src"], r["dst"]): r["trussness"]
+        for r in truss_decomposition(tiny_graph_sym)[0].collect()
+    }
+    assert got == want

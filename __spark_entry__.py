@@ -126,6 +126,31 @@ def _q_hits(spark, sf):
     )
 
 
+def _q_trustrank(spark, sf):
+    """TrustRank (apps.trustrank): teleport-personalized PageRank over
+    the trusted seed set PPR_SEEDS — pagerank's quirks kept (lossy
+    dangling mass, duplicate edges count double).  Fixed 70-round
+    schedule matching the oracle unroll exactly (converged L1 < 1e-7
+    lands at 68 rounds at sf0.001 — close enough to the round-8 edge
+    that the 2-round schedule gap flipped one row's 8th decimal)."""
+    from ligra_spark.apps import trustrank
+
+    scores, _ = trustrank(_graph(spark, sf), PPR_SEEDS, max_iters=70, epsilon=0.0)
+    return scores.select("id", F.round("trust", 8).alias("trust"))
+
+
+def _q_salsa(spark, sf):
+    """SALSA (apps.salsa): closed-form stationary authority/hub scores
+    per connected component of the bipartite support graph — one CC
+    run + two degree aggs, no power iteration."""
+    from ligra_spark.apps import salsa
+
+    out = salsa(_graph(spark, sf))
+    return out.select(
+        "id", F.round("auth", 12).alias("auth"), F.round("hub", 12).alias("hub")
+    )
+
+
 def _q_cc_k4(spark, sf):
     from ligra_spark.apps import components
 
@@ -1473,14 +1498,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": _q_reciprocity,
         "assortativity": _q_assortativity,
         "pagerank": _q_pagerank_full,
-        "pagerank_delta": _q_pagerank_delta,
         # HITS hubs/authorities (our addition — the other canonical
         # web-link fixpoint; exercises both traversal directions)
         "hits": _q_hits,
+        # seed-personalized teleport PR + component-normalized SALSA
+        # (round 3 — the remaining two canonical link-analysis scores)
+        "trustrank": _q_trustrank,
+        "salsa": _q_salsa,
         "components": _q_components,
         "cc_star": _q_cc_star,
         "cc_incremental": _q_cc_incremental,
-        "label_propagation": _q_label_propagation,
         "bfs": _q_bfs_full,
         "sssp": _q_sssp_full,
         "ecc_tk": _q_ecc_tk,
@@ -1533,6 +1560,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kept registered so tools/check_entry.py and the judge can
         # still run them.
         "bfscc": _q_bfscc,
+        # rotated out of the head-50 (r02-green) for trustrank/salsa
+        "pagerank_delta": _q_pagerank_delta,
+        "label_propagation": _q_label_propagation,
         # rotated out of the head-50 (r02-green) to make room for
         # truss_decomposition
         "hyper_cc": _q_hyper_cc,
@@ -1601,6 +1631,84 @@ def _pr_sql(k: int) -> str:
         )
         prev = f"p{i}"
     return sql + f"\nSELECT id, round(rank, 8) AS rank FROM {prev}"
+
+
+def _trustrank_sql(k: int = 70) -> str:
+    """Unrolled t = (1-d)·v + d·Tᵀt with v uniform on PPR_SEEDS —
+    _pr_sql's shape with the per-vertex teleport column; double-cast
+    literals replicate the engine's IEEE constant bit-for-bit."""
+    seed_rows = ", ".join(f"({s})" for s in PPR_SEEDS)
+    ns = len(PPR_SEEDS)
+    v0 = f"(CAST(1.0 AS DOUBLE)/{ns})"
+    tele = f"((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * {v0})"
+    sql = (
+        f"WITH e AS MATERIALIZED ({EDGES_SQL}),\n"
+        "deg AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src),\n"
+        f"v AS (SELECT CAST(range AS BIGINT) AS id FROM range({V})),\n"
+        f"sd AS (SELECT * FROM (VALUES {seed_rows}) s(id)),\n"
+        "tv AS MATERIALIZED (SELECT v.id,\n"
+        f"  CASE WHEN sd.id IS NOT NULL THEN {tele} ELSE 0.0 END AS tele,\n"
+        f"  CASE WHEN sd.id IS NOT NULL THEN {v0} ELSE 0.0 END AS trust\n"
+        "  FROM v LEFT JOIN sd ON sd.id = v.id)"
+    )
+    prev = "tv"
+    for i in range(1, k + 1):
+        sql += (
+            f",\nc{i} AS MATERIALIZED (SELECT e.dst AS id, sum({prev}.trust / deg.outdeg) AS contrib\n"
+            f"  FROM e JOIN {prev} ON {prev}.id = e.src JOIN deg ON deg.id = e.src\n"
+            f"  GROUP BY e.dst),\n"
+            f"t{i} AS MATERIALIZED (SELECT tv.id, tv.tele,\n"
+            f"  0.85 * coalesce(c{i}.contrib, 0) + tv.tele AS trust\n"
+            f"  FROM tv LEFT JOIN c{i} ON c{i}.id = tv.id)"
+        )
+        prev = f"t{i}"
+    return sql + f"\nSELECT id, round(trust, 8) AS trust FROM {prev}"
+
+
+def _salsa_sql(cc_rounds: int = 10) -> str:
+    """SALSA closed form: min-label CC unroll over the bipartite
+    support graph (hub j ↔ authority i+V per edge, fixpoint depth 7/6
+    at sf0.001/sf0.01 — 10 rounds is past both), then per-component
+    degree normalization mirroring apps/salsa.py's exact expression
+    order so the doubles are bit-identical."""
+    sql = (
+        f"WITH e0 AS MATERIALIZED ({EDGES_SQL}),\n"
+        f"bip AS MATERIALIZED (SELECT src, dst + {V} AS dst FROM e0\n"
+        f"  UNION ALL SELECT dst + {V} AS src, src AS dst FROM e0),\n"
+        f"v2 AS (SELECT CAST(range AS BIGINT) AS id FROM range({2 * V})),\n"
+        "l0 AS (SELECT id, id AS label FROM v2)"
+    )
+    prev = "l0"
+    for i in range(1, cc_rounds + 1):
+        sql += (
+            f",\nm{i} AS MATERIALIZED (SELECT bip.dst AS id, min({prev}.label) AS minl\n"
+            f"  FROM bip JOIN {prev} ON {prev}.id = bip.src GROUP BY bip.dst),\n"
+            f"l{i} AS MATERIALIZED (SELECT {prev}.id, least({prev}.label, coalesce(m{i}.minl, {prev}.label)) AS label\n"
+            f"  FROM {prev} LEFT JOIN m{i} ON m{i}.id = {prev}.id)"
+        )
+        prev = f"l{i}"
+    return sql + (
+        f",\nindeg AS (SELECT dst AS id, count(*) AS deg FROM e0 GROUP BY dst),\n"
+        "outdeg AS (SELECT src AS id, count(*) AS deg FROM e0 GROUP BY src),\n"
+        f"an AS MATERIALIZED (SELECT i.id, i.deg, c.label FROM indeg i\n"
+        f"  JOIN {prev} c ON c.id = i.id + {V}),\n"
+        "hn AS MATERIALIZED (SELECT o.id, o.deg, c.label FROM outdeg o\n"
+        f"  JOIN {prev} c ON c.id = o.id),\n"
+        "atot AS (SELECT count(*) AS tot FROM an),\n"
+        "htot AS (SELECT count(*) AS tot FROM hn),\n"
+        "acomp AS (SELECT label, count(*) AS csize, sum(deg) AS cvol FROM an GROUP BY label),\n"
+        "hcomp AS (SELECT label, count(*) AS csize, sum(deg) AS cvol FROM hn GROUP BY label),\n"
+        "auth AS (SELECT an.id,\n"
+        "  (acomp.csize / CAST(atot.tot AS DOUBLE)) * an.deg / acomp.cvol AS auth\n"
+        "  FROM an JOIN acomp USING (label) CROSS JOIN atot),\n"
+        "hub AS (SELECT hn.id,\n"
+        "  (hcomp.csize / CAST(htot.tot AS DOUBLE)) * hn.deg / hcomp.cvol AS hub\n"
+        "  FROM hn JOIN hcomp USING (label) CROSS JOIN htot),\n"
+        f"vv AS (SELECT CAST(range AS BIGINT) AS id FROM range({V}))\n"
+        "SELECT vv.id, round(coalesce(auth.auth, 0.0), 12) AS auth,\n"
+        "  round(coalesce(hub.hub, 0.0), 12) AS hub\n"
+        "FROM vv LEFT JOIN auth ON auth.id = vv.id LEFT JOIN hub ON hub.id = vv.id"
+    )
 
 
 def _hits_sql(k: int) -> str:
@@ -3509,6 +3617,8 @@ def oracle_sql() -> dict[str, str]:
         "JOIN es e3 ON e3.src = e1.src AND e3.dst = e2.dst",
         "ktruss4": _ktruss_sql(4, 8),
         "truss_decomposition": _truss_decomp_sql(),
+        "trustrank": _trustrank_sql(70),
+        "salsa": _salsa_sql(10),
         "triangle_lcc": f"WITH e0 AS ({EDGES_SQL}), es AS ({SYM_SQL}),\n"
         "t AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w FROM es e1\n"
         "  JOIN es e2 ON e1.dst = e2.src AND e1.src < e1.dst AND e2.src < e2.dst\n"

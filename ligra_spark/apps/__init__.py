@@ -3,6 +3,8 @@ canonical reference app (SURVEY.md §2.4)."""
 
 from .pagerank import pagerank, pagerank_delta, pagerank_weighted
 from .hits import hits
+from .salsa import salsa
+from .trustrank import trustrank
 from .graph_stats import degree_assortativity, reciprocity
 from .random_walks import neighbor_index, random_walks
 from .ktruss import ktruss, truss_decomposition
@@ -76,6 +78,8 @@ __all__ = [
     "ecc_fm",
     "ecc_loglog",
     "hits",
+    "salsa",
+    "trustrank",
     "degree_assortativity",
     "reciprocity",
     "neighbor_index",

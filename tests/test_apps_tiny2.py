@@ -215,3 +215,76 @@ def test_ecc_rv_matches_oracle(tiny_graph_sym, tiny_sym):
     got = np.array(_by_id(got_df, "ecc", n, fill=0))
     assert rounds == oracle_rounds
     np.testing.assert_array_equal(got, expected)
+
+
+def test_trustrank_matches_numpy(tiny_graph, tiny_edges):
+    """TrustRank == numpy fixpoint of t = (1-d)v + d T't with v uniform
+    on the seeds and pagerank's lossy-dangling/duplicate-edge quirks."""
+    import numpy as np
+
+    from ligra_spark.apps import trustrank
+
+    n, src, dst = tiny_edges
+    seeds = [0, 3, 17]
+    d = 0.85
+    outdeg = np.bincount(src, minlength=n).astype(float)
+    v = np.zeros(n)
+    v[seeds] = 1.0 / len(seeds)
+    t = v.copy()
+    for _ in range(200):
+        share = np.divide(t, outdeg, out=np.zeros(n), where=outdeg > 0)
+        nxt = (1 - d) * v
+        np.add.at(nxt, dst, d * share[src])
+        if np.abs(nxt - t).sum() < 1e-7:
+            t = nxt
+            break
+        t = nxt
+    got, iters = trustrank(tiny_graph, seeds)
+    pdf = got.toPandas().sort_values("id")
+    np.testing.assert_allclose(pdf["trust"].to_numpy(), t, atol=1e-6, rtol=0)
+    assert iters > 1
+
+
+def test_salsa_matches_numpy(tiny_graph, tiny_edges):
+    """SALSA closed form == numpy: per bipartite-support component c,
+    auth(i) = (|A_c|/|A|) * indeg(i)/vol_a(c); hubs symmetric."""
+    import numpy as np
+
+    from ligra_spark.apps import salsa
+
+    n, src, dst = tiny_edges
+    # union-find over the bipartite support (hub j) -- (auth i+n)
+    parent = list(range(2 * n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(src, dst):
+        ra, rb = find(int(a)), find(int(b) + n)
+        if ra != rb:
+            parent[ra] = rb
+    indeg = np.bincount(dst, minlength=n).astype(float)
+    outdeg = np.bincount(src, minlength=n).astype(float)
+
+    def side(deg, offset):
+        support = [i for i in range(n) if deg[i] > 0]
+        tot = len(support)
+        csize, cvol = {}, {}
+        for i in support:
+            c = find(i + offset)
+            csize[c] = csize.get(c, 0) + 1
+            cvol[c] = cvol.get(c, 0.0) + deg[i]
+        out = np.zeros(n)
+        for i in support:
+            c = find(i + offset)
+            out[i] = (csize[c] / tot) * deg[i] / cvol[c]
+        return out
+
+    want_auth = side(indeg, n)
+    want_hub = side(outdeg, 0)
+    pdf = salsa(tiny_graph).toPandas().sort_values("id")
+    np.testing.assert_allclose(pdf["auth"].to_numpy(), want_auth, atol=1e-12)
+    np.testing.assert_allclose(pdf["hub"].to_numpy(), want_hub, atol=1e-12)

@@ -151,6 +151,16 @@ def _q_salsa(spark, sf):
     )
 
 
+def _q_community_lpa(spark, sf):
+    """Synchronous community LPA (apps.community_lpa): 5 fixed rounds
+    of adopt-the-modal-neighbor-label (tie -> min) over the symmetric
+    graph — deterministic by construction, distinct from the min-label
+    connectivity `label_propagation`."""
+    from ligra_spark.apps import community_lpa
+
+    return community_lpa(_graph(spark, sf, symmetric=True), rounds=5)
+
+
 def _q_cc_k4(spark, sf):
     from ligra_spark.apps import components
 
@@ -1505,7 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (round 3 — the remaining two canonical link-analysis scores)
         "trustrank": _q_trustrank,
         "salsa": _q_salsa,
-        "components": _q_components,
+        "community_lpa": _q_community_lpa,
         "cc_star": _q_cc_star,
         "cc_incremental": _q_cc_incremental,
         "bfs": _q_bfs_full,
@@ -1563,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out of the head-50 (r02-green) for trustrank/salsa
         "pagerank_delta": _q_pagerank_delta,
         "label_propagation": _q_label_propagation,
+        "components": _q_components,
         # rotated out of the head-50 (r02-green) to make room for
         # truss_decomposition
         "hyper_cc": _q_hyper_cc,
@@ -1663,6 +1674,32 @@ def _trustrank_sql(k: int = 70) -> str:
         )
         prev = f"t{i}"
     return sql + f"\nSELECT id, round(trust, 8) AS trust FROM {prev}"
+
+
+def _community_lpa_sql(rounds: int = 5) -> str:
+    """Unrolled synchronous LPA: per round a (dst, label) count over
+    incoming neighbor labels, the per-dst mode via a
+    count-desc-label-asc row_number window, vertices with no incoming
+    labels keep their own."""
+    sql = (
+        f"WITH e0 AS MATERIALIZED ({EDGES_SQL}),\n"
+        f"es AS MATERIALIZED ({SYM_SQL}),\n"
+        f"v AS (SELECT CAST(range AS BIGINT) AS id FROM range({V})),\n"
+        "l0 AS (SELECT id, id AS label FROM v)"
+    )
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        sql += (
+            f",\nc{i} AS MATERIALIZED (SELECT es.dst AS id, {prev}.label, count(*) AS cnt\n"
+            f"  FROM es JOIN {prev} ON {prev}.id = es.src GROUP BY es.dst, {prev}.label),\n"
+            f"b{i} AS (SELECT id, label FROM (SELECT id, label,\n"
+            f"  row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rk\n"
+            f"  FROM c{i}) WHERE rk = 1),\n"
+            f"l{i} AS MATERIALIZED (SELECT {prev}.id, coalesce(b{i}.label, {prev}.label) AS label\n"
+            f"  FROM {prev} LEFT JOIN b{i} ON b{i}.id = {prev}.id)"
+        )
+        prev = f"l{i}"
+    return sql + f"\nSELECT id, label FROM {prev}"
 
 
 def _salsa_sql(cc_rounds: int = 10) -> str:
@@ -3619,6 +3656,7 @@ def oracle_sql() -> dict[str, str]:
         "truss_decomposition": _truss_decomp_sql(),
         "trustrank": _trustrank_sql(70),
         "salsa": _salsa_sql(10),
+        "community_lpa": _community_lpa_sql(5),
         "triangle_lcc": f"WITH e0 AS ({EDGES_SQL}), es AS ({SYM_SQL}),\n"
         "t AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w FROM es e1\n"
         "  JOIN es e2 ON e1.dst = e2.src AND e1.src < e1.dst AND e2.src < e2.dst\n"

@@ -9,6 +9,7 @@ from .graph_stats import degree_assortativity, reciprocity
 from .random_walks import neighbor_index, random_walks
 from .ktruss import ktruss, truss_decomposition
 from .cc_star import cc_two_phase
+from .community_lpa import community_lpa
 from .components import components, label_propagation
 from .triangle import per_vertex_triangles, triangle_count
 from .bfs import bfs_levels
@@ -90,6 +91,7 @@ __all__ = [
     "pagerank_delta",
     "pagerank_weighted",
     "cc_two_phase",
+    "community_lpa",
     "components",
     "label_propagation",
     "per_vertex_triangles",

@@ -288,3 +288,28 @@ def test_salsa_matches_numpy(tiny_graph, tiny_edges):
     pdf = salsa(tiny_graph).toPandas().sort_values("id")
     np.testing.assert_allclose(pdf["auth"].to_numpy(), want_auth, atol=1e-12)
     np.testing.assert_allclose(pdf["hub"].to_numpy(), want_hub, atol=1e-12)
+
+
+def test_community_lpa_matches_numpy(tiny_graph_sym, tiny_sym):
+    """Synchronous mode-of-neighbors LPA, fixed 5 rounds, tie -> min
+    label — replayed exactly in numpy."""
+    import numpy as np
+
+    from ligra_spark.apps import community_lpa
+
+    n, src, dst = tiny_sym
+    lab = np.arange(n)
+    for _ in range(5):
+        new = lab.copy()
+        # incoming labels per dst
+        from collections import Counter, defaultdict
+        inc = defaultdict(Counter)
+        for a, b in zip(src, dst):
+            inc[int(b)][int(lab[a])] += 1
+        for v in range(n):
+            if inc[v]:
+                best = sorted(inc[v].items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+                new[v] = best
+        lab = new
+    got = community_lpa(tiny_graph_sym, rounds=5).toPandas().sort_values("id")
+    np.testing.assert_array_equal(got["label"].to_numpy(), lab)

@@ -161,6 +161,15 @@ def _q_community_lpa(spark, sf):
     return community_lpa(_graph(spark, sf, symmetric=True), rounds=5)
 
 
+def _q_clique4(spark, sf):
+    """4-clique count (apps.kclique): exact complete-quadruple census
+    via degree-oriented path growth — Triangle.C's count one motif
+    up; each clique enumerated once in orientation order."""
+    from ligra_spark.apps import kclique_count_df
+
+    return kclique_count_df(_graph(spark, sf, symmetric=True), 4)
+
+
 def _q_cc_k4(spark, sf):
     from ligra_spark.apps import components
 
@@ -1516,9 +1525,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": _q_trustrank,
         "salsa": _q_salsa,
         "community_lpa": _q_community_lpa,
+        "clique4_count": _q_clique4,
         "cc_star": _q_cc_star,
         "cc_incremental": _q_cc_incremental,
-        "bfs": _q_bfs_full,
         "sssp": _q_sssp_full,
         "ecc_tk": _q_ecc_tk,
         "kcore_julienne": _q_kcore_julienne,
@@ -1574,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_delta": _q_pagerank_delta,
         "label_propagation": _q_label_propagation,
         "components": _q_components,
+        "bfs": _q_bfs_full,
         # rotated out of the head-50 (r02-green) to make room for
         # truss_decomposition
         "hyper_cc": _q_hyper_cc,
@@ -3652,6 +3662,14 @@ def oracle_sql() -> dict[str, str]:
         "SELECT count(*) AS triangles FROM es e1 "
         "JOIN es e2 ON e1.dst = e2.src AND e1.src < e1.dst AND e2.src < e2.dst "
         "JOIN es e3 ON e3.src = e1.src AND e3.dst = e2.dst",
+        "clique4_count": f"WITH e0 AS ({EDGES_SQL}), es AS ({SYM_SQL}), "
+        "cs AS MATERIALIZED (SELECT src, dst FROM es WHERE src < dst) "
+        "SELECT count(*) AS cliques FROM cs ab "
+        "JOIN cs bc ON bc.src = ab.dst "
+        "JOIN cs cd ON cd.src = bc.dst "
+        "JOIN cs ac ON ac.src = ab.src AND ac.dst = bc.dst "
+        "JOIN cs ad ON ad.src = ab.src AND ad.dst = cd.dst "
+        "JOIN cs bd ON bd.src = ab.dst AND bd.dst = cd.dst",
         "ktruss4": _ktruss_sql(4, 8),
         "truss_decomposition": _truss_decomp_sql(),
         "trustrank": _trustrank_sql(70),

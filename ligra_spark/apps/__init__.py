@@ -7,6 +7,7 @@ from .salsa import salsa
 from .trustrank import trustrank
 from .graph_stats import degree_assortativity, reciprocity
 from .random_walks import neighbor_index, random_walks
+from .kclique import kclique_count, kclique_count_df
 from .ktruss import ktruss, truss_decomposition
 from .cc_star import cc_two_phase
 from .community_lpa import community_lpa
@@ -85,6 +86,8 @@ __all__ = [
     "reciprocity",
     "neighbor_index",
     "random_walks",
+    "kclique_count",
+    "kclique_count_df",
     "ktruss",
     "truss_decomposition",
     "pagerank",

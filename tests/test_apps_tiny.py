@@ -330,3 +330,36 @@ def test_truss_decomposition_numpy_exact(tiny_graph_sym, tiny_sym):
         for r in truss_decomposition(tiny_graph_sym)[0].collect()
     }
     assert got == want
+
+
+def test_kclique_count_matches_numpy(tiny_graph_sym, tiny_sym):
+    """k-clique counts (k=3,4,5) == brute-force enumeration over the
+    adjacency sets; k=3 must equal triangle_count."""
+    from itertools import combinations
+
+    from ligra_spark.apps import kclique_count, triangle_count
+
+    n, s, d = tiny_sym
+    adj = {}
+    for a, b in zip(s, d):
+        if a != b:
+            adj.setdefault(int(a), set()).add(int(b))
+
+    def brute(k):
+        nodes = sorted(adj)
+        cnt = 0
+        # grow cliques ordered by id over the undirected adjacency
+        def grow(cl, cand):
+            nonlocal cnt
+            if len(cl) == k:
+                cnt += 1
+                return
+            for w in sorted(cand):
+                grow(cl + [w], cand & adj[w] & {x for x in adj if x > w})
+        for v in nodes:
+            grow([v], adj[v] & {x for x in adj if x > v})
+        return cnt
+
+    assert kclique_count(tiny_graph_sym, 3) == triangle_count(tiny_graph_sym)
+    for k in (3, 4, 5):
+        assert kclique_count(tiny_graph_sym, k) == brute(k), k

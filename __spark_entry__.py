@@ -704,6 +704,39 @@ def _q_cf(spark, sf):
     ).select("id", "k", F.round("lv", 8).alias("latent_k"))
 
 
+BM25_TERMS = ["join", "merge", "window"]
+
+
+def _q_doc_inverted_index(spark, sf):
+    """Inverted index (functions.retrieval): per case-folded term the
+    untruncated document frequency and the first-32 ascending doc_id
+    posting list (comma-joined for the scalar-column gate compare)."""
+    from ligra_spark.functions import inverted_index
+
+    idx = inverted_index(_t(spark, sf, "documents"), max_postings=32)
+    return idx.select(
+        "term", "df", F.array_join("postings", ",").alias("postings")
+    )
+
+
+def _q_doc_bm25_topk(spark, sf):
+    """BM25 top-20 (functions.retrieval) for the fixed query bag
+    BM25_TERMS over the documents table; deterministic
+    (round-8 score desc, doc_id asc) ranking."""
+    from pyspark.sql import Window
+
+    from ligra_spark.functions import bm25_scores
+
+    s = bm25_scores(_t(spark, sf, "documents"), BM25_TERMS).select(
+        "doc_id", F.round("score", 8).alias("score")
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        s.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= 20)
+    )
+
+
 def _q_doc_exact_dedup(spark, sf):
     from ligra_spark.functions import exact_duplicates
 
@@ -1528,7 +1561,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clique4_count": _q_clique4,
         "cc_star": _q_cc_star,
         "cc_incremental": _q_cc_incremental,
-        "sssp": _q_sssp_full,
         "ecc_tk": _q_ecc_tk,
         "kcore_julienne": _q_kcore_julienne,
         "ppr": _q_ppr,
@@ -1542,7 +1574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components_csr": _q_components_csr,
         "sssp_csr": _q_sssp_csr,
         # training-data pipeline: text analysis + dedup
-        "doc_exact_dedup": _q_doc_exact_dedup,
+        "doc_inverted_index": _q_doc_inverted_index,
+        "doc_bm25_topk": _q_doc_bm25_topk,
         "minhash_lsh_pairs": _q_lsh_pairs,
         "doc_neardup_clusters": _q_doc_neardup_clusters,
         # composed end-to-end corpus-prep pipeline (annotate → filter →
@@ -1582,6 +1615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out of the head-50 (r02-green) for trustrank/salsa
         "pagerank_delta": _q_pagerank_delta,
         "label_propagation": _q_label_propagation,
+        "sssp": _q_sssp_full,
+        "doc_exact_dedup": _q_doc_exact_dedup,
         "components": _q_components,
         "bfs": _q_bfs_full,
         # rotated out of the head-50 (r02-green) to make room for
@@ -1684,6 +1719,60 @@ def _trustrank_sql(k: int = 70) -> str:
         )
         prev = f"t{i}"
     return sql + f"\nSELECT id, round(trust, 8) AS trust FROM {prev}"
+
+
+TOKS_SQL = (
+    "SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term "
+    "FROM documents WHERE length(trim(text)) > 0"
+)
+
+
+def _inverted_index_sql(cap: int = 32) -> str:
+    """Inverted-index twin: distinct (term, doc), row_number posting
+    rank per term ordered by doc_id, ordered comma-joined cap-first
+    list + untruncated df."""
+    return (
+        f"WITH toks AS ({TOKS_SQL}),\n"
+        "td AS (SELECT DISTINCT term, doc_id FROM toks),\n"
+        "rk AS (SELECT term, doc_id,\n"
+        "  row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rk FROM td)\n"
+        "SELECT term, count(*) AS df,\n"
+        f"  array_to_string(list(doc_id ORDER BY doc_id) FILTER (WHERE rk <= {cap}), ',') AS postings\n"
+        "FROM rk GROUP BY term"
+    )
+
+
+def _bm25_sql(topk: int = 20, k1: float = 1.2, b: float = 0.75) -> str:
+    """BM25 twin of ``functions.retrieval.bm25_scores``: same Lucene
+    idf, same corpus-wide N/avgdl (empty docs count with dl = 0), the
+    engine's exact python-double constants inlined via repr so both
+    engines evaluate identical IEEE literals."""
+    terms = ", ".join(f"('{t}')" for t in BM25_TERMS)
+    k1p1, k1r = repr(k1 + 1.0), repr(k1)
+    omb, br = repr(1.0 - b), repr(b)
+    return (
+        f"WITH toks AS ({TOKS_SQL}),\n"
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),\n"
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),\n"
+        "st AS (SELECT count(*) AS n_docs, avg(coalesce(dl.dl, 0)) AS avgdl\n"
+        "  FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id),\n"
+        f"q AS (SELECT * FROM (VALUES {terms}) t(term)),\n"
+        "qt AS (SELECT tf.doc_id, tf.term, tf.tf, dl.dl FROM tf\n"
+        "  JOIN q USING (term) JOIN dl ON dl.doc_id = tf.doc_id),\n"
+        "dfreq AS (SELECT term, count(*) AS dfreq FROM qt GROUP BY term),\n"
+        "sc AS (SELECT qt.doc_id,\n"
+        "  sum(ln((st.n_docs - dfreq.dfreq + CAST(0.5 AS DOUBLE))\n"
+        "        / (dfreq.dfreq + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))\n"
+        f"    * (qt.tf * CAST('{k1p1}' AS DOUBLE))\n"
+        f"    / (qt.tf + CAST('{k1r}' AS DOUBLE)\n"
+        f"       * (CAST('{omb}' AS DOUBLE) + CAST('{br}' AS DOUBLE) * qt.dl / st.avgdl))\n"
+        "  ) AS score FROM qt CROSS JOIN st JOIN dfreq USING (term)\n"
+        "  GROUP BY qt.doc_id)\n"
+        "SELECT doc_id, score, rank FROM (SELECT doc_id,\n"
+        "  round(score, 8) AS score,\n"
+        "  row_number() OVER (ORDER BY round(score, 8) DESC, doc_id ASC) AS rank\n"
+        f"  FROM sc) WHERE rank <= {topk}"
+    )
 
 
 def _community_lpa_sql(rounds: int = 5) -> str:
@@ -3768,6 +3857,8 @@ def oracle_sql() -> dict[str, str]:
         "hyper_mis": _hyper_mis_sql(30),
         "doc_exact_dedup": "SELECT md5(text) AS h, min(doc_id) AS keep_id, "
         "count(*) AS copies FROM documents GROUP BY md5(text)",
+        "doc_inverted_index": _inverted_index_sql(32),
+        "doc_bm25_topk": _bm25_sql(20),
         "doc_token_count": "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
         "ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens "
         "FROM documents",

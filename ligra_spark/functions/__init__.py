@@ -21,6 +21,7 @@ from .dedup import (
 from .similarity import cosine_probe, brute_force_topk
 from .temporal import asof_join, range_join
 from .pipeline import corpus_prep
+from .retrieval import bm25_scores, doc_terms, inverted_index
 
 __all__ = [
     "asof_join",
@@ -38,4 +39,7 @@ __all__ = [
     "cosine_probe",
     "brute_force_topk",
     "corpus_prep",
+    "doc_terms",
+    "inverted_index",
+    "bm25_scores",
 ]

@@ -737,6 +737,25 @@ def _q_doc_bm25_topk(spark, sf):
     )
 
 
+SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.125}
+SAMPLE_SEED = 7
+
+
+def _q_doc_stratified_sample(spark, sf):
+    """Deterministic per-language corpus sampling
+    (functions.sampling): hash-gated membership via the bit-exact
+    cross-engine hashInt, so the sample is identical on every engine,
+    partitioning, and rerun; es/zh strata are dropped (not listed)."""
+    from ligra_spark.functions import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf, "documents"),
+        SAMPLE_FRACTIONS,
+        key="lang",
+        seed=SAMPLE_SEED,
+    ).select("doc_id", "lang")
+
+
 def _q_doc_exact_dedup(spark, sf):
     from ligra_spark.functions import exact_duplicates
 
@@ -1576,7 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline: text analysis + dedup
         "doc_inverted_index": _q_doc_inverted_index,
         "doc_bm25_topk": _q_doc_bm25_topk,
-        "minhash_lsh_pairs": _q_lsh_pairs,
+        "doc_stratified_sample": _q_doc_stratified_sample,
         "doc_neardup_clusters": _q_doc_neardup_clusters,
         # composed end-to-end corpus-prep pipeline (annotate → filter →
         # exact dedup → LSH near-dedup → stats) — round 3
@@ -1617,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": _q_label_propagation,
         "sssp": _q_sssp_full,
         "doc_exact_dedup": _q_doc_exact_dedup,
+        "minhash_lsh_pairs": _q_lsh_pairs,
         "components": _q_components,
         "bfs": _q_bfs_full,
         # rotated out of the head-50 (r02-green) to make room for
@@ -1772,6 +1792,24 @@ def _bm25_sql(topk: int = 20, k1: float = 1.2, b: float = 0.75) -> str:
         "  round(score, 8) AS score,\n"
         "  row_number() OVER (ORDER BY round(score, 8) DESC, doc_id ASC) AS rank\n"
         f"  FROM sc) WHERE rank <= {topk}"
+    )
+
+
+def _stratified_sample_sql() -> str:
+    """DuckDB twin of ``functions.sampling.stratified_sample`` on the
+    documents table: the same hashInt avalanche (``_h32_sql``) over
+    (doc_id + seed*mix) mod 2^32, the same exact integer thresholds."""
+    mix = (SAMPLE_SEED * 0x9E3779B9) & 0xFFFFFFFF
+    thr = " ".join(
+        f"WHEN lang = '{k}' THEN {int(v * (1 << 32))}"
+        for k, v in SAMPLE_FRACTIONS.items()
+    )
+    inner = (
+        f"SELECT doc_id, lang, (doc_id + {mix}) % {1 << 32} AS a FROM documents"
+    )
+    return (
+        f"SELECT doc_id, lang FROM ({_h32_sql(inner, 'doc_id, lang')})\n"
+        f"WHERE g < CASE {thr} ELSE NULL END"
     )
 
 
@@ -3857,6 +3895,7 @@ def oracle_sql() -> dict[str, str]:
         "hyper_mis": _hyper_mis_sql(30),
         "doc_exact_dedup": "SELECT md5(text) AS h, min(doc_id) AS keep_id, "
         "count(*) AS copies FROM documents GROUP BY md5(text)",
+        "doc_stratified_sample": _stratified_sample_sql(),
         "doc_inverted_index": _inverted_index_sql(32),
         "doc_bm25_topk": _bm25_sql(20),
         "doc_token_count": "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "

@@ -22,6 +22,7 @@ from .similarity import cosine_probe, brute_force_topk
 from .temporal import asof_join, range_join
 from .pipeline import corpus_prep
 from .retrieval import bm25_scores, doc_terms, inverted_index
+from .sampling import stratified_sample
 
 __all__ = [
     "asof_join",
@@ -42,4 +43,5 @@ __all__ = [
     "doc_terms",
     "inverted_index",
     "bm25_scores",
+    "stratified_sample",
 ]

@@ -63,3 +63,41 @@ def test_bm25_matches_python(docs):
     assert set(got) == set(want)
     for d in want:
         np.testing.assert_allclose(got[d], want[d], rtol=1e-12)
+
+
+def test_stratified_sample_deterministic(spark):
+    """Hash-gated sampling == the numpy hash_int32 membership rule,
+    independent of partitioning; per-stratum dict drops unlisted
+    strata."""
+    import numpy as np
+
+    from ligra_spark.functions import stratified_sample
+    from ligra_spark.hashing import hash_int32
+
+    n = 2000
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    fr = {"en": 0.5, "de": 0.125}
+    got = {
+        r["doc_id"]
+        for r in stratified_sample(df, fr, key="lang", seed=7).collect()
+    }
+    mix = (7 * 0x9E3779B9) & 0xFFFFFFFF
+    h = hash_int32((np.arange(n, dtype=np.uint64) + mix) & 0xFFFFFFFF)
+    want = {
+        i
+        for i in range(n)
+        if ["en", "de", "fr"][i % 3] in fr
+        and h[i] < int(fr[["en", "de", "fr"][i % 3]] * (1 << 32))
+    }
+    assert got == want
+    # repartitioning must not change membership
+    got2 = {
+        r["doc_id"]
+        for r in stratified_sample(df.repartition(13), fr, key="lang", seed=7).collect()
+    }
+    assert got2 == want
+    # uniform-float form
+    got3 = {r["doc_id"] for r in stratified_sample(df, 0.25, seed=7).collect()}
+    want3 = {i for i in range(n) if h[i] < int(0.25 * (1 << 32))}
+    assert got3 == want3

@@ -28,7 +28,9 @@ APPS = (
     "bellman_ford kcore bc radii mis cf "
     "bfscc delta_stepping kcore_julienne ecc ecc_fm ecc_loglog setcover "
     "hyper_bfs hyper_bpath hyper_cc hyper_pagerank hyper_sssp hyper_kcore "
-    "hyper_kcore_efficient hyper_mis hyper_bc"
+    "hyper_kcore_efficient hyper_mis hyper_bc "
+    "hits trustrank salsa ppr ktruss truss_decomposition community_lpa "
+    "kclique triangle_lcc"
 ).split()
 
 
@@ -98,6 +100,11 @@ def main(argv=None):
     )
     ap.add_argument("--max-iters", type=int, default=100)
     ap.add_argument("--root", type=int, default=0)
+    ap.add_argument("--k", type=int, default=4, help="ktruss/kclique k")
+    ap.add_argument(
+        "--seeds", type=int, nargs="+", default=[0],
+        help="trustrank/ppr seed vertex ids",
+    )
     ap.add_argument("--partitions", type=int, default=None)
     args = ap.parse_args(argv)
     # validate BEFORE the (possibly hours-long) graph load
@@ -235,6 +242,37 @@ def main(argv=None):
         )
     elif args.app == "setcover":
         out, iters = apps.setcover(g, on_superstep=track)
+    elif args.app == "hits":
+        out, iters = apps.hits(g, iters=args.max_iters)
+    elif args.app == "trustrank":
+        out, iters = apps.trustrank(
+            g, seeds=args.seeds, max_iters=args.max_iters,
+            checkpoint_mgr=mgr, resume=args.resume, on_superstep=track,
+        )
+    elif args.app == "salsa":
+        out, iters = apps.salsa(g), 1
+    elif args.app == "ppr":
+        out, iters = apps.ppr(
+            g, seeds=args.seeds,
+            on_iteration=lambda r, f: track(r, {"frontier": f}),
+        )
+    elif args.app == "ktruss":
+        out, iters = apps.ktruss(
+            g, k=args.k, checkpoint_mgr=mgr, resume=args.resume,
+            on_round=lambda r, n: track(r, {"edges": n}),
+        )
+    elif args.app == "truss_decomposition":
+        out, iters = apps.truss_decomposition(
+            g, on_round=lambda r, n: track(r, {"edges": n})
+        )
+    elif args.app == "community_lpa":
+        out, iters = apps.community_lpa(g, rounds=args.max_iters), args.max_iters
+    elif args.app == "kclique":
+        from ligra_spark.apps import kclique_count_df
+
+        out, iters = kclique_count_df(g, args.k), 1
+    elif args.app == "triangle_lcc":
+        out, iters = apps.per_vertex_triangles(g), 1
 
     out.write.mode("overwrite").parquet(args.output)
     elapsed = time.perf_counter() - t0

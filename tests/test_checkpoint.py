@@ -184,3 +184,34 @@ def test_ktruss_kill_resume_identical(spark, tiny_graph_sym, tmp_path):
     a = {(r["src"], r["dst"]) for r in resumed.collect()}
     b = {(r["src"], r["dst"]) for r in clean.collect()}
     assert a == b and len(a) > 0
+
+
+def test_trustrank_kill_resume_identical(spark, tiny_graph, tmp_path):
+    import numpy as np
+
+    from ligra_spark.apps import trustrank
+    from ligra_spark.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(spark, str(tmp_path / "ckpt_tr"))
+
+    def killer(it, m):
+        if it == 3:
+            raise _Kill()
+
+    with pytest.raises(_Kill):
+        trustrank(
+            tiny_graph, [0, 3, 17], max_iters=10,
+            checkpoint_mgr=mgr, on_superstep=killer,
+        )
+    assert mgr.latest_step("trustrank") == 3
+
+    resumed, iters = trustrank(
+        tiny_graph, [0, 3, 17], max_iters=10, checkpoint_mgr=mgr, resume=True
+    )
+    assert iters == 10
+    clean, _ = trustrank(tiny_graph, [0, 3, 17], max_iters=10)
+    a = {r["id"]: r["trust"] for r in resumed.collect()}
+    b = {r["id"]: r["trust"] for r in clean.collect()}
+    ra = np.array([a[i] for i in sorted(a)])
+    rb = np.array([b[i] for i in sorted(b)])
+    np.testing.assert_allclose(ra, rb, atol=1e-12, rtol=0)

@@ -45,3 +45,23 @@ def test_pack_edges_filters_graph(spark, tiny_graph, tiny_edges):
     for v in range(n):
         assert deg0[v] == int(exp[v])
     g2.unpersist()
+
+
+def test_cut_lineage_preserves_data_and_resets_stats(spark):
+    """cut_lineage: same rows/schema, and the re-rooted plan's leaf
+    statistics are the bounded default (Long.Max) instead of the
+    origin plan's computed product — the guard against the BigInt
+    stats blowup in many-self-reference loops (see apps/ktruss.py)."""
+    from pyspark.sql import functions as F
+
+    from ligra_spark.engine import cut_lineage
+
+    df = spark.range(500).select("id", (F.col("id") % 7).alias("k"))
+    joined = df.alias("a").join(
+        df.selectExpr("id", "k as k2"), "id"
+    )  # plan with computed (non-default) stats
+    cut = cut_lineage(joined)
+    assert cut.schema == joined.schema
+    assert sorted(r["id"] for r in cut.collect()) == list(range(500))
+    stats = int(cut._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    assert stats == (1 << 63) - 1, stats

@@ -784,6 +784,61 @@ def _q_doc_quality(spark, sf):
     )
 
 
+def _q_doc_gopher_filter(spark, sf):
+    """Gopher-style repetition/quality gate (Rae et al. 2021 §A1.1
+    semantics over tokens): zero-shuffle scan-project — the top-n-gram
+    frequency is a sorted-array longest-equal-run, not a groupBy."""
+    from ligra_spark.functions import gopher_filter
+
+    return gopher_filter(_t(spark, sf, "documents")).select(
+        "doc_id",
+        "n_tokens",
+        "distinct_frac",
+        "top2gram_frac",
+        "top3gram_frac",
+        "mean_word_len",
+        "symbol_frac",
+        "gopher_pass",
+        "gopher_reason",
+    )
+
+
+# deterministic PII injection shared by the Spark entry and the SQL
+# oracle — the synthetic corpus contains no PII, so the gate plants
+# one known item per residue class before scrubbing
+_PII_SUFFIXES = [
+    (0, " mail me at bob.smith+x@example.co.uk ok"),
+    (1, " call +1 (415) 555-0199 now"),
+    (2, " server at 10.0.255.7 down"),
+]
+
+
+def _q_doc_pii_redact(spark, sf):
+    """C4-style PII scrub: email/IPv4/phone → typed placeholder tokens
+    plus per-kind match counts; single codegen'd scan."""
+    from ligra_spark.functions import redact_pii
+
+    docs = _t(spark, sf, "documents")
+    suffix = F.lit("")
+    for r, s in reversed(_PII_SUFFIXES):
+        suffix = F.when(F.col("doc_id") % 5 == r, F.lit(s)).otherwise(suffix)
+    src = docs.withColumn("text", F.concat(F.col("text"), suffix))
+    return redact_pii(src).select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "redacted"
+    )
+
+
+def _q_doc_decontaminate(spark, sf):
+    """Benchmark decontamination: per-doc count of distinct 8-token
+    shingles shared with the benchmark slice (doc_id % 50 == 3).  The
+    benchmark shingle set is broadcast; the corpus is scanned once."""
+    from ligra_spark.functions import decontaminate
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 3)
+    return decontaminate(docs, bench, k=8)
+
+
 def _q_doc_lang_guess(spark, sf):
     from ligra_spark.functions import with_lang_guess
 
@@ -1586,17 +1641,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_sweep": _q_ppr_sweep,
         "nibble": _q_nibble,
         "heat_kernel": _q_heat_kernel,
-        "heat_kernel_rand": _q_heat_kernel_rand,
         # per-partition-CSR physical backend twins (round 3) — same
         # apps, same oracles as pagerank/components/sssp
         "pagerank_csr": _q_pagerank_csr,
         "components_csr": _q_components_csr,
-        "sssp_csr": _q_sssp_csr,
         # training-data pipeline: text analysis + dedup
         "doc_inverted_index": _q_doc_inverted_index,
         "doc_bm25_topk": _q_doc_bm25_topk,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "doc_neardup_clusters": _q_doc_neardup_clusters,
+        # corpus gates (round 3): Gopher repetition filter, PII scrub,
+        # benchmark decontamination
+        "doc_gopher_filter": _q_doc_gopher_filter,
+        "doc_pii_redact": _q_doc_pii_redact,
+        "doc_decontaminate": _q_doc_decontaminate,
         # composed end-to-end corpus-prep pipeline (annotate → filter →
         # exact dedup → LSH near-dedup → stats) — round 3
         "corpus_prep": _q_corpus_prep,
@@ -1623,14 +1681,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walk_corpus": _q_random_walk_corpus,
         "doc_media_decode": _q_doc_media_decode,
         "doc_image_features": _q_doc_image_features,
-        # the real-PPM decode twin of the two multimodal rows above
-        # (same _IMAGE_FEATURES_SQL oracle, fake=False native codec)
-        "doc_image_ppm": _q_doc_image_ppm,
         # ---- tail (slot 51+): fixed-k gates and app variants, all
         # driver-green in CORRECTNESS_r01/r02 (or replica-green r03);
         # kept registered so tools/check_entry.py and the judge can
         # still run them.
         "bfscc": _q_bfscc,
+        # rotated out of the head-50 (replica-green, variants of head
+        # entries heat_kernel / doc_image_features / pagerank_csr) to
+        # make room for the round-3 corpus gates
+        "heat_kernel_rand": _q_heat_kernel_rand,
+        "doc_image_ppm": _q_doc_image_ppm,
+        "sssp_csr": _q_sssp_csr,
         # rotated out of the head-50 (r02-green) for trustrank/salsa
         "pagerank_delta": _q_pagerank_delta,
         "label_propagation": _q_label_propagation,
@@ -3402,6 +3463,105 @@ def _quality_sql() -> str:
     )
 
 
+def _gopher_sql() -> str:
+    """DuckDB twin of functions.quality_filters.gopher_filter: same
+    token convention as _TOKS, same n-gram separator (chr(31)), same
+    thresholds and rule order.  The oracle finds the top n-gram count
+    with unnest + GROUP BY (relational restatement of the engine's
+    sorted-array longest-equal-run)."""
+    from ligra_spark.functions.quality_filters import GOPHER_DEFAULTS as T
+
+    return (
+        f"WITH t AS ({_TOKS}),\n"
+        "s AS (SELECT doc_id, text, toks, len(toks) AS n FROM t),\n"
+        "g2 AS (SELECT doc_id, unnest(list_transform(range(1, n), "
+        "i -> toks[i] || chr(31) || toks[i+1])) AS g FROM s WHERE n >= 2),\n"
+        "g3 AS (SELECT doc_id, unnest(list_transform(range(1, n - 1), "
+        "i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2])) AS g "
+        "FROM s WHERE n >= 3),\n"
+        "t2 AS (SELECT doc_id, max(c) AS c2 FROM "
+        "(SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),\n"
+        "t3 AS (SELECT doc_id, max(c) AS c3 FROM "
+        "(SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1),\n"
+        "m AS (SELECT s.doc_id,\n"
+        "  CAST(n AS INT) AS n_tokens,\n"
+        "  CASE WHEN n = 0 THEN 1.0 "
+        "ELSE len(list_distinct(toks)) / CAST(n AS DOUBLE) END AS distinct_frac,\n"
+        "  CASE WHEN n < 2 THEN 0.0 "
+        "ELSE coalesce(c2, 0) * 2 / CAST(n AS DOUBLE) END AS top2gram_frac,\n"
+        "  CASE WHEN n < 3 THEN 0.0 "
+        "ELSE coalesce(c3, 0) * 3 / CAST(n AS DOUBLE) END AS top3gram_frac,\n"
+        "  CASE WHEN n = 0 THEN 0.0 ELSE "
+        "coalesce(list_sum(list_transform(toks, x -> length(x))), 0) "
+        "/ CAST(n AS DOUBLE) END AS mean_word_len,\n"
+        "  CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+        "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) "
+        "/ CAST(length(text) AS DOUBLE) END AS symbol_frac\n"
+        "FROM s LEFT JOIN t2 ON t2.doc_id = s.doc_id "
+        "LEFT JOIN t3 ON t3.doc_id = s.doc_id),\n"
+        "r AS (SELECT *, CASE\n"
+        f"  WHEN n_tokens < {T['min_tokens']} THEN 'too_short'\n"
+        f"  WHEN n_tokens > {T['max_tokens']} THEN 'too_long'\n"
+        f"  WHEN mean_word_len < {T['min_mean_word_len']} THEN 'word_len_low'\n"
+        f"  WHEN mean_word_len > {T['max_mean_word_len']} THEN 'word_len_high'\n"
+        f"  WHEN symbol_frac > {T['max_symbol_frac']} THEN 'symbol_heavy'\n"
+        f"  WHEN distinct_frac < {T['min_distinct_frac']} THEN 'low_distinct'\n"
+        f"  WHEN top2gram_frac > {T['max_top2gram_frac']} THEN 'rep_2gram'\n"
+        f"  WHEN top3gram_frac > {T['max_top3gram_frac']} THEN 'rep_3gram'\n"
+        "  ELSE '' END AS gopher_reason FROM m)\n"
+        "SELECT doc_id, n_tokens, distinct_frac, top2gram_frac, top3gram_frac, "
+        "mean_word_len, symbol_frac, gopher_reason = '' AS gopher_pass, "
+        "gopher_reason FROM r"
+    )
+
+
+def _pii_sql() -> str:
+    """DuckDB twin of functions.quality_filters.redact_pii over the
+    same injected-PII text; patterns are shared verbatim (RE2/Java-
+    portable: character classes only)."""
+    from ligra_spark.functions.quality_filters import PII_PATTERNS
+
+    em, ph, ip = (PII_PATTERNS[k] for k in ("email", "phone", "ipv4"))
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN doc_id % 5 = {r} THEN '{s}'" for r, s in _PII_SUFFIXES
+        )
+        + " ELSE '' END"
+    )
+    return (
+        f"WITH src AS (SELECT doc_id, text || {case} AS text FROM documents),\n"
+        f"e AS (SELECT doc_id, text, "
+        f"regexp_replace(text, '{em}', '<EMAIL>', 'g') AS t1 FROM src),\n"
+        f"i AS (SELECT doc_id, text, t1, "
+        f"regexp_replace(t1, '{ip}', '<IPV4>', 'g') AS t2 FROM e)\n"
+        "SELECT doc_id,\n"
+        f"  CAST(len(regexp_extract_all(text, '{em}')) AS INT) AS n_email,\n"
+        f"  CAST(len(regexp_extract_all(t2, '{ph}')) AS INT) AS n_phone,\n"
+        f"  CAST(len(regexp_extract_all(t1, '{ip}')) AS INT) AS n_ipv4,\n"
+        f"  regexp_replace(t2, '{ph}', '<PHONE>', 'g') AS redacted\n"
+        "FROM i"
+    )
+
+
+def _decontaminate_sql(k: int = 8) -> str:
+    """DuckDB twin of functions.quality_filters.decontaminate with the
+    entry's benchmark slice (doc_id % 50 == 3)."""
+    gram = " || chr(31) || ".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(k))
+    return (
+        f"WITH t AS ({_TOKS}),\n"
+        "s AS (SELECT doc_id, toks, len(toks) AS n FROM t),\n"
+        f"sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+        f"range(1, n - {k - 2}), i -> {gram}))) AS g FROM s WHERE n >= {k}),\n"
+        "b AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 3),\n"
+        "h AS (SELECT sh.doc_id, count(*) AS overlap_ngrams "
+        "FROM sh JOIN b USING (g) GROUP BY 1)\n"
+        "SELECT d.doc_id, coalesce(h.overlap_ngrams, 0) AS overlap_ngrams, "
+        "coalesce(h.overlap_ngrams, 0) > 0 AS contaminated "
+        "FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id"
+    )
+
+
 def _lang_sql() -> str:
     scores = ",\n".join(
         f"  CAST(len(list_distinct(list_intersect(toks, {_list_lit(w)}))) AS INT) AS s_{l}"
@@ -3902,6 +4062,9 @@ def oracle_sql() -> dict[str, str]:
         "ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens "
         "FROM documents",
         "doc_quality": _quality_sql(),
+        "doc_gopher_filter": _gopher_sql(),
+        "doc_pii_redact": _pii_sql(),
+        "doc_decontaminate": _decontaminate_sql(8),
         "doc_lang_guess": _lang_sql(),
         "doc_fingerprint": "SELECT doc_id, "
         "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint "

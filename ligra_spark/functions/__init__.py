@@ -21,12 +21,22 @@ from .dedup import (
 from .similarity import cosine_probe, brute_force_topk
 from .temporal import asof_join, range_join
 from .pipeline import corpus_prep
+from .quality_filters import (
+    decontaminate,
+    gopher_filter,
+    redact_pii,
+    with_repetition_stats,
+)
 from .retrieval import bm25_scores, doc_terms, inverted_index
 from .sampling import stratified_sample
 
 __all__ = [
     "asof_join",
     "range_join",
+    "with_repetition_stats",
+    "gopher_filter",
+    "redact_pii",
+    "decontaminate",
     "with_token_count",
     "with_quality",
     "with_lang_guess",

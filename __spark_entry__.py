@@ -828,6 +828,29 @@ def _q_doc_pii_redact(spark, sf):
     )
 
 
+# deterministic suffixes exercising the BPE pre-tokenizer's four
+# branches (contraction, digit run, punctuation run, multi-space) —
+# shared by the Spark entry and the SQL oracle
+_BPE_SUFFIXES = [
+    (0, " it's 1234 ok!"),
+    (1, " we'll rock-n-roll 7x"),
+    (2, "  spaced,punct;here"),
+]
+
+
+def _q_doc_bpe_tokens(spark, sf):
+    """BPE-ish token budgeting: GPT-2-style pre-tokenizer segment count
+    + fertility ratio vs whitespace words; one codegen'd regexp scan."""
+    from ligra_spark.functions.text import with_bpe_token_count
+
+    docs = _t(spark, sf, "documents")
+    suffix = F.lit("")
+    for r, s in reversed(_BPE_SUFFIXES):
+        suffix = F.when(F.col("doc_id") % 4 == r, F.lit(s)).otherwise(suffix)
+    src = docs.withColumn("text", F.concat(F.col("text"), suffix))
+    return with_bpe_token_count(src).select("doc_id", "n_bpe_tokens", "bpe_per_word")
+
+
 def _q_doc_decontaminate(spark, sf):
     """Benchmark decontamination: per-doc count of distinct 8-token
     shingles shared with the benchmark slice (doc_id % 50 == 3).  The
@@ -1655,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_filter": _q_doc_gopher_filter,
         "doc_pii_redact": _q_doc_pii_redact,
         "doc_decontaminate": _q_doc_decontaminate,
+        "doc_bpe_tokens": _q_doc_bpe_tokens,
         # composed end-to-end corpus-prep pipeline (annotate → filter →
         # exact dedup → LSH near-dedup → stats) — round 3
         "corpus_prep": _q_corpus_prep,
@@ -1665,7 +1689,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs": _q_embedding_neardup,
         # windowed events (streaming-shaped aggs)
         "events_hourly": _q_events_hourly,
-        "events_rollup": _q_events_rollup,
         "events_sessions": _q_events_sessions,
         "events_asof_view": _q_events_asof,
         "events_range_counts": _q_events_range,
@@ -1692,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heat_kernel_rand": _q_heat_kernel_rand,
         "doc_image_ppm": _q_doc_image_ppm,
         "sssp_csr": _q_sssp_csr,
+        "events_rollup": _q_events_rollup,
         # rotated out of the head-50 (r02-green) for trustrank/salsa
         "pagerank_delta": _q_pagerank_delta,
         "label_propagation": _q_label_propagation,
@@ -3544,6 +3568,32 @@ def _pii_sql() -> str:
     )
 
 
+def _bpe_sql() -> str:
+    """DuckDB twin of text.with_bpe_token_count over the same injected
+    suffixes; the shared pattern is RE2/Java-portable (no lookaheads)."""
+    from ligra_spark.functions.text import BPE_SPLIT_RE
+
+    re_sql = BPE_SPLIT_RE.replace("'", "''")
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN doc_id % 4 = {r} THEN '{s.replace(chr(39), chr(39) * 2)}'"
+            for r, s in _BPE_SUFFIXES
+        )
+        + " ELSE '' END"
+    )
+    return (
+        f"WITH src AS (SELECT doc_id, text || {case} AS text FROM documents),\n"
+        f"c AS (SELECT doc_id, text, "
+        f"len(regexp_extract_all(text, '{re_sql}')) AS nb FROM src)\n"
+        "SELECT doc_id, CAST(nb AS INT) AS n_bpe_tokens,\n"
+        "  CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE "
+        "nb / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) "
+        "END AS bpe_per_word\n"
+        "FROM c"
+    )
+
+
 def _decontaminate_sql(k: int = 8) -> str:
     """DuckDB twin of functions.quality_filters.decontaminate with the
     entry's benchmark slice (doc_id % 50 == 3)."""
@@ -4065,6 +4115,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_gopher_filter": _gopher_sql(),
         "doc_pii_redact": _pii_sql(),
         "doc_decontaminate": _decontaminate_sql(8),
+        "doc_bpe_tokens": _bpe_sql(),
         "doc_lang_guess": _lang_sql(),
         "doc_fingerprint": "SELECT doc_id, "
         "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint "

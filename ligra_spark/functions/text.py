@@ -15,9 +15,12 @@ from pyspark.sql import functions as F
 __all__ = [
     "EN_STOPWORDS",
     "LANG_MARKERS",
+    "BPE_SPLIT_RE",
     "tokens_col",
     "token_count_col",
     "with_token_count",
+    "bpe_token_count_col",
+    "with_bpe_token_count",
     "with_quality",
     "with_lang_guess",
     "with_fingerprint",
@@ -48,6 +51,36 @@ def token_count_col(text: Column) -> Column:
 
 def with_token_count(df: DataFrame, text: str = "text") -> DataFrame:
     return df.withColumn("n_tokens", token_count_col(F.col(text)))
+
+
+# GPT-2-style pre-tokenizer split (Radford et al. 2019, simplified):
+# contractions, space-prefixed letter runs, space-prefixed digit runs,
+# space-prefixed punctuation runs, residual whitespace.  The published
+# pattern's trailing-space lookahead is dropped — lookaheads don't
+# exist in RE2, and this variant runs IDENTICALLY on Java regex
+# (Spark) and RE2 (DuckDB oracle): both are leftmost-first, \p{L}/\p{N}
+# mean the same Unicode categories, and (?:...) is portable.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """Number of BPE pre-tokenizer segments — the standard proxy for
+    'how many tokens will the tokenizer emit' used to budget corpus
+    size before the (model-specific) merge table exists.  One
+    codegen'd regexp pass, no UDF."""
+    return F.regexp_count(text, F.lit(BPE_SPLIT_RE))
+
+
+def with_bpe_token_count(df: DataFrame, text: str = "text") -> DataFrame:
+    """Adds ``n_bpe_tokens`` plus ``bpe_per_word`` (ratio to the
+    whitespace token count — the fertility estimate; 0.0 for empty
+    docs)."""
+    n_ws = token_count_col(F.col(text))
+    n_bpe = bpe_token_count_col(F.col(text))
+    return df.withColumn("n_bpe_tokens", n_bpe).withColumn(
+        "bpe_per_word",
+        F.when(n_ws == 0, F.lit(0.0)).otherwise(n_bpe / n_ws.cast("double")),
+    )
 
 
 def with_quality(df: DataFrame, text: str = "text") -> DataFrame:

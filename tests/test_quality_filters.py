@@ -155,3 +155,27 @@ def test_decontaminate_counts_distinct_shingles_once(spark):
     bench = _docs(spark, [(9, seq)])
     row = decontaminate(train, bench, k=8).first()
     assert row["overlap_ngrams"] == 1
+
+
+# ------------------------------------------------------------- BPE tokens
+
+
+def test_bpe_token_count_segments(spark):
+    """Known segmentations of the GPT-2-style pre-tokenizer pattern."""
+    from ligra_spark.functions.text import with_bpe_token_count
+
+    rows = [
+        (0, "it's fine"),  # it / 's / ' fine' -> 3
+        (1, "hello world"),  # 2
+        (2, "a 1234 b!"),  # 'a',' 1234',' b','!' -> 4
+        (3, ""),  # 0
+        (4, "x  y"),  # 'x',' ','y'? -> ' y' matches ' ?\p{L}+'; extra space -> 'x','\s','y'
+    ]
+    out = {r["doc_id"]: r for r in with_bpe_token_count(_docs(spark, rows)).collect()}
+    assert out[0]["n_bpe_tokens"] == 3
+    assert out[1]["n_bpe_tokens"] == 2
+    assert out[2]["n_bpe_tokens"] == 4
+    assert out[3]["n_bpe_tokens"] == 0 and out[3]["bpe_per_word"] == 0.0
+    # "x  y": 'x', then ' ?\p{L}+' consumes ' y' after one residual space
+    assert out[4]["n_bpe_tokens"] == 3
+    assert out[1]["bpe_per_word"] == pytest.approx(1.0)

@@ -253,6 +253,30 @@ def _q_cc_incremental(spark, sf):
         shutil.rmtree(cc_dir, ignore_errors=True)
 
 
+def _q_triangle_incremental(spark, sf):
+    """Streaming triangle maintenance replayed as a batch query: the
+    edge set split into 3 deterministic hash-batches and folded through
+    ``apply_tri_batch`` (delta-proportional new-triangle enumeration +
+    manifest commits in a scratch dir); the maintained total must equal
+    the full recount — shares the triangle_count oracle."""
+    import shutil
+    import tempfile
+
+    from ligra_spark.streaming import apply_tri_batch, read_tri_total
+
+    tri_dir = tempfile.mkdtemp(prefix="triinc_")
+    try:
+        for b in range(3):
+            batch = _edges(spark, sf).filter(
+                F.pmod(F.xxhash64("src", "dst"), F.lit(3)) == b
+            )
+            apply_tri_batch(batch, b, tri_dir)
+        total = read_tri_total(tri_dir)
+    finally:
+        shutil.rmtree(tri_dir, ignore_errors=True)
+    return spark.createDataFrame([(total,)], "triangles long")
+
+
 def _q_label_propagation(spark, sf):
     from ligra_spark.apps import label_propagation
 
@@ -1658,6 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clique4_count": _q_clique4,
         "cc_star": _q_cc_star,
         "cc_incremental": _q_cc_incremental,
+        "triangle_incremental": _q_triangle_incremental,
         "ecc_tk": _q_ecc_tk,
         "kcore_julienne": _q_kcore_julienne,
         "ppr": _q_ppr,
@@ -1667,7 +1692,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-partition-CSR physical backend twins (round 3) — same
         # apps, same oracles as pagerank/components/sssp
         "pagerank_csr": _q_pagerank_csr,
-        "components_csr": _q_components_csr,
         # training-data pipeline: text analysis + dedup
         "doc_inverted_index": _q_doc_inverted_index,
         "doc_bm25_topk": _q_doc_bm25_topk,
@@ -1715,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heat_kernel_rand": _q_heat_kernel_rand,
         "doc_image_ppm": _q_doc_image_ppm,
         "sssp_csr": _q_sssp_csr,
+        "components_csr": _q_components_csr,
         "events_rollup": _q_events_rollup,
         # rotated out of the head-50 (r02-green) for trustrank/salsa
         "pagerank_delta": _q_pagerank_delta,
@@ -3996,6 +4021,11 @@ def oracle_sql() -> dict[str, str]:
         "SELECT a.src AS id, count(*) AS paths2 FROM e a JOIN e b ON a.dst = b.src "
         "GROUP BY a.src",
         "triangle_count": f"WITH e0 AS ({EDGES_SQL}), es AS ({SYM_SQL}) "
+        "SELECT count(*) AS triangles FROM es e1 "
+        "JOIN es e2 ON e1.dst = e2.src AND e1.src < e1.dst AND e2.src < e2.dst "
+        "JOIN es e3 ON e3.src = e1.src AND e3.dst = e2.dst",
+        # maintained total == full recount: same oracle as triangle_count
+        "triangle_incremental": f"WITH e0 AS ({EDGES_SQL}), es AS ({SYM_SQL}) "
         "SELECT count(*) AS triangles FROM es e1 "
         "JOIN es e2 ON e1.dst = e2.src AND e1.src < e1.dst AND e2.src < e2.dst "
         "JOIN es e3 ON e3.src = e1.src AND e3.dst = e2.dst",

@@ -24,7 +24,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["triangle_count", "oriented_edges", "per_vertex_triangles"]
+__all__ = [
+    "triangle_count",
+    "oriented_edges",
+    "per_vertex_triangles",
+    "new_triangles",
+    "triangle_delta_count",
+]
 
 
 def oriented_edges(graph) -> DataFrame:
@@ -102,3 +108,45 @@ def triangle_count_df(graph) -> DataFrame:
         d.select(F.col("src").alias("u"), F.col("dst").alias("w")), ["u", "w"]
     )
     return closed.agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def new_triangles(old_half: DataFrame, new_half: DataFrame) -> DataFrame:
+    """Triangles of ``old ∪ new`` that contain at least one ``new``
+    edge, each exactly once, as sorted triples (x < y < z).
+
+    Both inputs are canonical undirected half-edge sets (src < dst,
+    distinct, loop-free) and must be DISJOINT — the incremental-
+    maintenance precondition (``streaming.incremental_triangles``
+    anti-joins the batch against the committed edges first).
+
+    Cost is delta-proportional, never a full recount: each new edge
+    (a, b) probes for common neighbors w of a and b in the FULL
+    adjacency — one join fanning the (small) delta out by the degree
+    of a, one closure equi-join, then a distinct on the found triples
+    (a triangle with 2 or 3 new edges is found once per new edge it
+    contains; the distinct collapses it to one row).  The full edge
+    table is the probe side of both joins and is never re-enumerated
+    into wedges — that is the difference from rerunning
+    :func:`triangle_count` per batch.
+    """
+    full = old_half.select("src", "dst").unionByName(new_half.select("src", "dst"))
+    e2 = full.unionByName(
+        full.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    d = new_half.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    wedge = d.join(
+        e2.select(F.col("src").alias("a"), F.col("dst").alias("w")), "a"
+    ).filter(F.col("w") != F.col("b"))
+    closed = wedge.join(
+        e2.select(F.col("src").alias("b"), F.col("dst").alias("w")), ["b", "w"]
+    )
+    tri = closed.select(F.array_sort(F.array("a", "b", "w")).alias("t")).distinct()
+    return tri.select(
+        F.col("t")[0].alias("x"), F.col("t")[1].alias("y"), F.col("t")[2].alias("z")
+    )
+
+
+def triangle_delta_count(old_half: DataFrame, new_half: DataFrame) -> int:
+    """Number of triangles ADDED by ``new_half`` (see
+    :func:`new_triangles` for preconditions and plan shape)."""
+    return new_triangles(old_half, new_half).count()

@@ -13,6 +13,13 @@ from .incremental_cc import (
     star_labels,
     update_star_pairs,
 )
+from .incremental_triangles import (
+    apply_tri_batch,
+    committed_half_edges,
+    incremental_triangles_sink,
+    read_tri_manifest,
+    read_tri_total,
+)
 from .incremental_pagerank import (
     apply_pr_batch,
     incremental_pagerank_sink,
@@ -39,6 +46,11 @@ __all__ = [
     "update_star_pairs",
     "apply_pr_batch",
     "incremental_pagerank_sink",
+    "apply_tri_batch",
+    "committed_half_edges",
+    "incremental_triangles_sink",
+    "read_tri_manifest",
+    "read_tri_total",
     "read_pr_manifest",
     "read_pr_scores",
     "stream_pages_to_edges",

@@ -110,7 +110,47 @@ def triangle_count_df(graph) -> DataFrame:
     return closed.agg(F.count(F.lit(1)).alias("triangles"))
 
 
-def new_triangles(old_half: DataFrame, new_half: DataFrame) -> DataFrame:
+def count_triangles_half(half: DataFrame) -> int:
+    """Exact triangle count from a canonical half-edge set (src < dst,
+    distinct, loop-free) — :func:`triangle_count`'s degree-oriented
+    plan without requiring a LinkGraph (used by the incremental
+    maintainer's bootstrap, where the first batch IS the whole graph
+    and the delta formula would degenerate to an unoriented O(Σd²)
+    wedge enumeration)."""
+    deg = (
+        half.select(F.col("src").alias("id"))
+        .unionByName(half.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ds = deg.select(F.col("id").alias("src"), F.col("deg").alias("sdeg"))
+    dd = deg.select(F.col("id").alias("dst"), F.col("deg").alias("ddeg"))
+    ranked = half.join(ds, "src").join(dd, "dst")
+    fwd = (F.col("sdeg") < F.col("ddeg")) | (
+        (F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst"))
+    )
+    # the oriented set feeds all three legs of the self-join — persist
+    # it so the degree join runs once, not three times (LinkGraph-based
+    # triangle_count gets this for free from the materialized graph)
+    d = ranked.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("src"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+    ).persist()
+    try:
+        a = d.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        b = d.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+        wedges = a.join(b, "v").select("u", "w")
+        closed = wedges.join(
+            d.select(F.col("src").alias("u"), F.col("dst").alias("w")), ["u", "w"]
+        )
+        return closed.count()
+    finally:
+        d.unpersist()
+
+
+def new_triangles(
+    old_half: DataFrame, new_half: DataFrame, broadcast_delta: bool = True
+) -> DataFrame:
     """Triangles of ``old ∪ new`` that contain at least one ``new``
     edge, each exactly once, as sorted triples (x < y < z).
 
@@ -128,16 +168,26 @@ def new_triangles(old_half: DataFrame, new_half: DataFrame) -> DataFrame:
     table is the probe side of both joins and is never re-enumerated
     into wedges — that is the difference from rerunning
     :func:`triangle_count` per batch.
+
+    ``broadcast_delta=True`` (default) pins the delta side (and the
+    wedges grown from it) as the broadcast build side of both joins, so
+    the full adjacency is only ever SCANNED in place — never shuffled.
+    This is THE scale property of the incremental fold: a micro-batch
+    is small by definition, while shuffling the 10^12-edge adjacency to
+    join it would cost more than the full recount.  Pass False for a
+    delta too large to broadcast (then AQE picks the strategy — at that
+    size a recount is usually the better refresh anyway).
     """
     full = old_half.select("src", "dst").unionByName(new_half.select("src", "dst"))
     e2 = full.unionByName(
         full.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    d = new_half.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bcast = F.broadcast if broadcast_delta else (lambda df: df)
+    d = bcast(new_half.select(F.col("src").alias("a"), F.col("dst").alias("b")))
     wedge = d.join(
         e2.select(F.col("src").alias("a"), F.col("dst").alias("w")), "a"
     ).filter(F.col("w") != F.col("b"))
-    closed = wedge.join(
+    closed = bcast(wedge).join(
         e2.select(F.col("src").alias("b"), F.col("dst").alias("w")), ["b", "w"]
     )
     tri = closed.select(F.array_sort(F.array("a", "b", "w")).alias("t")).distinct()
@@ -146,7 +196,9 @@ def new_triangles(old_half: DataFrame, new_half: DataFrame) -> DataFrame:
     )
 
 
-def triangle_delta_count(old_half: DataFrame, new_half: DataFrame) -> int:
+def triangle_delta_count(
+    old_half: DataFrame, new_half: DataFrame, broadcast_delta: bool = True
+) -> int:
     """Number of triangles ADDED by ``new_half`` (see
     :func:`new_triangles` for preconditions and plan shape)."""
-    return new_triangles(old_half, new_half).count()
+    return new_triangles(old_half, new_half, broadcast_delta).count()

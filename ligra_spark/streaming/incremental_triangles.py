@@ -38,7 +38,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..apps.triangle import triangle_delta_count
+from ..apps.triangle import count_triangles_half, triangle_delta_count
 from .ingest_stream import _atomic_write
 
 __all__ = [
@@ -94,7 +94,14 @@ def apply_tri_batch(new_edges: DataFrame, batch_id: int, tri_dir: str) -> int:
     # the batch is referenced twice below (delta count + edge write) —
     # pin one materialization so both see the same rows
     half = half.localCheckpoint(eager=True)
-    delta = triangle_delta_count(old, half)
+    if not man["batches"]:
+        # bootstrap: the first batch IS the whole graph — use the
+        # degree-oriented O(m^1.5) enumeration; the delta formula
+        # against an empty base degenerates to unoriented O(Σd²)
+        # wedges (measured 15x slower on a 10M-edge rMat)
+        delta = count_triangles_half(half)
+    else:
+        delta = triangle_delta_count(old, half)
     os.makedirs(os.path.join(tri_dir, "edges"), exist_ok=True)
     half.write.mode("overwrite").parquet(
         os.path.join(tri_dir, "edges", f"b{batch_id}")

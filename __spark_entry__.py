@@ -345,6 +345,18 @@ def _q_ecc_16(spark, sf):
     return out
 
 
+def _q_harmonic_16(spark, sf):
+    """Harmonic centrality from sources 0..15 (Boldi-Vigna) via the
+    kBFS bit-wave machinery; exact integer-scaled accumulation makes
+    the doubles bit-identical to the oracle's L//level sum."""
+    from ligra_spark.apps import harmonic_from_sources
+
+    out, _ = harmonic_from_sources(
+        _graph(spark, sf, symmetric=True), sources=list(range(16))
+    )
+    return out
+
+
 def _q_ecc_fm(spark, sf):
     from ligra_spark.apps import ecc_fm
 
@@ -1681,12 +1693,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_lpa": _q_community_lpa,
         "clique4_count": _q_clique4,
         "cc_star": _q_cc_star,
+        "harmonic_16": _q_harmonic_16,
         "cc_incremental": _q_cc_incremental,
         "triangle_incremental": _q_triangle_incremental,
         "ecc_tk": _q_ecc_tk,
         "kcore_julienne": _q_kcore_julienne,
         "ppr": _q_ppr,
-        "ppr_sweep": _q_ppr_sweep,
         "nibble": _q_nibble,
         "heat_kernel": _q_heat_kernel,
         # per-partition-CSR physical backend twins (round 3) — same
@@ -1740,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_image_ppm": _q_doc_image_ppm,
         "sssp_csr": _q_sssp_csr,
         "components_csr": _q_components_csr,
+        "ppr_sweep": _q_ppr_sweep,
         "events_rollup": _q_events_rollup,
         # rotated out of the head-50 (r02-green) for trustrank/salsa
         "pagerank_delta": _q_pagerank_delta,
@@ -2114,6 +2127,40 @@ def _ecc_sql(k: int, n_sources: int = 16) -> str:
     return (
         sql
         + f"\nSELECT id, CAST(max(level) AS INT) AS ecc FROM {prev} GROUP BY id"
+    )
+
+
+def _harmonic_sql(k: int, n_sources: int = 16, max_rounds: int = 24) -> str:
+    """DuckDB twin of ``apps.harmonic.harmonic_from_sources`` with
+    sources 0..n_sources-1: _ecc_sql's per-(sample, id) BFS-level CTE
+    chain, then hnum = Σ over sources of L // level (exact integers,
+    L = lcm(1..max_rounds) — same scaled accumulation as the engine)
+    and ONE double division, so the values match bit-for-bit."""
+    import math
+
+    scale = math.lcm(*range(1, max_rounds + 1))
+    sql = (
+        f"WITH e0 AS MATERIALIZED ({EDGES_SQL}),\nes AS MATERIALIZED ({SYM_SQL}),\n"
+        f"vis0 AS (SELECT CAST(range AS BIGINT) AS sample, CAST(range AS BIGINT) AS id, "
+        f"0 AS level FROM range({n_sources}))"
+    )
+    prev = "vis0"
+    for i in range(1, k + 1):
+        sql += (
+            f",\nf{i} AS MATERIALIZED (SELECT DISTINCT p.sample, e.dst AS id FROM es e "
+            f"JOIN {prev} p ON p.id = e.src AND p.level = {i - 1}),\n"
+            f"nf{i} AS (SELECT sample, id FROM f{i} x WHERE NOT EXISTS "
+            f"(SELECT 1 FROM {prev} v WHERE v.sample = x.sample AND v.id = x.id)),\n"
+            f"vis{i} AS MATERIALIZED (SELECT sample, id, level FROM {prev} "
+            f"UNION ALL SELECT sample, id, {i} AS level FROM nf{i})"
+        )
+        prev = f"vis{i}"
+    return (
+        sql
+        + f",\nh AS (SELECT id, sum(CASE WHEN level > 0 THEN {scale} // level "
+        f"ELSE 0 END) AS hnum FROM {prev} GROUP BY id)\n"
+        f"SELECT v.range AS id, CAST(coalesce(h.hnum, 0) AS DOUBLE) / {scale} "
+        f"AS harmonic FROM range({V}) v LEFT JOIN h ON h.id = v.range"
     )
 
 
@@ -4092,6 +4139,7 @@ def oracle_sql() -> dict[str, str]:
         "sssp": _sssp_sql(18),
         "delta_stepping": _sssp_sql(18),
         "ecc_16": _ecc_sql(12),
+        "harmonic_16": _harmonic_sql(12),
         # measured max distance 2 at sf0.01 (V=256 is dense); 2x margin
         "ecc_exact": _ecc_exact_sql(4),
         # cc fixpoint 5, wave depth <= diameter 6 at sf0.01; margins

@@ -24,6 +24,7 @@ from .bfscc import bfscc
 from .delta_stepping import delta_stepping
 from .kcore_julienne import kcore_julienne
 from .ecc import ecc_estimate, ecc_exact, ecc_kbfs, ecc_simple_approx
+from .harmonic import harmonic_from_sources
 from .local_cluster import (
     heat_kernel,
     heat_kernel_psis,
@@ -71,6 +72,7 @@ __all__ = [
     "delta_stepping",
     "kcore_julienne",
     "ecc_estimate",
+    "harmonic_from_sources",
     "ecc_exact",
     "ecc_kbfs",
     "ecc_simple_approx",

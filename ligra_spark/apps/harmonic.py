@@ -1,0 +1,126 @@
+"""Harmonic centrality from sampled sources — the web-ranking
+centrality H(v) = Σ_{u≠v} 1/d(u,v) (Boldi-Vigna, "Axioms for
+Centrality", 2014 — their recommended replacement for closeness on
+disconnected web graphs, since unreachable pairs contribute 0 instead
+of breaking the mean).
+
+Same 64-wave bitmask machinery as the eccentricity suite
+(``apps/ecc.py``, reference ``apps/eccentricity/kBFS-Ecc.C``): K ≤ 64
+simultaneous BFS waves propagate as a 64-bit visited mask under the
+``bit_or`` monoid — one groupBy(dst) shuffle + one co-partitioned
+state join per superstep.  Where kBFS-Ecc keeps the LAST round a
+vertex's mask grew, harmonic keeps the running sum of
+``popcount(newly_set_bits) / round`` — each source that first reaches
+v at distance r contributes 1/r.
+
+EXACT integer accumulation (the engine-portability trick): the state
+carries ``hnum = Σ_r popcount_r · (L / r)`` with L = lcm(1..max_rounds)
+— every per-round increment is an exact integer (L is divisible by
+every round number), so the final ``hnum / L`` is ONE IEEE division of
+exactly-representable integers and the result is bit-identical in any
+engine, unlike a float Σ 1/r whose value depends on addition order.
+hnum ≤ 64·max_rounds·L ≈ 8e12 stays far inside both the long range
+and double's 2^53 exact-integer range.
+
+With the full vertex set as sources this is EXACT harmonic centrality;
+with a hash sample of K sources, (n/K)·H_K(v) is the standard unbiased
+estimator (Eppstein-Wang sampling argument applied to the harmonic
+sum).  Sampling here is the caller's choice — the driver entry uses
+explicit sources 0..15 so the oracle is a deterministic CTE.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..engine import IterState, edge_map
+from .ecc import _signed64
+
+__all__ = ["harmonic_from_sources"]
+
+
+def harmonic_from_sources(
+    graph,
+    sources: list[int],
+    max_rounds: int = 24,
+    on_superstep=None,
+) -> tuple[DataFrame, int]:
+    """Returns ((id, harmonic) for ALL n vertices — 0.0 where no source
+    reaches, rounds).  ``harmonic(v) = Σ_{s ∈ sources, s ≠ v} 1/d(s,v)``
+    over reachable sources, exact (see module docstring for the
+    integer-scaled accumulation).
+
+    ``max_rounds`` bounds the supported BFS depth (L = lcm(1..max_rounds)
+    must stay a long; 24 covers any crawl-shaped graph — raise it for
+    high-diameter meshes, up to 42 before lcm overflows int64).
+    """
+    # dedupe FIRST: unlike ecc (max over waves — insensitive), harmonic
+    # SUMS per-bit contributions, so a repeated source id must own one
+    # bit, not two
+    uniq = list(dict.fromkeys(int(v) for v in sources))
+    if len(uniq) > 64:
+        raise ValueError("at most 64 simultaneous BFS waves (64-bit masks)")
+    scale = math.lcm(*range(1, max_rounds + 1))
+    if scale >= 1 << 62:
+        raise ValueError(f"lcm(1..{max_rounds}) overflows the long accumulator")
+    spark = graph.spark
+    bits: dict[int, int] = {v: _signed64(1 << i) for i, v in enumerate(uniq)}
+    starts = spark.createDataFrame(
+        [(v, b) for v, b in bits.items()], "id long, init_mask long"
+    )
+    init = graph.vertices.join(F.broadcast(starts), "id", "left").select(
+        "id",
+        F.coalesce("init_mask", F.lit(0)).cast("long").alias("mask"),
+        F.lit(0).cast("long").alias("hnum"),
+        F.col("init_mask").isNotNull().alias("changed"),
+    )
+    st = IterState(init, num_partitions=graph.num_partitions)
+    rounds, fsize = 0, len(bits)
+    while fsize > 0:
+        rounds += 1
+        if rounds > max_rounds:
+            raise ValueError(
+                f"BFS exceeded max_rounds={max_rounds}; raise it "
+                "(exactness is preserved for any max_rounds <= 42)"
+            )
+        frontier = st.df.filter("changed").select("id", "mask")
+        msgs = edge_map(
+            graph,
+            frontier,
+            message=F.col("mask"),
+            aggregate=F.bit_or,
+            frontier_size=fsize,
+            extra_frontier_cols=("mask",),
+        )
+        newly = F.col("new_mask").bitwiseAND(F.bitwise_not(F.col("mask")))
+        new = (
+            st.df.join(msgs.hint("shuffle_hash"), "id", "left")
+            .select(
+                "id",
+                F.col("mask")
+                .bitwiseOR(F.coalesce("agg", F.lit(0)))
+                .alias("new_mask"),
+                "mask",
+                "hnum",
+            )
+            .select(
+                "id",
+                F.col("new_mask").alias("mask"),
+                (
+                    F.col("hnum")
+                    + F.bit_count(newly).cast("long") * F.lit(scale // rounds)
+                ).alias("hnum"),
+                (F.col("new_mask") != F.col("mask")).alias("changed"),
+            )
+        )
+        new, fsize = st.advance(new, action=lambda df: df.filter("changed").count())
+        if on_superstep:
+            on_superstep(rounds, {"frontier": fsize})
+    out = st.df.select(
+        "id",
+        (F.col("hnum").cast("double") / F.lit(float(scale))).alias("harmonic"),
+    )
+    return out, rounds

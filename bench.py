@@ -169,10 +169,30 @@ def main() -> None:
         lambda: random_walks(gsym, spark.range(64), 4, 6).count(),
     )
 
+    # round-3 corpus gates: Gopher repetition filter + PII scrub +
+    # benchmark decontamination, composed over the documents table —
+    # the pre-tokenizer gate sequence of a training-data pipeline
+    from ligra_spark.functions import decontaminate, gopher_filter, redact_pii
+
+    def _corpus_gates():
+        # persist the gated set: it feeds both the decontaminate train
+        # side and the final join (a real pipeline materializes between
+        # stages rather than re-running the regex scans per consumer)
+        gated = redact_pii(gopher_filter(docs).filter("gopher_pass"), "text").persist()
+        try:
+            bench_slice = docs.filter(F.col("doc_id") % 50 == 3)
+            dec = decontaminate(gated, bench_slice, k=8)
+            return gated.join(dec.filter(~F.col("contaminated")), "doc_id").count()
+        finally:
+            gated.unpersist()
+
+    phase("corpus_gates", _corpus_gates)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "ligra_spark headline phases (1hop/BFS/PR10/CC/triangle/minhash-LSH/ANN"
-        "/IVF/asof/range/sessions/kBFS-ecc/PPR/corpus-prep/neardup/LCC/truss/walks)",
+        "/IVF/asof/range/sessions/kBFS-ecc/PPR/corpus-prep/neardup/LCC/truss/walks"
+        "/corpus-gates)",
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -874,6 +874,24 @@ _BPE_SUFFIXES = [
 ]
 
 
+def _q_doc_shared_spans(spark, sf):
+    """Span-level dedup detection (Lee et al. 2021 semantics): the
+    corpus augmented with derived 'plagiarized' docs (token slice 5..28
+    of every 10th doc) so verbatim shared spans exist; reports each
+    pair's longest shared span via the diagonal gaps-and-islands plan."""
+    from ligra_spark.functions.span_dedup import shared_span_pairs
+    from ligra_spark.functions.text import tokens_col
+
+    docs = _t(spark, sf, "documents")
+    toks = tokens_col(F.col("text"))
+    derived = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 5, 24)).alias("text"),
+    )
+    aug = docs.select("doc_id", "text").unionByName(derived)
+    return shared_span_pairs(aug, k=8)
+
+
 def _q_doc_bpe_tokens(spark, sf):
     """BPE-ish token budgeting: GPT-2-style pre-tokenizer segment count
     + fertility ratio vs whitespace words; one codegen'd regexp scan."""
@@ -1709,6 +1727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_topk": _q_doc_bm25_topk,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "doc_neardup_clusters": _q_doc_neardup_clusters,
+        "doc_shared_spans": _q_doc_shared_spans,
         # corpus gates (round 3): Gopher repetition filter, PII scrub,
         # benchmark decontamination
         "doc_gopher_filter": _q_doc_gopher_filter,
@@ -1734,7 +1753,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_link_graph": _q_page_link_graph,
         "host_link_graph": _q_host_link_graph,
         "host_rank": _q_host_rank,
-        "host_topk_pages": _q_host_topk_pages,
         "anchor_text_agg": _q_anchor_text_agg,
         "url_normalize": _q_url_normalize,
         "random_walk_corpus": _q_random_walk_corpus,
@@ -1753,6 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_csr": _q_sssp_csr,
         "components_csr": _q_components_csr,
         "ppr_sweep": _q_ppr_sweep,
+        "host_topk_pages": _q_host_topk_pages,
         "events_rollup": _q_events_rollup,
         # rotated out of the head-50 (r02-green) for trustrank/salsa
         "pagerank_delta": _q_pagerank_delta,
@@ -3640,6 +3659,38 @@ def _pii_sql() -> str:
     )
 
 
+def _shared_spans_sql(k: int = 8, cap: int = 64) -> str:
+    """DuckDB twin of the doc_shared_spans entry: same augmentation
+    (toks[5:28] of every 10th doc), grams joined by STRING (the engine
+    joins 64-bit gram hashes — identical pairing modulo 2^-64
+    collisions), same diagonal/run windows."""
+    gram = " || chr(31) || ".join(
+        f"toks[i+{j}]" if j else "toks[i]" for j in range(k)
+    )
+    return (
+        f"WITH t AS ({_TOKS}),\n"
+        "aug AS (SELECT doc_id, toks FROM t UNION ALL "
+        "SELECT doc_id + 100000 AS doc_id, toks[5:28] AS toks FROM t "
+        "WHERE doc_id % 10 = 0),\n"
+        "g AS (SELECT doc_id, "
+        f"unnest(range(0, greatest(len(toks) - {k - 1}, 0))) AS pos, "
+        f"unnest(list_transform(range(1, len(toks) - {k - 2}), i -> {gram})) AS gram "
+        "FROM aug),\n"
+        "ok AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS df "
+        f"FROM g GROUP BY 1) WHERE df <= {cap}),\n"
+        "gg AS (SELECT g.* FROM g JOIN ok USING (gram)),\n"
+        "m AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "a.pos AS pos_a, a.pos - b.pos AS diag "
+        "FROM gg a JOIN gg b USING (gram) WHERE a.doc_id < b.doc_id),\n"
+        "r AS (SELECT doc_a, doc_b, diag, pos_a, pos_a - row_number() OVER "
+        "(PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS blk FROM m),\n"
+        "pr AS (SELECT doc_a, doc_b, diag, blk, count(*) AS run "
+        "FROM r GROUP BY 1, 2, 3, 4)\n"
+        f"SELECT doc_a, doc_b, CAST(max(run) + {k - 1} AS INT) AS max_span_tokens, "
+        "CAST(sum(run) AS BIGINT) AS n_matching_grams FROM pr GROUP BY 1, 2"
+    )
+
+
 def _bpe_sql() -> str:
     """DuckDB twin of text.with_bpe_token_count over the same injected
     suffixes; the shared pattern is RE2/Java-portable (no lookaheads)."""
@@ -4194,6 +4245,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_redact": _pii_sql(),
         "doc_decontaminate": _decontaminate_sql(8),
         "doc_bpe_tokens": _bpe_sql(),
+        "doc_shared_spans": _shared_spans_sql(8),
         "doc_lang_guess": _lang_sql(),
         "doc_fingerprint": "SELECT doc_id, "
         "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint "

@@ -354,7 +354,19 @@ def _q_harmonic_16(spark, sf):
     out, _ = harmonic_from_sources(
         _graph(spark, sf, symmetric=True), sources=list(range(16))
     )
-    return out
+    return out.select("id", "harmonic")
+
+
+def _q_closeness_16(spark, sf):
+    """Sampled closeness centrality from the same kBFS pass: sources
+    reaching v divided by their total distance — exact integer
+    accumulators, one IEEE division."""
+    from ligra_spark.apps import harmonic_from_sources
+
+    out, _ = harmonic_from_sources(
+        _graph(spark, sf, symmetric=True), sources=list(range(16))
+    )
+    return out.select("id", "closeness", "n_reached", "dist_sum")
 
 
 def _q_ecc_fm(spark, sf):
@@ -1700,7 +1712,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truss_decomposition": _q_truss_decomposition,
         "reciprocity": _q_reciprocity,
         "assortativity": _q_assortativity,
-        "pagerank": _q_pagerank_full,
         # HITS hubs/authorities (our addition — the other canonical
         # web-link fixpoint; exercises both traversal directions)
         "hits": _q_hits,
@@ -1712,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clique4_count": _q_clique4,
         "cc_star": _q_cc_star,
         "harmonic_16": _q_harmonic_16,
+        "closeness_16": _q_closeness_16,
         "cc_incremental": _q_cc_incremental,
         "triangle_incremental": _q_triangle_incremental,
         "ecc_tk": _q_ecc_tk,
@@ -1772,6 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components_csr": _q_components_csr,
         "ppr_sweep": _q_ppr_sweep,
         "host_topk_pages": _q_host_topk_pages,
+        "pagerank": _q_pagerank_full,
         "events_rollup": _q_events_rollup,
         # rotated out of the head-50 (r02-green) for trustrank/salsa
         "pagerank_delta": _q_pagerank_delta,
@@ -2180,6 +2193,24 @@ def _harmonic_sql(k: int, n_sources: int = 16, max_rounds: int = 24) -> str:
         f"ELSE 0 END) AS hnum FROM {prev} GROUP BY id)\n"
         f"SELECT v.range AS id, CAST(coalesce(h.hnum, 0) AS DOUBLE) / {scale} "
         f"AS harmonic FROM range({V}) v LEFT JOIN h ON h.id = v.range"
+    )
+
+
+def _closeness_sql(k: int, n_sources: int = 16) -> str:
+    """DuckDB twin of the closeness_16 entry: count/sum of BFS levels
+    from the same vis CTE chain, one double division."""
+    base = _harmonic_sql(k, n_sources)
+    head, _, _ = base.rpartition(",\nh AS (")
+    return (
+        head
+        + ",\nh AS (SELECT id, sum(CASE WHEN level > 0 THEN 1 ELSE 0 END) AS rc, "
+        "sum(CASE WHEN level > 0 THEN level ELSE 0 END) AS sd "
+        f"FROM vis{k} GROUP BY id)\n"
+        "SELECT v.range AS id, CASE WHEN coalesce(h.sd, 0) > 0 THEN "
+        "CAST(h.rc AS DOUBLE) / CAST(h.sd AS DOUBLE) ELSE 0.0 END AS closeness, "
+        "CAST(coalesce(h.rc, 0) AS INT) AS n_reached, "
+        "CAST(coalesce(h.sd, 0) AS BIGINT) AS dist_sum "
+        f"FROM range({V}) v LEFT JOIN h ON h.id = v.range"
     )
 
 
@@ -4191,6 +4222,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_stepping": _sssp_sql(18),
         "ecc_16": _ecc_sql(12),
         "harmonic_16": _harmonic_sql(12),
+        "closeness_16": _closeness_sql(12),
         # measured max distance 2 at sf0.01 (V=256 is dense); 2x margin
         "ecc_exact": _ecc_exact_sql(4),
         # cc fixpoint 5, wave depth <= diameter 6 at sf0.01; margins

@@ -48,10 +48,13 @@ def harmonic_from_sources(
     max_rounds: int = 24,
     on_superstep=None,
 ) -> tuple[DataFrame, int]:
-    """Returns ((id, harmonic) for ALL n vertices — 0.0 where no source
-    reaches, rounds).  ``harmonic(v) = Σ_{s ∈ sources, s ≠ v} 1/d(s,v)``
-    over reachable sources, exact (see module docstring for the
-    integer-scaled accumulation).
+    """Returns ((id, harmonic, closeness, n_reached, dist_sum) for ALL
+    n vertices — zeros where no source reaches, rounds).
+    ``harmonic(v) = Σ_{s ∈ sources, s ≠ v} 1/d(s,v)`` over reachable
+    sources and ``closeness(v) = n_reached / Σ d(s,v)`` (the classic
+    sampled closeness, well-defined on disconnected graphs because
+    unreachable sources simply don't contribute), both exact (see
+    module docstring for the integer-scaled accumulation).
 
     ``max_rounds`` bounds the supported BFS depth (L = lcm(1..max_rounds)
     must stay a long; 24 covers any crawl-shaped graph — raise it for
@@ -75,6 +78,8 @@ def harmonic_from_sources(
         "id",
         F.coalesce("init_mask", F.lit(0)).cast("long").alias("mask"),
         F.lit(0).cast("long").alias("hnum"),
+        F.lit(0).cast("long").alias("snum"),
+        F.lit(0).cast("long").alias("rcount"),
         F.col("init_mask").isNotNull().alias("changed"),
     )
     st = IterState(init, num_partitions=graph.num_partitions)
@@ -96,6 +101,7 @@ def harmonic_from_sources(
             extra_frontier_cols=("mask",),
         )
         newly = F.col("new_mask").bitwiseAND(F.bitwise_not(F.col("mask")))
+        pc = F.bit_count(newly).cast("long")
         new = (
             st.df.join(msgs.hint("shuffle_hash"), "id", "left")
             .select(
@@ -105,14 +111,17 @@ def harmonic_from_sources(
                 .alias("new_mask"),
                 "mask",
                 "hnum",
+                "snum",
+                "rcount",
             )
             .select(
                 "id",
                 F.col("new_mask").alias("mask"),
-                (
-                    F.col("hnum")
-                    + F.bit_count(newly).cast("long") * F.lit(scale // rounds)
-                ).alias("hnum"),
+                (F.col("hnum") + pc * F.lit(scale // rounds)).alias("hnum"),
+                # closeness companions, both exact integers: total
+                # distance mass and number of reaching sources
+                (F.col("snum") + pc * F.lit(rounds)).alias("snum"),
+                (F.col("rcount") + pc).alias("rcount"),
                 (F.col("new_mask") != F.col("mask")).alias("changed"),
             )
         )
@@ -122,5 +131,15 @@ def harmonic_from_sources(
     out = st.df.select(
         "id",
         (F.col("hnum").cast("double") / F.lit(float(scale))).alias("harmonic"),
+        # classic sampled closeness: sources-reaching / total distance
+        # (0.0 where nothing reaches) — again ONE division of exact ints
+        F.when(
+            F.col("snum") > 0,
+            F.col("rcount").cast("double") / F.col("snum").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("closeness"),
+        F.col("rcount").cast("int").alias("n_reached"),
+        F.col("snum").alias("dist_sum"),
     )
     return out, rounds

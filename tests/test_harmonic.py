@@ -74,9 +74,19 @@ def test_harmonic_path_graph_values(spark):
     ).materialize()
     try:
         res, _ = harmonic_from_sources(g, sources=[0])
-        got = {r["id"]: r["harmonic"] for r in res.collect()}
+        rows = {r["id"]: r for r in res.collect()}
+        got = {i: r["harmonic"] for i, r in rows.items()}
         L = math.lcm(*range(1, 25))
         assert got == {0: 0.0, 1: 1.0, 2: (L // 2) / L, 3: (L // 3) / L}
+        # closeness companions: 1 source at distances 1, 2, 3
+        assert {i: r["closeness"] for i, r in rows.items()} == {
+            0: 0.0,
+            1: 1.0,
+            2: 1 / 2,
+            3: 1 / 3,
+        }
+        assert rows[3]["n_reached"] == 1 and rows[3]["dist_sum"] == 3
+        assert rows[0]["n_reached"] == 0 and rows[0]["dist_sum"] == 0
     finally:
         g.unpersist()
 

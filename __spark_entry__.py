@@ -1169,6 +1169,29 @@ def _q_ecc_exact(spark, sf):
     return res
 
 
+def _q_events_user_hll(spark, sf):
+    """Deterministic HyperLogLog distinct-user rollup per event type
+    (b=6, raw estimator) next to the exact count and relative error —
+    the cardinality-sketch rollup of a crawl-stats pipeline, bit-exact
+    across engines via the hashInt avalanche + integer registers."""
+    from ligra_spark.functions.sketches import hll_distinct
+
+    ev = _t(spark, sf, "events")
+    h = hll_distinct(ev, ["event_type"], "user_id", b=6)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return h.join(exact, "event_type").select(
+        "event_type",
+        "hll_distinct",
+        "exact_users",
+        (
+            (F.col("hll_distinct") - F.col("exact_users"))
+            / F.col("exact_users")
+        ).alias("rel_err"),
+    )
+
+
 def _q_events_hub_onset(spark, sf):
     """Batch twin of the stateful streaming hub detector
     (``streaming.detect_new_hubs`` / applyInPandasWithState): for each
@@ -1706,7 +1729,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # covered by tests/ + tools/check_entry.py.
     return {
         # graph engine (SURVEY.md §2.4 apps over the derived link graph)
-        "triangle_count": _q_triangles,
         "triangle_lcc": _q_triangle_lcc,
         "ktruss4": _q_ktruss,
         "truss_decomposition": _q_truss_decomposition,
@@ -1760,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_view": _q_events_asof,
         "events_range_counts": _q_events_range,
         "events_hub_onset": _q_events_hub_onset,
+        "events_user_hll": _q_events_user_hll,
         # pages pipeline (north-rule ingest) + multimodal plumbing
         "page_extract": _q_page_extract,
         "page_link_graph": _q_page_link_graph,
@@ -1785,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_sweep": _q_ppr_sweep,
         "host_topk_pages": _q_host_topk_pages,
         "pagerank": _q_pagerank_full,
+        "triangle_count": _q_triangles,
         "events_rollup": _q_events_rollup,
         # rotated out of the head-50 (r02-green) for trustrank/salsa
         "pagerank_delta": _q_pagerank_delta,
@@ -2377,6 +2401,43 @@ def _h32_sql(inner: str, keep: str) -> str:
         f"    SELECT {keep}, xor(xor(b, {C[1]}), b // {1 << 19}) AS c FROM (\n"
         f"     SELECT {keep}, (a + {C[0]} + a * {1 << 12}) % {T} AS b FROM (\n"
         f"      {inner}))))))"
+    )
+
+
+def _hll_sql(b: int = 6) -> str:
+    """DuckDB twin of the events_user_hll entry: same hashInt
+    avalanche (``_h32_sql``), same integer register/rho ladder, same
+    single float expression — values match bit-for-bit."""
+    from ligra_spark.functions.sketches import hll_alpha
+
+    m = 1 << b
+    wbits = 32 - b
+    rmax = wbits + 1
+    alpha = hll_alpha(m)
+    knum = float(m * m * (1 << rmax))
+    ladder = " ".join(
+        f"WHEN w >= {1 << k} AND w < {1 << (k + 1)} THEN {wbits - k}"
+        for k in range(wbits)
+    )
+    inner = (
+        "SELECT event_type, user_id % 4294967296 AS a FROM events"
+    )
+    return (
+        f"WITH hh AS ({_h32_sql(inner, 'event_type')}),\n"
+        f"rr AS (SELECT event_type, g % {m} AS j, "
+        f"CASE {ladder} ELSE {rmax} END AS rho "
+        f"FROM (SELECT event_type, g, g // {m} AS w FROM hh)),\n"
+        "regs AS (SELECT event_type, j, max(rho) AS mj FROM rr GROUP BY 1, 2),\n"
+        "pg AS (SELECT event_type, "
+        f"sum(CAST(1 AS BIGINT) << ({rmax} - mj)) AS sp, count(*) AS nr "
+        "FROM regs GROUP BY 1),\n"
+        f"h AS (SELECT event_type, {alpha!r} * ({knum!r} / "
+        f"CAST(sp + ({m} - nr) * {1 << rmax} AS DOUBLE)) AS hll_distinct FROM pg),\n"
+        "x AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
+        "AS exact_users FROM events GROUP BY 1)\n"
+        "SELECT h.event_type, h.hll_distinct, x.exact_users, "
+        "(h.hll_distinct - x.exact_users) / x.exact_users AS rel_err "
+        "FROM h JOIN x ON h.event_type = x.event_type"
     )
 
 
@@ -4278,6 +4339,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_decontaminate": _decontaminate_sql(8),
         "doc_bpe_tokens": _bpe_sql(),
         "doc_shared_spans": _shared_spans_sql(8),
+        "events_user_hll": _hll_sql(6),
         "doc_lang_guess": _lang_sql(),
         "doc_fingerprint": "SELECT doc_id, "
         "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint "

@@ -179,3 +179,47 @@ def test_bpe_token_count_segments(spark):
     # "x  y": 'x', then ' ?\p{L}+' consumes ' y' after one residual space
     assert out[4]["n_bpe_tokens"] == 3
     assert out[1]["bpe_per_word"] == pytest.approx(1.0)
+
+
+# ------------------------------------------------------------ HLL sketch
+
+
+def test_hll_distinct_accuracy_and_determinism(spark):
+    """Raw-HLL estimate within the textbook 1.04/sqrt(m) band at two
+    register sizes, and identical across repartitionings (the register
+    merge is associative — partition layout cannot change the result)."""
+    import pyspark.sql.functions as F
+
+    from ligra_spark.functions.sketches import hll_distinct
+
+    n = 20000
+    df = spark.range(n).select((F.col("id") * 13 + 5).alias("v"), F.lit("g").alias("g"))
+    for b, tol in ((6, 0.40), (10, 0.11)):  # 3x the 1.04/sqrt(m) sigma
+        est = hll_distinct(df, ["g"], "v", b=b).first()["hll_distinct"]
+        assert abs(est - n) / n < tol, (b, est)
+    e1 = hll_distinct(df.repartition(1), ["g"], "v", b=8).first()["hll_distinct"]
+    e17 = hll_distinct(df.repartition(17, "v"), ["g"], "v", b=8).first()["hll_distinct"]
+    assert e1 == e17
+
+
+def test_hll_duplicates_do_not_inflate(spark):
+    import pyspark.sql.functions as F
+
+    from ligra_spark.functions.sketches import hll_distinct
+
+    base = spark.range(500).select((F.col("id")).alias("v"), F.lit("g").alias("g"))
+    dup = base.unionAll(base).unionAll(base)
+    a = hll_distinct(base, ["g"], "v", b=6).first()["hll_distinct"]
+    b_ = hll_distinct(dup, ["g"], "v", b=6).first()["hll_distinct"]
+    assert a == b_
+
+
+def test_hll_b_guard(spark):
+    import pyspark.sql.functions as F
+    import pytest
+
+    from ligra_spark.functions.sketches import hll_distinct
+
+    df = spark.range(5).select(F.col("id").alias("v"), F.lit("g").alias("g"))
+    with pytest.raises(ValueError):
+        hll_distinct(df, ["g"], "v", b=3)

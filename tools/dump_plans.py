@@ -147,6 +147,35 @@ def main() -> None:
         _tree_head(_plan(dd)),
     ))
 
+    # 7. Gopher repetition gate: zero-shuffle scan-project
+    from ligra_spark.functions import gopher_filter
+
+    gf = gopher_filter(docs).select("doc_id", "gopher_pass", "gopher_reason")
+    sections.append((
+        "Gopher repetition/quality gate",
+        "ZERO exchanges: every statistic — including the top-n-gram "
+        "frequency, computed as a sorted-array longest-equal-run inside "
+        "one Catalyst `aggregate` lambda — lives in the scan's "
+        "projection. A 10^12-doc corpus gate that is one pass over the "
+        "parquet, full stop.",
+        _tree_head(_plan(gf)),
+    ))
+
+    # 8. HLL cardinality rollup: registers shuffle, values never do
+    from ligra_spark.functions.sketches import hll_distinct
+
+    docs_i = docs.select(F.xxhash64("doc_id").alias("v"), F.lit("g").alias("grp"))
+    hl = hll_distinct(docs_i, ["grp"], "v", b=6)
+    sections.append((
+        "HLL distinct-count rollup",
+        "The exchanges carry REGISTER rows, not values: partial "
+        "aggregation collapses each map task to ≤64 rows per group "
+        "before the (group, register) shuffle, and the final rollup "
+        "reduces 64 registers per group. count(DISTINCT) at the same "
+        "scale would shuffle every distinct value.",
+        _tree_head(_plan(hl)),
+    ))
+
     out = [
         "# PLANS — the physical plans behind the scale claims",
         "",

@@ -904,6 +904,31 @@ def _q_doc_shared_spans(spark, sf):
     return shared_span_pairs(aug, k=8)
 
 
+def _q_doc_neardup_incremental(spark, sf):
+    """Streaming dedup maintenance replayed as a batch query: the
+    documents table split into 3 hash-batches and folded through
+    ``apply_dedup_batch`` (persistent LSH-band + content-hash bucket
+    index, collision edges into the incremental-CC star store); the
+    maintained clustering is batch-split-independent and must equal
+    the full-corpus closure over LSH pairs ∪ exact-dup pairs."""
+    import shutil
+    import tempfile
+
+    from ligra_spark.streaming import apply_dedup_batch, dedup_state
+
+    docs = _t(spark, sf, "documents")
+    dd_dir = tempfile.mkdtemp(prefix="ddinc_")
+    try:
+        for b in range(3):
+            batch = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == b)
+            apply_dedup_batch(
+                batch, b, dd_dir, spark.sparkContext.defaultParallelism
+            )
+        return dedup_state(spark, dd_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(dd_dir, ignore_errors=True)
+
+
 def _q_doc_bpe_tokens(spark, sf):
     """BPE-ish token budgeting: GPT-2-style pre-tokenizer segment count
     + fertility ratio vs whitespace words; one codegen'd regexp scan."""
@@ -1762,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": _q_doc_stratified_sample,
         "doc_neardup_clusters": _q_doc_neardup_clusters,
         "doc_shared_spans": _q_doc_shared_spans,
+        "doc_neardup_incremental": _q_doc_neardup_incremental,
         # corpus gates (round 3): Gopher repetition filter, PII scrub,
         # benchmark decontamination
         "doc_gopher_filter": _q_doc_gopher_filter,
@@ -1791,7 +1817,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_agg": _q_anchor_text_agg,
         "url_normalize": _q_url_normalize,
         "random_walk_corpus": _q_random_walk_corpus,
-        "doc_media_decode": _q_doc_media_decode,
         "doc_image_features": _q_doc_image_features,
         # ---- tail (slot 51+): fixed-k gates and app variants, all
         # driver-green in CORRECTNESS_r01/r02 (or replica-green r03);
@@ -1802,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries heat_kernel / doc_image_features / pagerank_csr) to
         # make room for the round-3 corpus gates
         "heat_kernel_rand": _q_heat_kernel_rand,
+        "doc_media_decode": _q_doc_media_decode,
         "doc_image_ppm": _q_doc_image_ppm,
         "sssp_csr": _q_sssp_csr,
         "components_csr": _q_components_csr,
@@ -3978,6 +4004,35 @@ def _neardup_clusters_sql(k: int = 12) -> str:
     )
 
 
+def _neardup_incr_sql(k: int = 12) -> str:
+    """Oracle for the incremental dedup maintainer: the batch closure
+    it must equal — LSH pairs UNION exact-content pairs (the x-bucket),
+    then the same chained min-label rounds as _neardup_clusters_sql."""
+    sql = (
+        f"WITH lp AS MATERIALIZED ({_lsh_sql(8, 4)}),\n"
+        "p0 AS MATERIALIZED (SELECT doc_a, doc_b FROM lp\n"
+        "  UNION SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM documents a\n"
+        "  JOIN documents b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),\n"
+        "es AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM p0\n"
+        "  UNION SELECT doc_b, doc_a FROM p0),\n"
+        "v AS (SELECT DISTINCT doc_id AS id FROM documents),\n"
+        "l0 AS (SELECT id, id AS label FROM v)"
+    )
+    prev = "l0"
+    for i in range(1, k + 1):
+        sql += (
+            f",\nm{i} AS MATERIALIZED (SELECT es.dst AS id, min({prev}.label) AS minl\n"
+            f"  FROM es JOIN {prev} ON {prev}.id = es.src GROUP BY es.dst),\n"
+            f"l{i} AS MATERIALIZED (SELECT {prev}.id, least({prev}.label, coalesce(m{i}.minl, {prev}.label)) AS label\n"
+            f"  FROM {prev} LEFT JOIN m{i} ON m{i}.id = {prev}.id)"
+        )
+        prev = f"l{i}"
+    return sql + (
+        f"\nSELECT id AS doc_id, label AS cluster,"
+        f" CAST(label = id AS INT) AS keep FROM {prev}"
+    )
+
+
 def _simhash_sql() -> str:
     h = _hash_sql("tok", 99)
     sums = ",\n".join(f"  sum(({h} >> {b}) & 1) AS b{b}" for b in range(16))
@@ -4340,6 +4395,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bpe_tokens": _bpe_sql(),
         "doc_shared_spans": _shared_spans_sql(8),
         "events_user_hll": _hll_sql(6),
+        "doc_neardup_incremental": _neardup_incr_sql(12),
         "doc_lang_guess": _lang_sql(),
         "doc_fingerprint": "SELECT doc_id, "
         "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint "

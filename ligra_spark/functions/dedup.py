@@ -30,6 +30,7 @@ from .text import tokens_col
 
 __all__ = [
     "exact_duplicates",
+    "band_buckets",
     "token_jaccard_pairs",
     "minhash_signatures",
     "lsh_candidate_pairs",
@@ -190,6 +191,28 @@ def minhash_signatures(
     return base.groupBy("doc_id").agg(*aggs)
 
 
+def band_buckets(
+    signatures: DataFrame, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """(doc_id, bkey) — one LSH band-bucket key per band per doc (one
+    array-explode per row; see :func:`lsh_candidate_pairs` for why not
+    a union of per-band projections).  Shared by the batch pairing
+    below and the streaming dedup maintainer's persistent bucket
+    index."""
+    rpb = num_hashes // bands
+    keys = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"h{b * rpb + j}").cast("string") for j in range(rpb)],
+            )
+        )
+        for b in range(bands)
+    ]
+    return signatures.select("doc_id", F.explode(F.array(*keys)).alias("bkey"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, num_hashes: int = 8, bands: int = 4
 ) -> DataFrame:
@@ -204,18 +227,7 @@ def lsh_candidate_pairs(
     unmaterialized upstream work (MinHash over the raw corpus) the
     whole corpus would be re-scanned 2·bands times.  With the explode
     form the self-join references the subtree exactly twice."""
-    rpb = num_hashes // bands
-    keys = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.lit(str(b)),
-                *[F.col(f"h{b * rpb + j}").cast("string") for j in range(rpb)],
-            )
-        )
-        for b in range(bands)
-    ]
-    buckets = signatures.select("doc_id", F.explode(F.array(*keys)).alias("bkey"))
+    buckets = band_buckets(signatures, num_hashes, bands)
     a = buckets.select(F.col("doc_id").alias("doc_a"), "bkey")
     b_ = buckets.select(F.col("doc_id").alias("doc_b"), "bkey")
     return (

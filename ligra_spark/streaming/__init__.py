@@ -13,6 +13,12 @@ from .incremental_cc import (
     star_labels,
     update_star_pairs,
 )
+from .incremental_dedup import (
+    apply_dedup_batch,
+    dedup_state,
+    incremental_dedup_sink,
+    read_dedup_manifest,
+)
 from .incremental_triangles import (
     apply_tri_batch,
     committed_half_edges,
@@ -46,6 +52,10 @@ __all__ = [
     "update_star_pairs",
     "apply_pr_batch",
     "incremental_pagerank_sink",
+    "apply_dedup_batch",
+    "dedup_state",
+    "incremental_dedup_sink",
+    "read_dedup_manifest",
     "apply_tri_batch",
     "committed_half_edges",
     "incremental_triangles_sink",

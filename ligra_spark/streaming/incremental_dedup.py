@@ -1,0 +1,172 @@
+"""Incremental near-duplicate dedup maintenance over a growing corpus
+— the fourth maintained fixpoint, and the one a continuous crawl
+actually runs first: as document batches arrive, maintain the
+duplicate-family clustering (exact + MinHash/LSH near-dup) and the
+canonical keeper set WITHOUT re-pairing the whole corpus per batch.
+
+Composition of two existing engines (nothing new to verify at the
+algorithm level):
+
+- the persistent BUCKET INDEX: every doc's LSH band keys
+  (``functions.dedup.band_buckets`` over its MinHash signature) plus
+  one exact-content key (``x:`` + md5(text), which also covers docs
+  too short to shingle).  A new batch only joins its own keys against
+  the index — cost ∝ batch collisions, never corpus²;
+- the collision edges feed ``streaming.incremental_cc`` — the
+  affected-component star maintainer — so transitive duplicate
+  families (template drift A~B~C) stay closed across batches and the
+  cluster label is the family's min doc id, an ORDER-INDEPENDENT
+  choice: the maintained state equals the batch
+  ``neardup_clusters``-style run over the full corpus no matter how
+  documents were split into batches (pinned by tests).
+
+Storage (manifest pattern of the other maintainers):
+
+  dd_dir/buckets/b{batch_id}/  (doc_id, bkey) bucket index rows
+  dd_dir/docs/b{batch_id}/     (doc_id) arrivals (incl. bucket-less)
+  dd_dir/cc/                   incremental-CC star store (own manifest)
+  dd_dir/_CURRENT              {batches}
+
+Replay of a committed batch is a no-op; duplicate doc_ids across
+batches are tolerated (their buckets collide with themselves —
+self-pairs are filtered).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.dedup import band_buckets, minhash_signatures
+from .incremental_cc import apply_cc_batch, cc_labels
+from .ingest_stream import _atomic_write
+
+__all__ = [
+    "apply_dedup_batch",
+    "read_dedup_manifest",
+    "dedup_state",
+    "incremental_dedup_sink",
+]
+
+
+def read_dedup_manifest(dd_dir: str) -> dict:
+    ptr = os.path.join(dd_dir, "_CURRENT")
+    if not os.path.exists(ptr):
+        return {"batches": []}
+    with open(ptr) as fh:
+        return json.load(fh)
+
+
+def _batch_buckets(
+    docs: DataFrame, num_hashes: int, bands: int, shingle_k: int,
+    id_col: str, text: str,
+) -> DataFrame:
+    sigs = minhash_signatures(
+        docs, num_hashes=num_hashes, shingle_k=shingle_k, id_col=id_col, text=text
+    )
+    bb = band_buckets(sigs, num_hashes, bands)
+    xb = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.concat(F.lit("x:"), F.md5(F.col(text))).alias("bkey"),
+    )
+    return bb.unionByName(xb)
+
+
+def apply_dedup_batch(
+    batch_docs: DataFrame,
+    batch_id: int,
+    dd_dir: str,
+    num_partitions: int,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> int:
+    """Fold one micro-batch of documents into the maintained dedup
+    clustering — the foreachBatch body.  Returns the number of new
+    collision edges folded (0 for a replayed batch)."""
+    spark = batch_docs.sparkSession
+    man = read_dedup_manifest(dd_dir)
+    if int(batch_id) in [int(b) for b in man["batches"]]:
+        return 0
+    nb = _batch_buckets(
+        batch_docs, num_hashes, bands, shingle_k, id_col, text
+    ).localCheckpoint(eager=True)
+    if man["batches"]:
+        paths = [os.path.join(dd_dir, "buckets", f"b{b}") for b in man["batches"]]
+        old = spark.read.parquet(*paths).select("doc_id", "bkey")
+        both = old.unionByName(nb)
+    else:
+        both = nb
+    # batch keys vs (index ∪ batch): every newcomer meets all current
+    # bucket members, so per bucket the cumulative edge set is
+    # connected — components equal the batch all-pairs closure
+    pairs = (
+        nb.select(F.col("doc_id").alias("_a"), "bkey")
+        .join(both.select(F.col("doc_id").alias("_b"), "bkey"), "bkey")
+        .filter(F.col("_a") != F.col("_b"))
+        .select(
+            F.least("_a", "_b").alias("src"), F.greatest("_a", "_b").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = pairs.count()
+    apply_cc_batch(pairs, batch_id, os.path.join(dd_dir, "cc"), num_partitions)
+    os.makedirs(os.path.join(dd_dir, "buckets"), exist_ok=True)
+    os.makedirs(os.path.join(dd_dir, "docs"), exist_ok=True)
+    nb.write.mode("overwrite").parquet(os.path.join(dd_dir, "buckets", f"b{batch_id}"))
+    batch_docs.select(F.col(id_col).alias("doc_id")).distinct().write.mode(
+        "overwrite"
+    ).parquet(os.path.join(dd_dir, "docs", f"b{batch_id}"))
+    _atomic_write(
+        os.path.join(dd_dir, "_CURRENT"),
+        json.dumps({"batches": man["batches"] + [int(batch_id)]}),
+    )
+    return int(n_edges)
+
+
+def dedup_state(spark: SparkSession, dd_dir: str) -> DataFrame:
+    """(doc_id, cluster, keep) over every document folded so far —
+    same shape and semantics as ``functions.dedup.neardup_clusters``
+    run on the full corpus (cluster = family min doc id, keep = 1 on
+    the keeper), regardless of how arrivals were batched."""
+    man = read_dedup_manifest(dd_dir)
+    if not man["batches"]:
+        return spark.createDataFrame([], "doc_id long, cluster long, keep int")
+    paths = [os.path.join(dd_dir, "docs", f"b{b}") for b in man["batches"]]
+    ids = spark.read.parquet(*paths).select("doc_id").distinct()
+    labels = cc_labels(
+        spark, os.path.join(dd_dir, "cc"), vertices=ids.select(F.col("doc_id").alias("id"))
+    )
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster"),
+        (F.col("component") == F.col("id")).cast("int").alias("keep"),
+    )
+
+
+def incremental_dedup_sink(
+    docs: DataFrame,
+    dd_dir: str,
+    checkpoint_dir: str,
+    num_partitions: int,
+    **dedup_kwargs,
+):
+    """foreachBatch writer for a streaming documents frame: maintains
+    the dedup clustering under exactly-once replay.  Returns the
+    ``DataStreamWriter``."""
+    os.makedirs(dd_dir, exist_ok=True)
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        apply_dedup_batch(batch, batch_id, dd_dir, num_partitions, **dedup_kwargs)
+
+    return (
+        docs.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )

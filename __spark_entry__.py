@@ -1217,6 +1217,24 @@ def _q_events_user_hll(spark, sf):
     )
 
 
+def _q_events_funnel(spark, sf):
+    """Strict ordered funnel view→click→purchase: one groupBy(user) +
+    a Catalyst state-machine aggregate; oracle = per-stage earliest-
+    qualifying-timestamp chain (independent formulation)."""
+    from ligra_spark.functions.funnel import funnel_counts
+
+    return funnel_counts(
+        _t(spark, sf, "events"), ["view", "click", "purchase"]
+    )
+
+
+def _q_cycle4_count(spark, sf):
+    """Exact 4-cycle census by the opposite-pair wedge identity."""
+    from ligra_spark.apps import cycle4_count_df
+
+    return cycle4_count_df(_graph(spark, sf, symmetric=True))
+
+
 def _q_events_hub_onset(spark, sf):
     """Batch twin of the stateful streaming hub detector
     (``streaming.detect_new_hubs`` / applyInPandasWithState): for each
@@ -1818,10 +1836,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": _q_url_normalize,
         "random_walk_corpus": _q_random_walk_corpus,
         "doc_image_features": _q_doc_image_features,
-        # ---- tail (slot 51+): fixed-k gates and app variants, all
+        # ---- tail (slot 51+): first two rows are NEW round-3 ops held
+        # out of the full head (replica-green + pytest-pinned; rotate
+        # into the head-50 next round); then fixed-k gates and app
+        # variants, all
         # driver-green in CORRECTNESS_r01/r02 (or replica-green r03);
         # kept registered so tools/check_entry.py and the judge can
         # still run them.
+        "events_funnel": _q_events_funnel,
+        "cycle4_count": _q_cycle4_count,
         "bfscc": _q_bfscc,
         # rotated out of the head-50 (replica-green, variants of head
         # entries heat_kernel / doc_image_features / pagerank_csr) to
@@ -2428,6 +2451,29 @@ def _h32_sql(inner: str, keep: str) -> str:
         f"     SELECT {keep}, (a + {C[0]} + a * {1 << 12}) % {T} AS b FROM (\n"
         f"      {inner}))))))"
     )
+
+
+def _funnel_sql(steps=("view", "click", "purchase")) -> str:
+    """DuckDB twin of the events_funnel entry: per-stage earliest-
+    qualifying-timestamp chain (t_i = min ts of step_i strictly after
+    t_{i-1}) — equals the engine's greedy state machine by the
+    exchange argument."""
+    ctes = [
+        f"s1 AS (SELECT user_id, min(ts) AS t FROM events "
+        f"WHERE event_type = '{steps[0]}' GROUP BY 1)"
+    ]
+    for i in range(1, len(steps)):
+        ctes.append(
+            f"s{i + 1} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            f"JOIN s{i} ON s{i}.user_id = e.user_id "
+            f"WHERE e.event_type = '{steps[i]}' AND e.ts > s{i}.t GROUP BY 1)"
+        )
+    selects = [
+        f"SELECT {i + 1} AS stage, '{s}' AS step, "
+        f"(SELECT count(*) FROM s{i + 1}) AS users"
+        for i, s in enumerate(steps)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
 
 
 def _hll_sql(b: int = 6) -> str:
@@ -4396,6 +4442,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_shared_spans": _shared_spans_sql(8),
         "events_user_hll": _hll_sql(6),
         "doc_neardup_incremental": _neardup_incr_sql(12),
+        "events_funnel": _funnel_sql(),
+        "cycle4_count": f"WITH e0 AS ({EDGES_SQL}), es AS ({SYM_SQL}),\n"
+        "cn AS (SELECT a.dst AS u, b.dst AS w, count(*) AS c FROM es a "
+        "JOIN es b ON a.src = b.src AND a.dst < b.dst GROUP BY 1, 2)\n"
+        "SELECT coalesce(sum(c * (c - 1)) // 4, 0) AS cycles4 FROM cn",
         "doc_lang_guess": _lang_sql(),
         "doc_fingerprint": "SELECT doc_id, "
         "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint "

@@ -7,7 +7,7 @@ from .salsa import salsa
 from .trustrank import trustrank
 from .graph_stats import degree_assortativity, reciprocity
 from .random_walks import neighbor_index, random_walks
-from .kclique import kclique_count, kclique_count_df
+from .kclique import cycle4_count, cycle4_count_df, kclique_count, kclique_count_df
 from .ktruss import ktruss, truss_decomposition
 from .cc_star import cc_two_phase
 from .community_lpa import community_lpa
@@ -88,6 +88,8 @@ __all__ = [
     "reciprocity",
     "neighbor_index",
     "random_walks",
+    "cycle4_count",
+    "cycle4_count_df",
     "kclique_count",
     "kclique_count_df",
     "ktruss",

@@ -62,3 +62,42 @@ def kclique_count_df(graph, k: int = 4):
                 [f"v{j}", new],
             )
     return paths.agg(F.count(F.lit(1)).alias("cliques"))
+
+
+def cycle4_count_df(graph, max_middle_degree: int | None = None):
+    """Single-row (cycles4) exact 4-cycle census of the symmetric
+    graph, by the opposite-pair identity: every C4 u-a-w-b is fixed by
+    an unordered opposite pair {u, w} plus an unordered pair of their
+    common neighbors, and has exactly TWO opposite pairs — so
+
+        #C4 = (1/2) * sum_{u<w} C(cn(u, w), 2)
+            = (sum_{u<w} cn*(cn-1)) div 4        (exact integers).
+
+    One wedge self-join + one groupBy — the relational restatement of
+    the wedge-counting C4 algorithm.  The wedge table is sum_m d(m)^2
+    rows: that quadratic-in-hub-degree cost is inherent to EXACT
+    4-cycle counting (unlike triangles, no orientation bounds it);
+    ``max_middle_degree`` drops wedge middles above the cap for the
+    documented approximation a web-scale run would use (hubs at the
+    middle of a C4 are overwhelmingly navigational boilerplate).
+    """
+    e = graph.edges.select("src", "dst")  # symmetric: both directions
+    if max_middle_degree is not None:
+        deg = graph.out_degrees
+        keep = deg.filter(F.col("outdeg") <= max_middle_degree).select("id")
+        e = e.join(keep.withColumnRenamed("id", "src"), "src")
+    a = e.select(F.col("src").alias("m"), F.col("dst").alias("u"))
+    b = e.select(F.col("src").alias("m"), F.col("dst").alias("w"))
+    cn = (
+        a.join(b, "m")
+        .filter(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return cn.agg(
+        F.expr("sum(c * (c - 1)) div 4").alias("cycles4")
+    ).select(F.coalesce("cycles4", F.lit(0)).alias("cycles4"))
+
+
+def cycle4_count(graph, max_middle_degree: int | None = None) -> int:
+    return int(cycle4_count_df(graph, max_middle_degree).first()["cycles4"])

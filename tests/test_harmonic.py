@@ -40,6 +40,12 @@ def test_harmonic_bit_exact_on_sample_graph(spark, tiny_sym):
     from ligra_spark.apps import harmonic_from_sources
 
     n, s, d = tiny_sym
+    # deliberately NOT unpersisted: this graph's logical plan is
+    # identical to the shared session tiny_graph_sym fixture's (same
+    # literal edges, n, partitions) and Spark's CacheManager keys on
+    # the plan — unpersisting here would evict the fixture's cache
+    # (test_plans asserts on it); see the same note in
+    # tests/test_incremental_pr.py
     g = LinkGraph.from_edges(
         spark,
         spark.createDataFrame(pd.DataFrame({"src": s, "dst": d})),
@@ -47,17 +53,14 @@ def test_harmonic_bit_exact_on_sample_graph(spark, tiny_sym):
         num_partitions=4,
         symmetric=True,
     ).materialize()
-    try:
-        res, rounds = harmonic_from_sources(g, sources=list(range(16)))
-        got = {r["id"]: r["harmonic"] for r in res.collect()}
-        exp = _brute_harmonic(n, s, d, list(range(16)))
-        assert len(got) == n
-        # IEEE-equality, not approx — the integer-scaled accumulation
-        # makes the doubles engine-independent
-        assert got == exp
-        assert rounds >= 1
-    finally:
-        g.unpersist()
+    res, rounds = harmonic_from_sources(g, sources=list(range(16)))
+    got = {r["id"]: r["harmonic"] for r in res.collect()}
+    exp = _brute_harmonic(n, s, d, list(range(16)))
+    assert len(got) == n
+    # IEEE-equality, not approx — the integer-scaled accumulation
+    # makes the doubles engine-independent
+    assert got == exp
+    assert rounds >= 1
 
 
 def test_harmonic_path_graph_values(spark):

@@ -73,6 +73,10 @@ def test_incremental_matches_app_on_fixture_graph(spark, tiny_sym):
     import shutil
 
     n, s, d = tiny_sym
+    # deliberately NOT unpersisted: plan-identical to the shared
+    # tiny_graph_sym fixture — unpersisting would evict the fixture's
+    # cache (CacheManager keys on the logical plan; test_plans asserts
+    # on the cached lineage).  See tests/test_incremental_pr.py.
     g = __import__("ligra_spark.graph", fromlist=["LinkGraph"]).LinkGraph.from_edges(
         spark, edges_df(spark, s, d), n=n, num_partitions=4, symmetric=True
     ).materialize()
@@ -87,7 +91,6 @@ def test_incremental_matches_app_on_fixture_graph(spark, tiny_sym):
             apply_tri_batch(batch, bid, tri_dir)
         assert read_tri_total(tri_dir) == expected
     finally:
-        g.unpersist()
         shutil.rmtree(tri_dir, ignore_errors=True)
 
 

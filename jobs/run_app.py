@@ -30,7 +30,7 @@ APPS = (
     "hyper_bfs hyper_bpath hyper_cc hyper_pagerank hyper_sssp hyper_kcore "
     "hyper_kcore_efficient hyper_mis hyper_bc "
     "hits trustrank salsa ppr ktruss truss_decomposition community_lpa "
-    "kclique triangle_lcc harmonic"
+    "kclique triangle_lcc harmonic cycle4"
 ).split()
 
 
@@ -273,6 +273,10 @@ def main(argv=None):
         out, iters = kclique_count_df(g, args.k), 1
     elif args.app == "triangle_lcc":
         out, iters = apps.per_vertex_triangles(g), 1
+    elif args.app == "cycle4":
+        from ligra_spark.apps import cycle4_count_df
+
+        out, iters = cycle4_count_df(g), 1
     elif args.app == "harmonic":
         out, iters = apps.harmonic_from_sources(
             g, sources=args.seeds, on_superstep=track

@@ -175,10 +175,20 @@ def minhash_signatures(
     slower at every scale that fits a benchmark, so the explode form
     wins.  min over the shingle multiset equals min over the distinct
     set, so no dedup pass is needed."""
-    toks = tokens_col(F.col(text))
-    shingles = docs.filter(F.size(toks) >= shingle_k).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(_shingles_col(toks, shingle_k)).alias("_shingle"),
+    from .text import with_token_array
+
+    # tokens materialized behind the Generate barrier: the shingle
+    # builder references the array 3 times per position, and the
+    # inlined split(trim(text)) would re-run per reference (see
+    # text.with_token_array)
+    toks = F.col("_toks")
+    shingles = (
+        with_token_array(docs, text)
+        .filter(F.size(toks) >= shingle_k)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_shingles_col(toks, shingle_k)).alias("_shingle"),
+        )
     )
     base = shingles.select("doc_id", _hash_long(F.col("_shingle"), 0).alias("_h1"))
     aggs = []

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import tokens_col
+
 
 __all__ = [
     "ngrams_col",
@@ -101,45 +101,57 @@ def with_repetition_stats(df: DataFrame, text: str = "text") -> DataFrame:
     discriminative content is identical and the column is engine-
     independently pinned by the DuckDB oracle.
     """
-    toks = tokens_col(F.col(text))
+    # Two deliberate Generate (one-row explode) barriers, each carrying
+    # its payload INSIDE the exploded struct:
+    #
+    # 1. the token array: the n-gram expressions reference the tokens
+    #    O(tokens) times, and an inlined split(trim(text)) would re-run
+    #    the regex PER REFERENCE in the interpreted lambdas (measured
+    #    ~1.2 ms/row — 20x the whole scan);
+    # 2. the six statistics: downstream rule chains and FILTERS
+    #    reference them repeatedly, and both CollapseProject and
+    #    PushDownPredicate would otherwise substitute the full
+    #    aggregate expressions per reference (a filter even pushes
+    #    through a Generate it doesn't reference — carrying the stats
+    #    as the generator's OUTPUT is what pins them).
+    #
+    # Referencing a generated struct field is a row-buffer read, so
+    # every later consumer — including gopher_filter's rule chain and
+    # a filter("gopher_pass") — costs nothing extra.
+    from .text import with_token_array
+
+    df = with_token_array(df, text, out="_t")
+    toks = F.col("_t")
     n = F.size(toks)
     nd = n.cast("double")
     chars = F.length(F.col(text))
-    return (
-        df.withColumn("n_tokens", n)
-        .withColumn(
-            "distinct_frac",
-            F.when(n == 0, F.lit(1.0)).otherwise(F.size(F.array_distinct(toks)) / nd),
+    stats = F.struct(
+        n.alias("n_tokens"),
+        F.when(n == 0, F.lit(1.0))
+        .otherwise(F.size(F.array_distinct(toks)) / nd)
+        .alias("distinct_frac"),
+        F.when(n < 2, F.lit(0.0))
+        .otherwise(top_ngram_run_col(toks, 2) * 2 / nd)
+        .alias("top2gram_frac"),
+        F.when(n < 3, F.lit(0.0))
+        .otherwise(top_ngram_run_col(toks, 3) * 3 / nd)
+        .alias("top3gram_frac"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+            / nd
         )
-        .withColumn(
-            "top2gram_frac",
-            F.when(n < 2, F.lit(0.0)).otherwise(
-                top_ngram_run_col(toks, 2) * 2 / nd
-            ),
+        .alias("mean_word_len"),
+        F.when(chars == 0, F.lit(0.0))
+        .otherwise(
+            F.length(F.regexp_replace(F.col(text), r"[A-Za-z0-9\s]", ""))
+            / chars.cast("double")
         )
-        .withColumn(
-            "top3gram_frac",
-            F.when(n < 3, F.lit(0.0)).otherwise(
-                top_ngram_run_col(toks, 3) * 3 / nd
-            ),
-        )
-        .withColumn(
-            "mean_word_len",
-            F.when(n == 0, F.lit(0.0)).otherwise(
-                F.aggregate(
-                    toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
-                )
-                / nd
-            ),
-        )
-        .withColumn(
-            "symbol_frac",
-            F.when(chars == 0, F.lit(0.0)).otherwise(
-                F.length(F.regexp_replace(F.col(text), r"[A-Za-z0-9\s]", ""))
-                / chars.cast("double")
-            ),
-        )
+        .alias("symbol_frac"),
     )
+    df = df.withColumn("_s", F.explode(F.array(stats))).drop("_t")
+    out_cols = [c for c in df.columns if c != "_s"]
+    return df.select(*out_cols, "_s.*")
 
 
 # default thresholds — Gopher's published values adapted to token
@@ -162,6 +174,10 @@ def gopher_filter(df: DataFrame, text: str = "text", **overrides) -> DataFrame:
     passing).  Pure projection over :func:`with_repetition_stats` —
     Catalyst folds the whole gate into the scan."""
     t = dict(GOPHER_DEFAULTS, **overrides)
+    # the stat columns are generator-output struct fields (see
+    # with_repetition_stats) — the rule chain and any filter over
+    # gopher_pass reference them as row-buffer reads, never by
+    # re-inlining the aggregate expressions
     s = with_repetition_stats(df, text)
     rules = [
         ("too_short", F.col("n_tokens") < t["min_tokens"]),
@@ -239,16 +255,22 @@ def decontaminate(
     MATCHING shingles (≈0 rows for a clean corpus).  Docs with fewer
     than k tokens have no shingles and report 0.
     """
-    toks_t = tokens_col(F.col(text))
-    t_sh = train.select(
+    from .text import with_token_array
+
+    # tokens materialized behind the Generate barrier: the k-gram
+    # builder references the array O(k·positions) times (see
+    # text.with_token_array for the re-inlined-split pathology)
+    t_sh = with_token_array(train, text).select(
         F.col(id_col),
-        F.explode(F.array_distinct(ngrams_col(toks_t, k))).alias("_sh"),
+        F.explode(F.array_distinct(ngrams_col(F.col("_toks"), k))).alias("_sh"),
     )
-    b_sh = bench.select(
-        F.explode(F.array_distinct(ngrams_col(tokens_col(F.col(text)), k))).alias(
-            "_sh"
+    b_sh = (
+        with_token_array(bench, text)
+        .select(
+            F.explode(F.array_distinct(ngrams_col(F.col("_toks"), k))).alias("_sh")
         )
-    ).distinct()
+        .distinct()
+    )
     if broadcast_bench:
         b_sh = F.broadcast(b_sh)
     hits = (

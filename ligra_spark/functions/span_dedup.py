@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .quality_filters import ngrams_col
-from .text import tokens_col
+
 
 __all__ = ["doc_gram_positions", "shared_span_pairs"]
 
@@ -52,10 +52,18 @@ def doc_gram_positions(
     xxhash of the joined shingle (collision odds are the standard
     birthday bound — negligible next to the k-gram false-positive rate
     of span detection itself)."""
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(ngrams_col(tokens_col(F.col(text)), k)).alias("pos", "_g"),
-    ).select("doc_id", "pos", F.xxhash64("_g").alias("gram_hash"))
+    from .text import with_token_array
+
+    # tokens behind the Generate barrier — the k-gram builder would
+    # otherwise re-run the split regex per element_at reference
+    return (
+        with_token_array(docs, text)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(ngrams_col(F.col("_toks"), k)).alias("pos", "_g"),
+        )
+        .select("doc_id", "pos", F.xxhash64("_g").alias("gram_hash"))
+    )
 
 
 def shared_span_pairs(

@@ -1228,6 +1228,19 @@ def _q_events_funnel(spark, sf):
     )
 
 
+def _q_events_retention(spark, sf):
+    """Day-cohort retention matrix over events (first-seen cohort ×
+    activity offset); dates emitted as strings so both engines hash
+    identically."""
+    from ligra_spark.functions.funnel import cohort_retention
+
+    return cohort_retention(_t(spark, sf, "events")).select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+        "users",
+    )
+
+
 def _q_cycle4_count(spark, sf):
     """Exact 4-cycle census by the opposite-pair wedge identity."""
     from ligra_spark.apps import cycle4_count_df
@@ -1844,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kept registered so tools/check_entry.py and the judge can
         # still run them.
         "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
         "cycle4_count": _q_cycle4_count,
         "bfscc": _q_bfscc,
         # rotated out of the head-50 (replica-green, variants of head
@@ -4443,6 +4457,13 @@ def oracle_sql() -> dict[str, str]:
         "events_user_hll": _hll_sql(6),
         "doc_neardup_incremental": _neardup_incr_sql(12),
         "events_funnel": _funnel_sql(),
+        "events_retention": "WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) "
+        "AS cohort_day FROM events GROUP BY 1),\n"
+        "a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)\n"
+        "SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day, "
+        "CAST(date_diff('day', f.cohort_day, a.d) AS INT) AS day_offset, "
+        "CAST(count(DISTINCT a.user_id) AS BIGINT) AS users "
+        "FROM a JOIN f USING (user_id) GROUP BY f.cohort_day, day_offset",
         "cycle4_count": f"WITH e0 AS ({EDGES_SQL}), es AS ({SYM_SQL}),\n"
         "cn AS (SELECT a.dst AS u, b.dst AS w, count(*) AS c FROM es a "
         "JOIN es b ON a.src = b.src AND a.dst < b.dst GROUP BY 1, 2)\n"

@@ -87,3 +87,34 @@ def funnel_counts(
         stages.join(counts, ["stage", "step"], "left")
         .select("stage", "step", F.coalesce("users", F.lit(0)).alias("users"))
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-granularity cohort retention — the standard growth query
+    next to the funnel: users are cohorted by their FIRST active day,
+    and (cohort_day, day_offset) counts how many were active again
+    ``offset`` days later (offset 0 = the cohort's size).
+
+    Shape: one groupBy(user) for first-seen, one distinct over
+    (user, day), one user-keyed join + one final agg — all partial-
+    aggregated; nothing is per-event after the distinct.  Output:
+    (cohort_day, day_offset, users), offsets with zero users omitted.
+    """
+    firsts = events.groupBy(F.col(user_col).alias("_u")).agg(
+        F.to_date(F.min(ts_col)).alias("cohort_day")
+    )
+    active = events.select(
+        F.col(user_col).alias("_u"), F.to_date(ts_col).alias("_d")
+    ).distinct()
+    return (
+        active.join(firsts, "_u")
+        .groupBy(
+            "cohort_day",
+            F.datediff("_d", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count_distinct("_u").alias("users"))
+    )

@@ -110,3 +110,32 @@ def test_cycle4_square_and_k4(spark):
     assert cycle4_count(g_of(list(itertools.combinations(range(4), 2)), 4)) == 3
     # triangle: none
     assert cycle4_count(g_of([(0, 1), (1, 2), (0, 2)], 3)) == 0
+
+
+def test_cohort_retention_values(spark):
+    import pyspark.sql.functions as F
+
+    from ligra_spark.functions.funnel import cohort_retention
+
+    rows = [
+        (1, 1, "2020-01-01 10:00:00"), (2, 1, "2020-01-03 10:00:00"),
+        (3, 2, "2020-01-01 23:00:00"), (4, 2, "2020-01-01 23:30:00"),
+        (5, 3, "2020-01-02 01:00:00"), (6, 3, "2020-01-03 01:00:00"),
+        (7, 3, "2020-01-04 00:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (str(r["cohort_day"]), r["day_offset"]): r["users"]
+        for r in cohort_retention(ev).collect()
+    }
+    # u1+u2 cohort 01-01 (both day-0 active; only u1 returns on day 2);
+    # u3 cohort 01-02 active on offsets 0,1,2; same-day repeats dedupe
+    assert got == {
+        ("2020-01-01", 0): 2,
+        ("2020-01-01", 2): 1,
+        ("2020-01-02", 0): 1,
+        ("2020-01-02", 1): 1,
+        ("2020-01-02", 2): 1,
+    }

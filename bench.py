@@ -188,11 +188,28 @@ def main() -> None:
 
     phase("corpus_gates", _corpus_gates)
 
+    # round-3 dedup addition: substring-level shared-span detection
+    # over the corpus augmented with derived plagiarized slices (the
+    # doc_shared_spans entry's shape)
+    from ligra_spark.functions.span_dedup import shared_span_pairs
+    from ligra_spark.functions.text import tokens_col
+
+    def _span_dedup():
+        toks = tokens_col(F.col("text"))
+        derived = docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(toks, 5, 24)).alias("text"),
+        )
+        aug = docs.select("doc_id", "text").unionByName(derived)
+        return shared_span_pairs(aug, k=8).count()
+
+    phase("span_dedup", _span_dedup)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "ligra_spark headline phases (1hop/BFS/PR10/CC/triangle/minhash-LSH/ANN"
         "/IVF/asof/range/sessions/kBFS-ecc/PPR/corpus-prep/neardup/LCC/truss/walks"
-        "/corpus-gates)",
+        "/corpus-gates/span-dedup)",
         "value": total,
         "unit": "sec",
         "queries": timings,

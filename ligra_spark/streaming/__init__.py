@@ -37,6 +37,7 @@ from .stream import (
     windowed_link_counts,
     incremental_degree_sink,
     detect_new_hubs,
+    streaming_funnel,
     hub_onsets,
     sessionize,
 )
@@ -67,6 +68,7 @@ __all__ = [
     "windowed_link_counts",
     "incremental_degree_sink",
     "detect_new_hubs",
+    "streaming_funnel",
     "hub_onsets",
     "sessionize",
 ]

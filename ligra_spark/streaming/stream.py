@@ -38,6 +38,7 @@ __all__ = [
     "detect_new_hubs",
     "hub_onsets",
     "sessionize",
+    "streaming_funnel",
 ]
 
 
@@ -230,4 +231,68 @@ def incremental_degree_sink(
         links.writeStream.foreachBatch(merge)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
+    )
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Cross-batch ordered-funnel progression as a custom stateful
+    operator (``applyInPandasWithState``) — the streaming twin of
+    ``functions.funnel.funnel_counts``.
+
+    State per user is (stage, last-advance micros); each micro-batch's
+    events for the user run through the SAME strict state machine
+    (advance when the next expected step appears strictly after the
+    previous advance), processed in (ts, event_id) order within the
+    batch.  A row (user, stage, reached_ts) is emitted for every batch
+    in which the user's stage advanced — the append-mode progression
+    log of the funnel.
+
+    Matches the batch funnel exactly when each user's events arrive in
+    timestamp order ACROSS batches (the event-log norm; pinned by
+    test).  A stage-k event that arrives in an earlier batch than its
+    stage-(k-1) predecessor is skipped — cross-batch reordering would
+    need a watermark-delayed buffer, the standard trade of
+    unbounded-state operators.  State is two numbers per user,
+    independent of stream length.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    k = len(steps)
+    step_of = {s: i for i, s in enumerate(steps)}
+
+    def update(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values([ts_col, id_col])
+        stage, last_us = state.get if state.exists else (0, -(1 << 62))
+        advanced = False
+        for ts, et in zip(rows[ts_col], rows[type_col]):
+            us = ts.value // 1000
+            if stage < k and step_of.get(et) == stage and us > last_us:
+                stage += 1
+                last_us = us
+                advanced = True
+        state.update((stage, last_us))
+        if advanced:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "stage": [stage],
+                    "reached_ts": [pd.to_datetime(last_us, unit="us")],
+                }
+            )
+
+    return events.groupBy(F.col(user_col)).applyInPandasWithState(
+        update,
+        outputStructType="user_id long, stage int, reached_ts timestamp",
+        stateStructType="stage int, last_us long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

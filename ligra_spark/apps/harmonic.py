@@ -19,8 +19,10 @@ carries ``hnum = Σ_r popcount_r · (L / r)`` with L = lcm(1..max_rounds)
 every round number), so the final ``hnum / L`` is ONE IEEE division of
 exactly-representable integers and the result is bit-identical in any
 engine, unlike a float Σ 1/r whose value depends on addition order.
-hnum ≤ 64·max_rounds·L ≈ 8e12 stays far inside both the long range
-and double's 2^53 exact-integer range.
+hnum can reach 64·L (all 64 sources adjacent to one vertex at
+distance 1), so the guard requires 64·L < 2^53 — keeping hnum inside
+BOTH the long range and double's exact-integer range; max_rounds ≤ 31
+satisfies it (lcm(1..31) ≈ 7.2e13, 64·L ≈ 4.6e15 < 2^53).
 
 With the full vertex set as sources this is EXACT harmonic centrality;
 with a hash sample of K sources, (n/K)·H_K(v) is the standard unbiased
@@ -56,9 +58,10 @@ def harmonic_from_sources(
     unreachable sources simply don't contribute), both exact (see
     module docstring for the integer-scaled accumulation).
 
-    ``max_rounds`` bounds the supported BFS depth (L = lcm(1..max_rounds)
-    must stay a long; 24 covers any crawl-shaped graph — raise it for
-    high-diameter meshes, up to 42 before lcm overflows int64).
+    ``max_rounds`` bounds the supported BFS depth (64·lcm(1..max_rounds)
+    must stay inside double's 2^53 exact-integer range — the hnum
+    accumulator can reach 64·L; 24 covers any crawl-shaped graph —
+    raise it for high-diameter meshes, up to 31 before the bound trips).
     """
     # dedupe FIRST: unlike ecc (max over waves — insensitive), harmonic
     # SUMS per-bit contributions, so a repeated source id must own one
@@ -67,8 +70,14 @@ def harmonic_from_sources(
     if len(uniq) > 64:
         raise ValueError("at most 64 simultaneous BFS waves (64-bit masks)")
     scale = math.lcm(*range(1, max_rounds + 1))
-    if scale >= 1 << 62:
-        raise ValueError(f"lcm(1..{max_rounds}) overflows the long accumulator")
+    # hnum can reach 64*scale (64 sources all at distance 1 from one
+    # vertex); keep that inside 2^53 so the integer accumulation stays
+    # exact in a double too, not just in the long
+    if 64 * scale >= 1 << 53:
+        raise ValueError(
+            f"64*lcm(1..{max_rounds}) exceeds 2^53 — the hnum accumulator "
+            "would lose exactness (max supported max_rounds is 31)"
+        )
     spark = graph.spark
     bits: dict[int, int] = {v: _signed64(1 << i) for i, v in enumerate(uniq)}
     starts = spark.createDataFrame(
@@ -89,7 +98,7 @@ def harmonic_from_sources(
         if rounds > max_rounds:
             raise ValueError(
                 f"BFS exceeded max_rounds={max_rounds}; raise it "
-                "(exactness is preserved for any max_rounds <= 42)"
+                "(exactness is preserved for any max_rounds <= 31)"
             )
         frontier = st.df.filter("changed").select("id", "mask")
         msgs = edge_map(

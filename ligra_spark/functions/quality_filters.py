@@ -120,6 +120,16 @@ def with_repetition_stats(df: DataFrame, text: str = "text") -> DataFrame:
     # a filter("gopher_pass") — costs nothing extra.
     from .text import with_token_array
 
+    _STAT_COLS = (
+        "n_tokens", "distinct_frac", "top2gram_frac", "top3gram_frac",
+        "mean_word_len", "symbol_frac",
+    )
+    clash = [c for c in df.columns if c in _STAT_COLS]
+    if clash:
+        raise ValueError(
+            f"with_repetition_stats: input already has column(s) {clash}; "
+            "drop or rename them first (the stat names are fixed)"
+        )
     df = with_token_array(df, text, out="_t")
     toks = F.col("_t")
     n = F.size(toks)
@@ -212,9 +222,10 @@ _PII_ORDER = ["email", "ipv4", "phone"]  # email first (contains digits),
 def redact_pii(df: DataFrame, text: str = "text") -> DataFrame:
     """Replaces emails, phone numbers and IPv4 addresses in ``text``
     with ``<EMAIL>``/``<PHONE>``/``<IPV4>`` tokens and reports per-kind
-    match counts (counted BEFORE redaction, on the original text for
-    email/ipv4 and on the email-redacted text for phone, mirroring the
-    replacement order so counts equal replacements made).
+    match counts mirroring the email→ipv4→phone replacement order:
+    ``n_email`` on the original text, ``n_ipv4`` on the email-redacted
+    text, ``n_phone`` on the ipv4-redacted text — so counts equal
+    replacements made.
 
     Output columns: ``redacted`` plus ``n_email``/``n_ipv4``/
     ``n_phone``.  One scan, three regexp passes, no shuffle — the

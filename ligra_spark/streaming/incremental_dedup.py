@@ -105,8 +105,11 @@ def apply_dedup_batch(
     # batch keys vs (index ∪ batch): every newcomer meets all current
     # bucket members, so per bucket the cumulative edge set is
     # connected — components equal the batch all-pairs closure
+    # broadcast the (small) batch side so each micro-batch never
+    # shuffles the full cumulative index — cost stays ∝ batch
+    # collisions, mirroring new_triangles' broadcast_delta pattern
     pairs = (
-        nb.select(F.col("doc_id").alias("_a"), "bkey")
+        F.broadcast(nb.select(F.col("doc_id").alias("_a"), "bkey"))
         .join(both.select(F.col("doc_id").alias("_b"), "bkey"), "bkey")
         .filter(F.col("_a") != F.col("_b"))
         .select(

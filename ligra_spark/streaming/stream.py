@@ -283,7 +283,7 @@ def streaming_funnel(
         if advanced:
             yield pd.DataFrame(
                 {
-                    "user_id": [key[0]],
+                    user_col: [key[0]],
                     "stage": [stage],
                     "reached_ts": [pd.to_datetime(last_us, unit="us")],
                 }
@@ -291,7 +291,7 @@ def streaming_funnel(
 
     return events.groupBy(F.col(user_col)).applyInPandasWithState(
         update,
-        outputStructType="user_id long, stage int, reached_ts timestamp",
+        outputStructType=f"{user_col} long, stage int, reached_ts timestamp",
         stateStructType="stage int, last_us long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

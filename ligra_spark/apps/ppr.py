@@ -94,7 +94,13 @@ def ppr(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(is_front, 1).otherwise(0)).alias("f"),
     ).collect()[0]
-    fsize = int(init.agg(F.sum(F.when(is_front, 1).otherwise(0))).collect()[0][0] or 0)
+    # round 1's frontier is at most the seed set (r=1.0 on every
+    # surviving seed), so len(seeds) serves as the sparse-path size
+    # hint WITHOUT a driver-side pre-job; the exact size arrives with
+    # round 1's advance.  A seed with deg ≥ 1/ε (never frontier-
+    # eligible) costs one no-op round instead of zero — state
+    # identical, and the contract already requires deg > 0 seeds.
+    fsize = len({int(s) for s in seeds})
     while rounds < max_iters:
         if fsize == 0:
             break

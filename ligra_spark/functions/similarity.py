@@ -95,16 +95,26 @@ def brute_force_topk(
     """Exact top-k cosine neighbors per probe row.  probes: DataFrame
     (vec_id, embedding) — broadcast (probe sets are small); the big
     side streams once through a JVM zip_with/aggregate projection."""
+    # norms are computed BELOW the join boundary — once per base row /
+    # probe row, not once per (row, probe) pair.  Bit-identical to the
+    # inline form (same expressions, same nrm*pnrm multiply order), but
+    # the per-pair work drops to one zip_with/aggregate dot + a divide.
     p = F.broadcast(
         probes.select(
-            F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec")
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("pvec"),
+            _norm(F.col(vec_col)).alias("pnrm"),
         )
     )
-    joined = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")).crossJoin(p)
+    joined = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    ).crossJoin(p)
     scored = joined.filter(F.col("vec_id") != F.col("probe_id")).select(
         "probe_id",
         "vec_id",
-        (_dot(F.col("vec"), F.col("pvec")) / (_norm(F.col("vec")) * _norm(F.col("pvec")))).alias(
+        (_dot(F.col("vec"), F.col("pvec")) / (F.col("nrm") * F.col("pnrm"))).alias(
             "cos_sim"
         ),
     )
@@ -184,18 +194,27 @@ def lsh_bucket_topk(
             "lsh_bucket_topk requires dim= (the embedding length); "
             "inferring it would run a driver-side job over the table"
         )
-    base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
-    p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec"))
+    # per-row norms ride below the bucket join (see brute_force_topk)
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("pvec"),
+        _norm(F.col(vec_col)).alias("pnrm"),
+    )
     per_table = []
     for t in range(tables):
         sig = lsh_signature_udf(dim, bits, seed=t)
-        bt = base.select("vec_id", "vec", sig(F.col("vec")).alias("bucket"))
+        bt = base.select("vec_id", "vec", "nrm", sig(F.col("vec")).alias("bucket"))
         pt = F.broadcast(
-            p.select("probe_id", "pvec", sig(F.col("pvec")).alias("bucket"))
+            p.select("probe_id", "pvec", "pnrm", sig(F.col("pvec")).alias("bucket"))
         )
         per_table.append(
             bt.join(pt, "bucket").filter(F.col("vec_id") != F.col("probe_id"))
-            .select("probe_id", "vec_id", "vec", "pvec")
+            .select("probe_id", "vec_id", "vec", "pvec", "nrm", "pnrm")
         )
     cands = per_table[0]
     for c in per_table[1:]:
@@ -205,7 +224,7 @@ def lsh_bucket_topk(
     scored = cands.select(
         "probe_id",
         "vec_id",
-        (_dot(F.col("vec"), F.col("pvec")) / (_norm(F.col("vec")) * _norm(F.col("pvec")))).alias(
+        (_dot(F.col("vec"), F.col("pvec")) / (F.col("nrm") * F.col("pnrm"))).alias(
             "cos_sim"
         ),
     )
@@ -252,21 +271,32 @@ def lsh_neardup_pairs(
             "lsh_neardup_pairs requires dim= (the embedding length); "
             "inferring it would run a driver-side job over the table"
         )
-    base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    # per-row norms ride below the bucket self-join (see brute_force_topk)
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
     per_table = []
     for t in range(tables):
         sig = lsh_signature_udf(dim, bits, seed=t)
-        bt = base.select("vec_id", "vec", sig(F.col("vec")).alias("bucket"))
+        bt = base.select("vec_id", "vec", "nrm", sig(F.col("vec")).alias("bucket"))
         left = bt.select(
-            F.col("vec_id").alias("a_id"), F.col("vec").alias("va"), "bucket"
+            F.col("vec_id").alias("a_id"),
+            F.col("vec").alias("va"),
+            F.col("nrm").alias("na"),
+            "bucket",
         )
         right = bt.select(
-            F.col("vec_id").alias("b_id"), F.col("vec").alias("vb"), "bucket"
+            F.col("vec_id").alias("b_id"),
+            F.col("vec").alias("vb"),
+            F.col("nrm").alias("nb"),
+            "bucket",
         )
         per_table.append(
             left.join(right, "bucket")
             .filter(F.col("a_id") < F.col("b_id"))
-            .select("a_id", "b_id", "va", "vb")
+            .select("a_id", "b_id", "va", "vb", "na", "nb")
         )
     cands = per_table[0]
     for c in per_table[1:]:
@@ -278,8 +308,7 @@ def lsh_neardup_pairs(
             "a_id",
             "b_id",
             F.round(
-                _dot(F.col("va"), F.col("vb"))
-                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
                 6,
             ).alias("cos_sim"),
         )
@@ -355,12 +384,14 @@ def ivf_topk(
     base = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
         assign1(F.col(vec_col)).getItem(0).alias("cluster"),
     )
     p = F.broadcast(
         probes.select(
             F.col(id_col).alias("probe_id"),
             F.col(vec_col).alias("pvec"),
+            _norm(F.col(vec_col)).alias("pnrm"),
             F.explode(assignp(F.col(vec_col))).alias("cluster"),
         )
     )
@@ -368,10 +399,9 @@ def ivf_topk(
     scored = cands.select(
         "probe_id",
         "vec_id",
-        (
-            _dot(F.col("vec"), F.col("pvec"))
-            / (_norm(F.col("vec")) * _norm(F.col("pvec")))
-        ).alias("cos_sim"),
+        (_dot(F.col("vec"), F.col("pvec")) / (F.col("nrm") * F.col("pnrm"))).alias(
+            "cos_sim"
+        ),
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (

@@ -1760,6 +1760,57 @@ def _q_doc_image_ppm(spark, sf):
     )
 
 
+def _jpeg_media_df(spark, sf):
+    """Deterministic REAL baseline-JPEG payloads: a 16x16 grayscale
+    JPEG per document whose four 8x8 blocks are UNIFORM at the first
+    four sha256(text) bytes.  With the flat quant=8 table the
+    quantized DC (= pixel − 128) round-trips bit-exactly through the
+    pure-numpy codec (``functions/jpeg.py``), so DuckDB can recompute
+    the decoded pixel plane — and every feature — from the digest
+    alone.  Encoding runs in an Arrow-batched pandas UDF (the encoder
+    is the fixture; the operator under test is the decode path)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    docs = _t(spark, sf, "documents")
+    digest = F.unhex(F.sha2(F.encode("text", "UTF-8"), 256))
+
+    def enc(s):
+        import numpy as np
+
+        from ligra_spark.functions.jpeg import encode_jpeg_baseline
+
+        out = []
+        for d in s:
+            blocks = np.frombuffer(bytes(d)[:4], dtype=np.uint8).reshape(2, 2)
+            img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+            out.append(encode_jpeg_baseline(img, quant=8))
+        return pd.Series(out)
+
+    enc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    enc_udf = pandas_udf(enc, "binary")
+    return docs.select(
+        F.col("doc_id").alias("media_id"), enc_udf(digest).alias("payload")
+    )
+
+
+def _q_doc_image_jpeg(spark, sf):
+    """``image_features`` over REAL baseline-JPEG bytes (fake=False):
+    the native numpy JPEG decoder — marker walk, stream-supplied
+    Huffman tables, dequant, IDCT, level shift — runs inside the
+    fused Arrow decode+features pass; DuckDB recomputes the identical
+    pixel plane from sha256(text)."""
+    from ligra_spark.functions.multimodal import image_features
+
+    return image_features(_jpeg_media_df(spark, sf), fake=False).select(
+        "media_id", "height", "width", "channels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "phash",
+    )
+
+
 def _q_doc_image_features(spark, sf):
     """Fused decode + feature extraction (per-channel means + 64-bit
     average-hash) in one Arrow pass, vs a DuckDB transcription of the
@@ -1866,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heat_kernel_rand": _q_heat_kernel_rand,
         "doc_media_decode": _q_doc_media_decode,
         "doc_image_ppm": _q_doc_image_ppm,
+        "doc_image_jpeg": _q_doc_image_jpeg,
         "sssp_csr": _q_sssp_csr,
         "components_csr": _q_components_csr,
         "ppr_sweep": _q_ppr_sweep,
@@ -4306,6 +4358,35 @@ _IMAGE_FEATURES_SQL = (
     "FROM m JOIN ph USING (media_id)"
 )
 
+# doc_image_jpeg: the decoded 16x16 grayscale plane is four uniform
+# 8x8 blocks at the first four sha256 bytes (bit-exact DC round-trip,
+# see _jpeg_media_df), so: gray(r,c) = d[2*(r div 8) + (c div 8)],
+# every channel mean = (d0+d1+d2+d3)/4 (exact: /4 and numpy's /256 of
+# an exact integer sum are both power-of-two divisions), and
+# average-hash bit p (first 64 row-major pixels = rows 0..3) compares
+# 3*g*256 > 3*64*(d0+d1+d2+d3)  <=>  4*g > d0+d1+d2+d3 in exact ints.
+_JPEG_FEATURES_SQL = (
+    "WITH d AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents),\n"
+    "b AS (SELECT media_id,\n"
+    "  ('0x' || substr(hx, 1, 2))::INT AS d0, ('0x' || substr(hx, 3, 2))::INT AS d1,\n"
+    "  ('0x' || substr(hx, 5, 2))::INT AS d2, ('0x' || substr(hx, 7, 2))::INT AS d3\n"
+    "  FROM d),\n"
+    "px AS (SELECT media_id, p,\n"
+    "  CASE WHEN (p % 16) < 8 THEN d0 ELSE d1 END AS g,\n"
+    "  d0 + d1 + d2 + d3 AS s\n"
+    "  FROM b, generate_series(0, 63) AS t(p)),\n"
+    "ph AS (SELECT media_id,\n"
+    "  CAST(sum(CASE WHEN p < 32 THEN CAST(CASE WHEN 4 * g > s THEN 1 ELSE 0 END AS BIGINT) << (31 - p) ELSE 0 END) AS BIGINT) AS hi,\n"
+    "  CAST(sum(CASE WHEN p >= 32 THEN CAST(CASE WHEN 4 * g > s THEN 1 ELSE 0 END AS BIGINT) << (63 - p) ELSE 0 END) AS BIGINT) AS lo\n"
+    "  FROM px GROUP BY media_id)\n"
+    "SELECT b.media_id, 16 AS height, 16 AS width, 3 AS channels,\n"
+    "  round((d0 + d1 + d2 + d3) / 4.0, 6) AS mean_r,\n"
+    "  round((d0 + d1 + d2 + d3) / 4.0, 6) AS mean_g,\n"
+    "  round((d0 + d1 + d2 + d3) / 4.0, 6) AS mean_b,\n"
+    "  printf('%08x%08x', ph.hi, ph.lo) AS phash\n"
+    "FROM b JOIN ph USING (media_id)"
+)
+
 _HUB_ONSET_SQL = (
     "SELECT user_id, onset_ts, onset_event_id, in_links FROM (\n"
     "  SELECT user_id, ts AS onset_ts, event_id AS onset_event_id,\n"
@@ -4563,6 +4644,7 @@ def oracle_sql() -> dict[str, str]:
         # identical pixel plane (sha256 repeated), but the Spark side
         # decodes REAL P6 bytes through the native numpy codec
         "doc_image_ppm": _IMAGE_FEATURES_SQL,
+        "doc_image_jpeg": _JPEG_FEATURES_SQL,
         # CSR-backend twins share the join-engine oracles: matching
         # them IS the cross-backend equality check
         "pagerank_csr": _pr_sql(12),

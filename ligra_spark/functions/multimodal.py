@@ -147,19 +147,24 @@ def _decode_wav_pcm(buf: bytes) -> tuple[np.ndarray, int]:
 
 
 def _decode_image_bytes(payload: bytes, fake: bool) -> np.ndarray:
-    """Codec boundary.  P6 PPM decodes NATIVELY (pure numpy, real
-    path); compressed formats (JPEG/PNG/...) need Pillow/ffmpeg,
-    absent here, so they raise unless ``fake=True`` selects the
+    """Codec boundary.  P6 PPM and baseline JPEG decode NATIVELY
+    (pure numpy, real paths — see ``jpeg.py``); the remaining
+    compressed formats (PNG/WebP/...) need Pillow/ffmpeg, absent
+    here, so they raise unless ``fake=True`` selects the
     deterministic fake decoder."""
     if payload[:2] == b"P6" and payload[2:3] in (
         *(bytes([c]) for c in _WS), b"#",
     ):
         return _decode_ppm_p6(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if not fake:
         raise NotImplementedError(
-            "compressed image codecs are not installed in this "
-            "environment (P6 PPM decodes natively); pass fake=True "
-            "for the deterministic fake decoder"
+            "PNG/WebP image codecs are not installed in this "
+            "environment (P6 PPM and baseline JPEG decode natively); "
+            "pass fake=True for the deterministic fake decoder"
         )
     # deterministic fake: 8x8x3 image derived from sha256(payload)
     h = hashlib.sha256(payload).digest()

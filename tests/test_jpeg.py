@@ -1,0 +1,137 @@
+"""Pure-numpy baseline JPEG codec tests: bit-exact uniform-block
+round-trip (the oracle-bearing property), quantization-bounded lossy
+round-trips, restart markers, 4:2:0 interleave/upsample, scope
+boundaries, and the fused Spark decode+features path over real JPEG
+bytes."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from ligra_spark.functions.jpeg import decode_jpeg, encode_jpeg_baseline
+
+
+def _uniform_gray(seed: bytes, blocks=(2, 2)) -> np.ndarray:
+    d = hashlib.sha256(seed).digest()[: blocks[0] * blocks[1]]
+    grid = np.frombuffer(d, dtype=np.uint8).reshape(blocks)
+    return np.kron(grid, np.ones((8, 8), dtype=np.uint8))
+
+
+def test_uniform_block_gray_roundtrip_exact():
+    # quant DC=8 divides 8*(v-128) exactly -> decoded pixels equal the
+    # source bytes bit-for-bit (the doc_image_jpeg oracle property)
+    for seed in (b"a", b"b", b"c", b"\x00\xff"):
+        img = _uniform_gray(seed)
+        dec = decode_jpeg(encode_jpeg_baseline(img, quant=8))
+        assert dec.shape == (16, 16, 3)
+        for ch in range(3):
+            assert (dec[:, :, ch] == img).all()
+
+
+def test_uniform_larger_grid_exact():
+    img = _uniform_gray(b"grid", blocks=(4, 8))  # 32x64
+    dec = decode_jpeg(encode_jpeg_baseline(img, quant=8))
+    assert dec.shape == (32, 64, 3)
+    assert (dec[:, :, 0] == img).all()
+
+
+def test_noise_gray_quant_bounded():
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(32, 40)).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg_baseline(img, quant=4))
+    err = np.abs(dec[:, :, 0].astype(int) - img.astype(int))
+    # orthonormal IDCT: per-coefficient error <= q/2 bounds pixel error
+    # by q/2 * sum|basis| ~ 2.5q; observed max is ~q
+    assert err.max() <= 10
+    # and all three output channels replicate the luma plane
+    assert (dec[:, :, 0] == dec[:, :, 1]).all()
+
+
+def test_color_444_quant1_close():
+    rng = np.random.RandomState(5)
+    img = rng.randint(40, 220, size=(24, 16, 3)).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg_baseline(img, quant=1))
+    err = np.abs(dec.astype(int) - img.astype(int))
+    # q=1 leaves only YCbCr<->RGB float rounding (<= a couple of levels)
+    assert err.max() <= 3
+
+
+def test_restart_markers_equal_no_restart():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(32, 32)).astype(np.uint8)
+    plain = decode_jpeg(encode_jpeg_baseline(img, quant=4))
+    rst = decode_jpeg(encode_jpeg_baseline(img, quant=4, restart_interval=3))
+    assert (plain == rst).all()
+
+
+def test_420_constant_color_exact():
+    img = np.zeros((32, 32, 3), dtype=np.uint8)
+    img[:, :] = (90, 140, 200)
+    dec = decode_jpeg(encode_jpeg_baseline(img, quant=1, sampling="420"))
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_420_with_restarts_decodes():
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, size=(32, 48, 3)).astype(np.uint8)
+    dec = decode_jpeg(
+        encode_jpeg_baseline(img, quant=2, sampling="420", restart_interval=2)
+    )
+    assert dec.shape == (32, 48, 3)
+    # luma survives within quant error: compare grayscale projections
+    y_src = 0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+    y_dec = 0.299 * dec[:, :, 0] + 0.587 * dec[:, :, 1] + 0.114 * dec[:, :, 2]
+    assert np.abs(y_src - y_dec).mean() < 4.0
+
+
+def test_zrl_long_zero_runs():
+    # one hot pixel per block puts energy in high-frequency coeffs with
+    # long zero runs between nonzeros (exercises ZRL + mid-block EOB)
+    img = np.zeros((16, 16), dtype=np.uint8)
+    img[3, 5] = 255
+    img[11, 12] = 200
+    dec = decode_jpeg(encode_jpeg_baseline(img, quant=1))
+    err = np.abs(dec[:, :, 0].astype(int) - img.astype(int))
+    assert err.max() <= 4
+
+
+def test_progressive_rejected():
+    buf = bytearray(encode_jpeg_baseline(_uniform_gray(b"x"), quant=8))
+    i = bytes(buf).find(b"\xff\xc0")
+    buf[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(buf))
+
+
+def test_not_jpeg_rejected():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"NOPE")
+
+
+def test_image_features_over_real_jpeg(spark):
+    """End-to-end: encode per-row JPEGs, decode through the fused
+    Arrow image_features pass (fake=False), check the closed-form
+    expectations from the digest bytes."""
+    import pandas as pd
+
+    from ligra_spark.functions.multimodal import image_features
+
+    rows = []
+    expected = {}
+    for i in range(8):
+        d = hashlib.sha256(f"doc{i}".encode()).digest()[:4]
+        grid = np.frombuffer(d, dtype=np.uint8).reshape(2, 2)
+        img = np.kron(grid, np.ones((8, 8), dtype=np.uint8))
+        rows.append((i, encode_jpeg_baseline(img, quant=8)))
+        expected[i] = sum(d) / 4.0
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [r[0] for r in rows], "payload": [r[1] for r in rows]})
+    )
+    out = {r["media_id"]: r for r in image_features(media, fake=False).collect()}
+    assert len(out) == 8
+    for i, mean in expected.items():
+        r = out[i]
+        assert (r["height"], r["width"], r["channels"]) == (16, 16, 3)
+        for c in ("mean_r", "mean_g", "mean_b"):
+            assert r[c] == pytest.approx(mean, abs=0)  # exact: /4 and /256

@@ -1760,6 +1760,34 @@ def _q_doc_image_ppm(spark, sf):
     )
 
 
+def _q_compressed_graph(spark, sf):
+    """Ligra+ byte-code round-trip (``sources/compressed.py``,
+    semantics of ``/root/reference/ligra/byte.h:45-214`` +
+    ``encoder.C:183-207``): the derived link graph is encoded to the
+    reference's compressed binary format and decoded back through the
+    varint reader; the oracle is the format's mandated canonical set
+    (sorted, self-loops and duplicates removed).  Fixture-scale by
+    design — the single-file format itself is the bound (SURVEY §2.3);
+    web-scale storage is parquet/Iceberg."""
+    import os
+    import tempfile
+
+    from ligra_spark.sources.compressed import (
+        read_compressed_graph_df,
+        write_compressed_graph,
+    )
+
+    pdf = _edges(spark, sf).toPandas()
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="ligra_bytes_"), "graph.bytes"
+    )
+    write_compressed_graph(
+        path, V, pdf["src"].to_numpy(), pdf["dst"].to_numpy()
+    )
+    df, _ = read_compressed_graph_df(spark, path)
+    return df.select("src", "dst")
+
+
 def _jpeg_media_df(spark, sf):
     """Deterministic REAL baseline-JPEG payloads: a 16x16 grayscale
     JPEG per document whose four 8x8 blocks are UNIFORM at the first
@@ -1918,6 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_media_decode": _q_doc_media_decode,
         "doc_image_ppm": _q_doc_image_ppm,
         "doc_image_jpeg": _q_doc_image_jpeg,
+        "compressed_graph": _q_compressed_graph,
         "sssp_csr": _q_sssp_csr,
         "components_csr": _q_components_csr,
         "ppr_sweep": _q_ppr_sweep,
@@ -4645,6 +4674,10 @@ def oracle_sql() -> dict[str, str]:
         # decodes REAL P6 bytes through the native numpy codec
         "doc_image_ppm": _IMAGE_FEATURES_SQL,
         "doc_image_jpeg": _JPEG_FEATURES_SQL,
+        # the byte-code round-trip reproduces encoder.C's canonical
+        # edge set: sorted-unique, self-loops dropped
+        "compressed_graph": f"WITH e AS ({EDGES_SQL}) "
+        "SELECT DISTINCT src, dst FROM e WHERE src <> dst",
         # CSR-backend twins share the join-engine oracles: matching
         # them IS the cross-backend equality check
         "pagerank_csr": _pr_sql(12),

@@ -1863,24 +1863,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # estimators, 6 of the 9 hyper apps) sit in the tail and stay
     # covered by tests/ + tools/check_entry.py.
     return {
+        # ---- head-50: the driver's correctness sweep checks the
+        # FIRST 50 entries in dict order.  Round-4 rotation: every
+        # entry that had never earned a driver-green row (r03 verdict
+        # item 2) plus the round-4 additions now sit in the head;
+        # long-stable r02/r03-green entries moved to the tail, where
+        # tests/ + tools/check_entry.py keep covering them.
         # graph engine (SURVEY.md §2.4 apps over the derived link graph)
         "triangle_lcc": _q_triangle_lcc,
         "ktruss4": _q_ktruss,
         "truss_decomposition": _q_truss_decomposition,
-        "reciprocity": _q_reciprocity,
-        "assortativity": _q_assortativity,
         # HITS hubs/authorities (our addition — the other canonical
         # web-link fixpoint; exercises both traversal directions)
         "hits": _q_hits,
-        # seed-personalized teleport PR + component-normalized SALSA
-        # (round 3 — the remaining two canonical link-analysis scores)
-        "trustrank": _q_trustrank,
-        "salsa": _q_salsa,
-        "community_lpa": _q_community_lpa,
-        "clique4_count": _q_clique4,
         "cc_star": _q_cc_star,
-        "harmonic_16": _q_harmonic_16,
-        "closeness_16": _q_closeness_16,
         "cc_incremental": _q_cc_incremental,
         "triangle_incremental": _q_triangle_incremental,
         "ecc_tk": _q_ecc_tk,
@@ -1888,82 +1884,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr": _q_ppr,
         "nibble": _q_nibble,
         "heat_kernel": _q_heat_kernel,
-        # per-partition-CSR physical backend twins (round 3) — same
-        # apps, same oracles as pagerank/components/sssp
+        # promoted round 4 (first driver-green rows): localAlg
+        # randomized variant, sweep cut, BFSCC, 4-cycle census
+        "heat_kernel_rand": _q_heat_kernel_rand,
+        "ppr_sweep": _q_ppr_sweep,
+        "bfscc": _q_bfscc,
+        "cycle4_count": _q_cycle4_count,
+        # per-partition-CSR physical backend twins — same apps, same
+        # oracles as pagerank/components/sssp (pagerank_csr r03-green;
+        # the other two promoted round 4)
         "pagerank_csr": _q_pagerank_csr,
+        "sssp_csr": _q_sssp_csr,
+        "components_csr": _q_components_csr,
+        # PageRankDelta: r02-green fixed unroll, promoted back for an
+        # r04 row with the unrolled-CTE value oracle (verdict item 4)
+        "pagerank_delta": _q_pagerank_delta,
         # training-data pipeline: text analysis + dedup
         "doc_inverted_index": _q_doc_inverted_index,
         "doc_bm25_topk": _q_doc_bm25_topk,
-        "doc_stratified_sample": _q_doc_stratified_sample,
         "doc_neardup_clusters": _q_doc_neardup_clusters,
         "doc_shared_spans": _q_doc_shared_spans,
         "doc_neardup_incremental": _q_doc_neardup_incremental,
-        # corpus gates (round 3): Gopher repetition filter, PII scrub,
-        # benchmark decontamination
         "doc_gopher_filter": _q_doc_gopher_filter,
         "doc_pii_redact": _q_doc_pii_redact,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_bpe_tokens": _q_doc_bpe_tokens,
-        # composed end-to-end corpus-prep pipeline (annotate → filter →
-        # exact dedup → LSH near-dedup → stats) — round 3
         "corpus_prep": _q_corpus_prep,
         # similarity search
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "embedding_neardup_pairs": _q_embedding_neardup,
-        # windowed events (streaming-shaped aggs)
+        # windowed events (streaming-shaped aggs) — funnel/retention/
+        # rollup promoted round 4
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
         "events_asof_view": _q_events_asof,
         "events_range_counts": _q_events_range,
-        "events_hub_onset": _q_events_hub_onset,
-        "events_user_hll": _q_events_user_hll,
-        # pages pipeline (north-rule ingest) + multimodal plumbing
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
+        "events_rollup": _q_events_rollup,
+        # pages pipeline (north-rule ingest) + multimodal + formats
         "page_extract": _q_page_extract,
         "page_link_graph": _q_page_link_graph,
         "host_link_graph": _q_host_link_graph,
         "host_rank": _q_host_rank,
+        "host_topk_pages": _q_host_topk_pages,
+        "doc_media_decode": _q_doc_media_decode,
+        "doc_image_ppm": _q_doc_image_ppm,
+        # round-4 additions: native baseline-JPEG decode over real
+        # bytes; Ligra+ byte-code import round-trip
+        "doc_image_jpeg": _q_doc_image_jpeg,
+        "compressed_graph": _q_compressed_graph,
+        # ---- tail (slot 51+): r01/r02/r03 driver-green entries (and
+        # their fixed-k gate variants), all still registered so
+        # tools/check_entry.py and the judge can run them; the
+        # round-4 demotions (reciprocity...doc_image_features) each
+        # have an r03-green row in CORRECTNESS_r03.json.
+        "reciprocity": _q_reciprocity,
+        "assortativity": _q_assortativity,
+        "trustrank": _q_trustrank,
+        "salsa": _q_salsa,
+        "community_lpa": _q_community_lpa,
+        "clique4_count": _q_clique4,
+        "harmonic_16": _q_harmonic_16,
+        "closeness_16": _q_closeness_16,
+        "doc_stratified_sample": _q_doc_stratified_sample,
+        "events_hub_onset": _q_events_hub_onset,
+        "events_user_hll": _q_events_user_hll,
         "anchor_text_agg": _q_anchor_text_agg,
         "url_normalize": _q_url_normalize,
         "random_walk_corpus": _q_random_walk_corpus,
         "doc_image_features": _q_doc_image_features,
-        # ---- tail (slot 51+): first two rows are NEW round-3 ops held
-        # out of the full head (replica-green + pytest-pinned; rotate
-        # into the head-50 next round); then fixed-k gates and app
-        # variants, all
-        # driver-green in CORRECTNESS_r01/r02 (or replica-green r03);
-        # kept registered so tools/check_entry.py and the judge can
-        # still run them.
-        "events_funnel": _q_events_funnel,
-        "events_retention": _q_events_retention,
-        "cycle4_count": _q_cycle4_count,
-        "bfscc": _q_bfscc,
-        # rotated out of the head-50 (replica-green, variants of head
-        # entries heat_kernel / doc_image_features / pagerank_csr) to
-        # make room for the round-3 corpus gates
-        "heat_kernel_rand": _q_heat_kernel_rand,
-        "doc_media_decode": _q_doc_media_decode,
-        "doc_image_ppm": _q_doc_image_ppm,
-        "doc_image_jpeg": _q_doc_image_jpeg,
-        "compressed_graph": _q_compressed_graph,
-        "sssp_csr": _q_sssp_csr,
-        "components_csr": _q_components_csr,
-        "ppr_sweep": _q_ppr_sweep,
-        "host_topk_pages": _q_host_topk_pages,
         "pagerank": _q_pagerank_full,
         "triangle_count": _q_triangles,
-        "events_rollup": _q_events_rollup,
-        # rotated out of the head-50 (r02-green) for trustrank/salsa
-        "pagerank_delta": _q_pagerank_delta,
         "label_propagation": _q_label_propagation,
         "sssp": _q_sssp_full,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "minhash_lsh_pairs": _q_lsh_pairs,
         "components": _q_components,
         "bfs": _q_bfs_full,
-        # rotated out of the head-50 (r02-green) to make room for
-        # truss_decomposition
         "hyper_cc": _q_hyper_cc,
         "radii": _q_radii,
         "mis": _q_mis,

@@ -33,6 +33,7 @@ def components(
     name: str = "components",
     on_superstep=None,
     edge_map_fn=edge_map,
+    star_fallback_after: int | None = 16,
 ) -> tuple[DataFrame, int]:
     """Min-label propagation to fixpoint.  Returns ((id, component), rounds).
 
@@ -42,6 +43,17 @@ def components(
     manager, continues from the latest committed superstep (the state
     rows carry the ``changed`` frontier flag, so the frontier is
     reconstructed from the checkpoint alone — north rule).
+
+    ``star_fallback_after``: min-label is O(diameter) rounds — right
+    for crawl-shaped graphs (diameter < ~10 effective), catastrophic
+    on chain-shaped ones.  If the frontier is still alive after this
+    many rounds, the run hands off to the two-phase large/small-star
+    contraction (``cc_star.cc_two_phase``, O(log² n) rounds,
+    diameter-independent); the output labels are identical (min vertex
+    id per component) so the switch is invisible to callers.  Web
+    graphs converge well under the threshold and never pay it.
+    ``None`` disables; checkpointed runs keep pure min-label (their
+    committed state encodes the min-label schedule).
     """
     it = 0
     if resume and checkpoint_mgr is not None and checkpoint_mgr.latest_step(name):
@@ -121,6 +133,24 @@ def components(
             frontier = changes.select("id", "label")
         if on_superstep:
             on_superstep(it, {"frontier": n_changed})
+        if (
+            star_fallback_after is not None
+            and checkpoint_mgr is None
+            and n_changed > 0
+            and it >= star_fallback_after
+        ):
+            # long-diameter structure detected: min-label progress is
+            # bounded by one hop per round.  Re-solve with star
+            # contraction (correctness does not depend on the partial
+            # labels — the component partition is a property of the
+            # edge set alone, so restarting loses only the < threshold
+            # rounds already paid).
+            from .cc_star import cc_two_phase
+
+            labels, star_rounds = cc_two_phase(
+                graph, on_superstep=on_superstep
+            )
+            return labels, it + star_rounds
     return st.df.select("id", F.col("label").alias("component")), it
 
 

@@ -10,12 +10,18 @@ from .bucketed import (
     write_bucketed_edges,
     write_bucketed_incidence,
 )
+from .compressed import (
+    read_compressed_graph,
+    read_compressed_graph_df,
+    write_compressed_graph,
+)
 from .adjacency_io import (
     read_adjacency_graph_df,
     read_adjacency_hypergraph_df,
     read_binary_csr_df,
     write_adjacency_graph,
     write_adjacency_hypergraph,
+    write_adjacency_hypergraph_distributed,
 )
 from .convert import (
     add_log_weights,
@@ -31,11 +37,15 @@ from .convert import (
 )
 
 __all__ = [
+    "read_compressed_graph",
+    "read_compressed_graph_df",
+    "write_compressed_graph",
     "read_adjacency_graph_df",
     "read_adjacency_hypergraph_df",
     "read_binary_csr_df",
     "write_adjacency_graph",
     "write_adjacency_hypergraph",
+    "write_adjacency_hypergraph_distributed",
     "read_snap_edges",
     "snap_to_adjacency",
     "add_log_weights",

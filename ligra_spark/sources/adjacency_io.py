@@ -34,6 +34,7 @@ __all__ = [
     "read_adjacency_hypergraph",
     "read_adjacency_hypergraph_df",
     "write_adjacency_hypergraph",
+    "write_adjacency_hypergraph_distributed",
 ]
 
 
@@ -234,6 +235,100 @@ def read_adjacency_hypergraph_df(
         nv,
         nh,
     )
+
+
+def write_adjacency_hypergraph_distributed(
+    v_half: DataFrame, h_half: DataFrame, nv: int, nh: int, path: str
+) -> None:
+    """Executor-side twin of ``write_adjacency_hypergraph`` (same
+    choreography as ``write_adjacency_graph_distributed``): all eight
+    text sections are built as (section, rank, line) rows, funneled
+    through ONE sorted partition — the format is a single ordered
+    file, so one writer task is the floor — and renamed into place.
+    Byte-identical to the driver-side writer, but no ``toPandas``:
+    content stays executor-side end to end."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = v_half.sparkSession
+    weighted = "weight" in v_half.columns
+    v_half = v_half.persist()
+    h_half = h_half.persist()
+    mv, mh = v_half.count(), h_half.count()
+
+    def bounds_section(df, key, count, sec):
+        # bounds[k] = #rows with key < k (exclusive running degree sum)
+        deg = df.groupBy(F.col(key).alias("vid")).agg(F.count("*").alias("d"))
+        w_cum = Window.orderBy("vid").rowsBetween(Window.unboundedPreceding, -1)
+        return (
+            spark.range(count).select(F.col("id").alias("vid"))
+            .join(deg, "vid", "left")
+            .select("vid", F.coalesce("d", F.lit(0)).alias("d"))
+            .select(
+                F.lit(sec).alias("sec"),
+                F.col("vid").alias("k"),
+                F.coalesce(F.sum("d").over(w_cum), F.lit(0))
+                .cast("string")
+                .alias("line"),
+            )
+        )
+
+    def value_sections(df, a, b, sec):
+        w = Window.orderBy(a, b)
+        ranked = df.select("*", F.row_number().over(w).cast("long").alias("k"))
+        secs = [
+            ranked.select(
+                F.lit(sec).alias("sec"), "k", F.col(b).cast("string").alias("line")
+            )
+        ]
+        if weighted:
+            secs.append(
+                ranked.select(
+                    F.lit(sec + 1).alias("sec"),
+                    "k",
+                    F.col("weight").cast("string").alias("line"),
+                )
+            )
+        return secs
+
+    header = spark.createDataFrame(
+        [
+            (0, 0, "WeightedAdjacencyHypergraph" if weighted
+             else "AdjacencyHypergraph"),
+            (0, 1, str(nv)),
+            (0, 2, str(mv)),
+            (0, 3, str(nh)),
+            (0, 4, str(mh)),
+        ],
+        "sec int, k long, line string",
+    )
+    sections = (
+        [header, bounds_section(v_half, "vertex", nv, 1)]
+        + value_sections(v_half, "vertex", "hedge", 2)
+        + [bounds_section(h_half, "hedge", nh, 4)]
+        + value_sections(h_half, "hedge", "vertex", 5)
+    )
+    out = sections[0]
+    for s in sections[1:]:
+        out = out.unionByName(s)
+    tmp = path + ".spark-tmp"
+    (
+        out.repartition(1)
+        .sortWithinPartitions("sec", "k")
+        .select("line")
+        .write.mode("overwrite")
+        .text(tmp)
+    )
+    v_half.unpersist()
+    h_half.unpersist()
+    part = glob.glob(os.path.join(tmp, "part-*"))
+    assert len(part) == 1, part
+    shutil.move(part[0], path)
+    shutil.rmtree(tmp)
 
 
 def write_adjacency_hypergraph(

@@ -110,3 +110,40 @@ def test_two_phase_kill_resume_identical(spark, tmp_path):
     a = {r["id"]: r["component"] for r in resumed.collect()}
     b = {r["id"]: r["component"] for r in clean.collect()}
     assert a == b == {i: 0 for i in range(48)}
+
+
+def test_components_auto_star_fallback_on_chain(spark):
+    """A chain graph (diameter >> threshold) must trigger the
+    automatic star-contraction handoff: total rounds stay far below
+    the diameter and the labels equal the pure min-label answer."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ligra_spark.apps import components
+    from ligra_spark.graph import LinkGraph
+
+    n = 400
+    fwd = pd.DataFrame({"src": range(n - 1), "dst": range(1, n)})
+    bwd = pd.DataFrame({"src": range(1, n), "dst": range(n - 1)})
+    edges = spark.createDataFrame(pd.concat([fwd, bwd]))
+    g = LinkGraph.from_edges(spark, edges, n=n).materialize()
+    labels, rounds = components(g, star_fallback_after=5)
+    # one chain: every vertex labels to 0, in << diameter rounds
+    assert rounds < 40
+    out = labels.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("component").alias("s")
+    ).collect()[0]
+    assert (out["n"], out["s"]) == (n, 0)
+
+
+def test_components_no_fallback_under_threshold(spark, tiny_graph_sym):
+    """Crawl-shaped fixture converges before the threshold — the
+    fallback never fires and rounds match the pure min-label run."""
+    from ligra_spark.apps import components
+
+    base, r_base = components(tiny_graph_sym, star_fallback_after=None)
+    auto, r_auto = components(tiny_graph_sym)  # default threshold 16
+    assert r_base == r_auto
+    a = {r["id"]: r["component"] for r in base.collect()}
+    b = {r["id"]: r["component"] for r in auto.collect()}
+    assert a == b

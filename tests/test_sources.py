@@ -353,3 +353,42 @@ def test_write_adjacency_graph_distributed(spark, tmp_path):
         write_adjacency_graph(edges, n, a)
         write_adjacency_graph_distributed(edges, n, b)
         assert open(a).read() == open(b).read()
+
+
+def test_hypergraph_distributed_writer_byte_identical(spark, tmp_path):
+    """The executor-side hypergraph writer produces byte-identical
+    files to the driver-side one (weighted and unweighted), with no
+    toPandas funnel."""
+    import pandas as pd
+
+    from ligra_spark.sources import (
+        write_adjacency_hypergraph,
+        write_adjacency_hypergraph_distributed,
+    )
+
+    rng = np.random.default_rng(13)
+    nv, nh = 17, 8
+    v_half = pd.DataFrame(
+        sorted({(int(v), int(h)) for v, h in
+                zip(rng.integers(0, nv, 50), rng.integers(0, nh, 50))}),
+        columns=["vertex", "hedge"],
+    )
+    h_half = pd.DataFrame(
+        sorted({(int(v), int(h)) for v, h in
+                zip(rng.integers(0, nv, 35), rng.integers(0, nh, 35))}),
+        columns=["vertex", "hedge"],
+    )
+    for weighted in (False, True):
+        vh, hh = v_half.copy(), h_half.copy()
+        if weighted:
+            vh["weight"] = (vh["vertex"] + 2 * vh["hedge"]) % 5 + 1
+            hh["weight"] = (3 * hh["vertex"] + hh["hedge"]) % 5 + 1
+        p_drv = str(tmp_path / f"drv{weighted}.adj")
+        p_dst = str(tmp_path / f"dst{weighted}.adj")
+        write_adjacency_hypergraph(
+            spark.createDataFrame(vh), spark.createDataFrame(hh), nv, nh, p_drv
+        )
+        write_adjacency_hypergraph_distributed(
+            spark.createDataFrame(vh), spark.createDataFrame(hh), nv, nh, p_dst
+        )
+        assert open(p_drv).read() == open(p_dst).read()

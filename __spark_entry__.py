@@ -1839,6 +1839,53 @@ def _q_doc_image_jpeg(spark, sf):
     )
 
 
+def _png_media_df(spark, sf):
+    """Deterministic REAL PNG payloads: the SAME 8x8 RGB plane as the
+    PPM entry (sha256(text) repeated), encoded to 8-bit color-type-2
+    PNG in an Arrow-batched pandas UDF.  PNG is lossless, so decode
+    is bit-exact by construction and the PPM oracle SQL applies
+    verbatim."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    docs = _t(spark, sf, "documents")
+    digest = F.unhex(F.sha2(F.encode("text", "UTF-8"), 256))
+
+    def enc(s):
+        import numpy as np
+
+        from ligra_spark.functions.png import encode_png
+
+        out = []
+        for d in s:
+            arr = np.frombuffer((bytes(d) * 6)[: 8 * 8 * 3], dtype=np.uint8)
+            out.append(encode_png(arr.reshape(8, 8, 3)))
+        return pd.Series(out)
+
+    enc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    enc_udf = pandas_udf(enc, "binary")
+    return docs.select(
+        F.col("doc_id").alias("media_id"), enc_udf(digest).alias("payload")
+    )
+
+
+def _q_doc_image_png(spark, sf):
+    """``image_features`` over REAL 8-bit PNG bytes (fake=False): the
+    native zlib+numpy PNG decoder — chunk walk, inflate, row
+    unfilter — runs inside the fused Arrow decode+features pass;
+    DuckDB recomputes the identical (lossless) pixel plane from
+    sha256(text)."""
+    from ligra_spark.functions.multimodal import image_features
+
+    return image_features(_png_media_df(spark, sf), fake=False).select(
+        "media_id", "height", "width", "channels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "phash",
+    )
+
+
 def _q_doc_image_features(spark, sf):
     """Fused decode + feature extraction (per-channel means + 64-bit
     average-hash) in one Arrow pass, vs a DuckDB transcription of the
@@ -1936,11 +1983,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bytes; Ligra+ byte-code import round-trip
         "doc_image_jpeg": _q_doc_image_jpeg,
         "compressed_graph": _q_compressed_graph,
-        # ---- tail (slot 51+): r01/r02/r03 driver-green entries (and
+        # ---- tail (slot 51+): doc_image_png first (round-4 addition,
+        # replica-green; same lossless plane as doc_image_ppm —
+        # rotate into the head next round); r01/r02/r03 driver-green entries (and
         # their fixed-k gate variants), all still registered so
         # tools/check_entry.py and the judge can run them; the
         # round-4 demotions (reciprocity...doc_image_features) each
         # have an r03-green row in CORRECTNESS_r03.json.
+        "doc_image_png": _q_doc_image_png,
         "reciprocity": _q_reciprocity,
         "assortativity": _q_assortativity,
         "trustrank": _q_trustrank,
@@ -4674,6 +4724,8 @@ def oracle_sql() -> dict[str, str]:
         # decodes REAL P6 bytes through the native numpy codec
         "doc_image_ppm": _IMAGE_FEATURES_SQL,
         "doc_image_jpeg": _JPEG_FEATURES_SQL,
+        # PNG is lossless: identical plane to the PPM entry
+        "doc_image_png": _IMAGE_FEATURES_SQL,
         # the byte-code round-trip reproduces encoder.C's canonical
         # edge set: sorted-unique, self-loops dropped
         "compressed_graph": f"WITH e AS ({EDGES_SQL}) "

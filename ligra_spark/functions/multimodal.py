@@ -4,12 +4,13 @@ over ``mapInPandas``.
 
 The Spark side — schemas, partition-preserving batch iteration, UDF
 signatures, batch shapes — is real and tested.  The codec layer
-decodes two uncompressed public formats NATIVELY in pure numpy — P6
-binary PPM images (``_decode_ppm_p6``) and RIFF/WAVE integer-PCM
-audio (``_decode_wav_pcm``) — so the decode → feature path runs end
-to end with zero libraries.  COMPRESSED formats (JPEG/PNG/MP3/...)
-remain a declared stub: the container ships no codec libraries, so
-they raise NotImplementedError unless ``fake=True`` selects the
+decodes FOUR public formats NATIVELY with zero codec libraries: P6
+binary PPM (``_decode_ppm_p6``), RIFF/WAVE integer-PCM audio
+(``_decode_wav_pcm``), baseline-sequential JPEG (``jpeg.decode_jpeg``
+— pure numpy, round 4), and 8-bit PNG (``png.decode_png`` — stdlib
+zlib + numpy, round 4).  The remaining compressed formats
+(WebP/AVIF images, MP3/Opus audio) are a declared boundary: they
+raise NotImplementedError unless ``fake=True`` selects the
 deterministic fake decoder (a pure function of the bytes, used by
 tests to pin the plumbing).  On a real cluster you extend
 ``_decode_image_bytes`` with Pillow/ffmpeg — nothing else changes.
@@ -160,11 +161,15 @@ def _decode_image_bytes(payload: bytes, fake: bool) -> np.ndarray:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from .png import decode_png
+
+        return decode_png(payload)
     if not fake:
         raise NotImplementedError(
-            "PNG/WebP image codecs are not installed in this "
-            "environment (P6 PPM and baseline JPEG decode natively); "
-            "pass fake=True for the deterministic fake decoder"
+            "WebP/AVIF image codecs are not installed in this "
+            "environment (P6 PPM, baseline JPEG and 8-bit PNG decode "
+            "natively); pass fake=True for the deterministic fake decoder"
         )
     # deterministic fake: 8x8x3 image derived from sha256(payload)
     h = hashlib.sha256(payload).digest()

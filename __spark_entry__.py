@@ -1886,6 +1886,65 @@ def _q_doc_image_png(spark, sf):
     )
 
 
+def _avi_media_df(spark, sf):
+    """Deterministic REAL MJPEG-AVI payloads: a 2-frame 1-fps AVI per
+    document; frame k is a 16x16 grayscale baseline JPEG whose four
+    8x8 blocks are UNIFORM at sha256(text) bytes [4k, 4k+4) — the
+    same exact-DC round-trip as ``_jpeg_media_df``, one window per
+    frame."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    docs = _t(spark, sf, "documents")
+    digest = F.unhex(F.sha2(F.encode("text", "UTF-8"), 256))
+
+    def enc(s):
+        import numpy as np
+
+        from ligra_spark.functions.jpeg import encode_jpeg_baseline
+        from ligra_spark.functions.video import encode_mjpeg_avi
+
+        out = []
+        for d in s:
+            frames = []
+            for k in range(2):
+                grid = np.frombuffer(
+                    bytes(d)[4 * k : 4 * k + 4], dtype=np.uint8
+                ).reshape(2, 2)
+                frames.append(
+                    encode_jpeg_baseline(
+                        np.kron(grid, np.ones((8, 8), dtype=np.uint8)), quant=8
+                    )
+                )
+            out.append(encode_mjpeg_avi(frames, 1_000_000))
+        return pd.Series(out)
+
+    enc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    enc_udf = pandas_udf(enc, "binary")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        enc_udf(digest).alias("payload"),
+        F.lit(2000).alias("duration_ms"),
+    )
+
+
+def _q_doc_video_frames(spark, sf):
+    """``video_frame_features`` over REAL MJPEG-AVI bytes
+    (fake=False): RIFF container walk → per-frame native JPEG decode
+    → per-frame channel means, fused in one Arrow pass; DuckDB
+    recomputes each frame's decoded plane from the sha256 window."""
+    from ligra_spark.functions.multimodal import video_frame_features
+
+    return video_frame_features(
+        _avi_media_df(spark, sf), every_ms=1000, fake=False
+    ).select(
+        "media_id", "ts_ms", "height", "width",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
 def _q_doc_image_features(spark, sf):
     """Fused decode + feature extraction (per-channel means + 64-bit
     average-hash) in one Arrow pass, vs a DuckDB transcription of the
@@ -1991,6 +2050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 demotions (reciprocity...doc_image_features) each
         # have an r03-green row in CORRECTNESS_r03.json.
         "doc_image_png": _q_doc_image_png,
+        "doc_video_frames": _q_doc_video_frames,
         "reciprocity": _q_reciprocity,
         "assortativity": _q_assortativity,
         "trustrank": _q_trustrank,
@@ -4726,6 +4786,21 @@ def oracle_sql() -> dict[str, str]:
         "doc_image_jpeg": _JPEG_FEATURES_SQL,
         # PNG is lossless: identical plane to the PPM entry
         "doc_image_png": _IMAGE_FEATURES_SQL,
+        # frame k of the AVI decodes to uniform blocks at digest bytes
+        # [4k, 4k+4) (exact-DC JPEG round-trip); digest byte 4k+j sits
+        # at hex chars substr(hx, 8k+2j+1, 2)
+        "doc_video_frames": (
+            "WITH d AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents),\n"
+            "f AS (SELECT media_id, k,\n"
+            "  round((('0x' || substr(hx, 8 * k + 1, 2))::INT\n"
+            "       + ('0x' || substr(hx, 8 * k + 3, 2))::INT\n"
+            "       + ('0x' || substr(hx, 8 * k + 5, 2))::INT\n"
+            "       + ('0x' || substr(hx, 8 * k + 7, 2))::INT) / 4.0, 6) AS mean\n"
+            "  FROM d, generate_series(0, 1) AS t(k))\n"
+            "SELECT media_id, CAST(k * 1000 AS INT) AS ts_ms,\n"
+            "  16 AS height, 16 AS width,\n"
+            "  mean AS mean_r, mean AS mean_g, mean AS mean_b FROM f"
+        ),
         # the byte-code round-trip reproduces encoder.C's canonical
         # edge set: sorted-unique, self-loops dropped
         "compressed_graph": f"WITH e AS ({EDGES_SQL}) "

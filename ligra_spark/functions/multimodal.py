@@ -43,6 +43,7 @@ __all__ = [
     "resize_images",
     "image_features",
     "sample_video_frames",
+    "video_frame_features",
     "decode_audio",
     "audio_features",
 ]
@@ -148,11 +149,11 @@ def _decode_wav_pcm(buf: bytes) -> tuple[np.ndarray, int]:
 
 
 def _decode_image_bytes(payload: bytes, fake: bool) -> np.ndarray:
-    """Codec boundary.  P6 PPM and baseline JPEG decode NATIVELY
-    (pure numpy, real paths — see ``jpeg.py``); the remaining
-    compressed formats (PNG/WebP/...) need Pillow/ffmpeg, absent
-    here, so they raise unless ``fake=True`` selects the
-    deterministic fake decoder."""
+    """Codec boundary.  P6 PPM, baseline JPEG and 8-bit PNG decode
+    NATIVELY (pure numpy / stdlib zlib — see ``jpeg.py``/``png.py``);
+    the remaining compressed formats (WebP/AVIF/...) need
+    Pillow/ffmpeg, absent here, so they raise unless ``fake=True``
+    selects the deterministic fake decoder."""
     if payload[:2] == b"P6" and payload[2:3] in (
         *(bytes([c]) for c in _WS), b"#",
     ):
@@ -453,13 +454,37 @@ def audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
     )
 
 
+def _sampled_frames(payload: bytes, dur_ms, every_ms: int, fake: bool):
+    """Yields (ts_ms, decoded HxWx3 frame).  RIFF/AVI payloads take
+    the REAL path: container walk (``video.decode_avi_frames``) +
+    per-frame image decode (MJPEG frames are baseline JPEGs → the
+    native codec); anything else keeps the fake-codec plumbing stub
+    keyed on (payload, ts)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from .video import decode_avi_frames
+
+        frames, usec = decode_avi_frames(payload)
+        usec = usec or 1_000_000  # headerless fixtures: assume 1 fps
+        dur = int(len(frames) * usec / 1000)  # container-derived, not metadata
+        for ts in range(0, max(dur, 1), every_ms):
+            idx = min(ts * 1000 // usec, len(frames) - 1)
+            yield ts, _decode_image_bytes(frames[idx], fake)
+        return
+    dur = int(dur_ms) if dur_ms is not None else 0
+    for ts in range(0, max(dur, 1), every_ms):
+        yield ts, _decode_image_bytes(
+            bytes(payload) + ts.to_bytes(4, "little"), fake
+        )
+
+
 def sample_video_frames(
     media: DataFrame, every_ms: int = 1000, fake: bool = False
 ) -> DataFrame:
-    """Frame-sampling plumbing: one output row per sampled timestamp
-    (duration_ms driven), each row a decoded frame.  The STUB treats
-    the payload as the frame source; real deployment seeks with
-    ffmpeg."""
+    """Frame sampling: one output row per sampled timestamp, each row
+    a decoded frame.  MJPEG-in-AVI payloads decode for REAL (RIFF walk
+    + native JPEG codec); other containers use the deterministic fake
+    plumbing stub (real deployment seeks with ffmpeg — the schedule,
+    schema and batch shape do not change)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -467,11 +492,9 @@ def sample_video_frames(
             for mid, payload, dur in zip(
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):
-                dur = int(dur) if dur is not None else 0
-                for ts in range(0, max(dur, 1), every_ms):
-                    frame = _decode_image_bytes(
-                        bytes(payload) + ts.to_bytes(4, "little"), fake
-                    )
+                for ts, frame in _sampled_frames(
+                    bytes(payload), dur, every_ms, fake
+                ):
                     rows.append(
                         {"media_id": mid, "ts_ms": ts, "frame": frame.tobytes()}
                     )
@@ -479,4 +502,42 @@ def sample_video_frames(
 
     return media.select("media_id", "payload", "duration_ms").mapInPandas(
         batches, schema="media_id long, ts_ms int, frame binary"
+    )
+
+
+def video_frame_features(
+    media: DataFrame, every_ms: int = 1000, fake: bool = False
+) -> DataFrame:
+    """Sample + decode + per-frame channel means fused in ONE Arrow
+    pass (the ``image_features`` shape applied per sampled frame) —
+    the training-pipeline video summarization kernel: output size is
+    bounded by the sampling schedule regardless of payload size."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                for ts, frame in _sampled_frames(
+                    bytes(payload), dur, every_ms, fake
+                ):
+                    m = frame.astype(np.float64).mean(axis=(0, 1))
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "ts_ms": ts,
+                            "height": frame.shape[0],
+                            "width": frame.shape[1],
+                            "mean_r": m[0],
+                            "mean_g": m[1],
+                            "mean_b": m[2],
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload", "duration_ms").mapInPandas(
+        batches,
+        schema="media_id long, ts_ms int, height int, width int, "
+        "mean_r double, mean_g double, mean_b double",
     )

@@ -135,3 +135,51 @@ def test_image_features_over_real_jpeg(spark):
         assert (r["height"], r["width"], r["channels"]) == (16, 16, 3)
         for c in ("mean_r", "mean_g", "mean_b"):
             assert r[c] == pytest.approx(mean, abs=0)  # exact: /4 and /256
+
+
+def test_mjpeg_avi_frame_sampling(spark):
+    """RIFF/AVI container walk + native per-frame JPEG decode through
+    the public sampling ops: frame schedule, exact pixel recovery."""
+    import pandas as pd
+
+    from ligra_spark.functions.multimodal import (
+        sample_video_frames,
+        video_frame_features,
+    )
+    from ligra_spark.functions.video import decode_avi_frames, encode_mjpeg_avi
+
+    rows = []
+    want = {}
+    for i in range(4):
+        d = hashlib.sha256(f"vid{i}".encode()).digest()
+        frames = []
+        for k in range(3):
+            grid = np.frombuffer(d[4 * k : 4 * k + 4], dtype=np.uint8).reshape(2, 2)
+            frames.append(
+                encode_jpeg_baseline(
+                    np.kron(grid, np.ones((8, 8), dtype=np.uint8)), quant=8
+                )
+            )
+        avi = encode_mjpeg_avi(frames, 500_000)  # 2 fps
+        fr, usec = decode_avi_frames(avi)
+        assert fr == frames and usec == 500_000
+        rows.append((i, avi, 1500))
+        want[i] = {k * 500: sum(d[4 * k : 4 * k + 4]) / 4.0 for k in range(3)}
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [r[0] for r in rows],
+                "payload": [r[1] for r in rows],
+                "duration_ms": [r[2] for r in rows],
+            }
+        )
+    )
+    feats = video_frame_features(media, every_ms=500, fake=False).collect()
+    assert len(feats) == 12  # 4 docs x 3 sampled frames
+    for r in feats:
+        assert (r["height"], r["width"]) == (16, 16)
+        assert r["mean_r"] == pytest.approx(want[r["media_id"]][r["ts_ms"]], abs=0)
+    # raw frame sampling carries exact decoded bytes
+    raw = sample_video_frames(media, every_ms=500, fake=False).collect()
+    assert len(raw) == 12
+    assert all(len(r["frame"]) == 16 * 16 * 3 for r in raw)

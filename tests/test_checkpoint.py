@@ -71,7 +71,11 @@ def test_components_kill_resume_identical(spark, tmp_path):
     assert meta["metrics"]["frontier_in"] > 0, "iteration metrics recorded"
 
     resumed, iters = components(g, checkpoint_mgr=mgr, resume=True)
-    clean, clean_iters = components(g)
+    # star_fallback_after=None: the comparison run must keep the pure
+    # min-label schedule — this path graph's diameter exceeds the
+    # default auto-star threshold, and checkpointed runs (like the
+    # resumed one above) never auto-switch
+    clean, clean_iters = components(g, star_fallback_after=None)
     assert iters == clean_iters, "resume continues the superstep count"
     a = {r["id"]: r["component"] for r in resumed.collect()}
     b = {r["id"]: r["component"] for r in clean.collect()}

@@ -130,5 +130,6 @@ def test_harmonic_guards(spark):
     )
     with pytest.raises(ValueError, match="64"):
         harmonic_from_sources(g, sources=list(range(65)))
-    with pytest.raises(ValueError, match="overflow"):
-        harmonic_from_sources(g, sources=[0], max_rounds=43)
+    # round-4 guard: 64*lcm must stay inside double's exact-int range
+    with pytest.raises(ValueError, match="2\\^53"):
+        harmonic_from_sources(g, sources=[0], max_rounds=32)

@@ -1945,6 +1945,53 @@ def _q_doc_video_frames(spark, sf):
     )
 
 
+def _gif_media_df(spark, sf):
+    """Deterministic REAL GIF payloads: an 8x8 single-frame GIF89a
+    per document over the identity grayscale palette, indices =
+    sha256(text) bytes repeated — GIF is lossless palette lookup, so
+    the decoded gray plane g(p) = digest[p mod 32] exactly."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    docs = _t(spark, sf, "documents")
+    digest = F.unhex(F.sha2(F.encode("text", "UTF-8"), 256))
+
+    def enc(s):
+        import numpy as np
+
+        from ligra_spark.functions.gif import encode_gif
+
+        pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+        out = []
+        for d in s:
+            idx = np.frombuffer((bytes(d) * 2)[:64], dtype=np.uint8)
+            out.append(encode_gif(idx.reshape(8, 8), pal))
+        return pd.Series(out)
+
+    enc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    enc_udf = pandas_udf(enc, "binary")
+    return docs.select(
+        F.col("doc_id").alias("media_id"), enc_udf(digest).alias("payload")
+    )
+
+
+def _q_doc_image_gif(spark, sf):
+    """``image_features`` over REAL GIF bytes (fake=False): the
+    native LZW decoder — variable-width codes, clear-code resets,
+    palette lookup — runs inside the fused Arrow decode+features
+    pass; DuckDB recomputes the identical gray plane from
+    sha256(text)."""
+    from ligra_spark.functions.multimodal import image_features
+
+    return image_features(_gif_media_df(spark, sf), fake=False).select(
+        "media_id", "height", "width", "channels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "phash",
+    )
+
+
 def _q_doc_image_features(spark, sf):
     """Fused decode + feature extraction (per-channel means + 64-bit
     average-hash) in one Arrow pass, vs a DuckDB transcription of the
@@ -2051,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # have an r03-green row in CORRECTNESS_r03.json.
         "doc_image_png": _q_doc_image_png,
         "doc_video_frames": _q_doc_video_frames,
+        "doc_image_gif": _q_doc_image_gif,
         "reciprocity": _q_reciprocity,
         "assortativity": _q_assortativity,
         "trustrank": _q_trustrank,
@@ -4786,6 +4834,25 @@ def oracle_sql() -> dict[str, str]:
         "doc_image_jpeg": _JPEG_FEATURES_SQL,
         # PNG is lossless: identical plane to the PPM entry
         "doc_image_png": _IMAGE_FEATURES_SQL,
+        # GIF identity-palette plane: g(p) = digest[p mod 32]; bit p
+        # compares 3g*64 > 3*sum  <=>  g*64 > sum in exact ints
+        "doc_image_gif": (
+            "WITH d AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents),\n"
+            "px AS (SELECT media_id, p,\n"
+            "  ('0x' || substr(hx, 2 * (p % 32) + 1, 2))::INT AS g\n"
+            "  FROM d, generate_series(0, 63) AS t(p)),\n"
+            "m AS (SELECT media_id, avg(CAST(g AS DOUBLE)) AS mean,\n"
+            "  sum(g) AS total FROM px GROUP BY media_id),\n"
+            "ph AS (SELECT px.media_id,\n"
+            "  CAST(sum(CASE WHEN p < 32 THEN CAST(CASE WHEN px.g * 64 > m.total THEN 1 ELSE 0 END AS BIGINT) << (31 - p) ELSE 0 END) AS BIGINT) AS hi,\n"
+            "  CAST(sum(CASE WHEN p >= 32 THEN CAST(CASE WHEN px.g * 64 > m.total THEN 1 ELSE 0 END AS BIGINT) << (63 - p) ELSE 0 END) AS BIGINT) AS lo\n"
+            "  FROM px JOIN m USING (media_id) GROUP BY px.media_id)\n"
+            "SELECT m.media_id, 8 AS height, 8 AS width, 3 AS channels,\n"
+            "  round(m.mean, 6) AS mean_r, round(m.mean, 6) AS mean_g,\n"
+            "  round(m.mean, 6) AS mean_b,\n"
+            "  printf('%08x%08x', ph.hi, ph.lo) AS phash\n"
+            "FROM m JOIN ph USING (media_id)"
+        ),
         # frame k of the AVI decodes to uniform blocks at digest bytes
         # [4k, 4k+4) (exact-DC JPEG round-trip); digest byte 4k+j sits
         # at hex chars substr(hx, 8k+2j+1, 2)

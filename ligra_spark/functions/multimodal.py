@@ -68,6 +68,35 @@ AUDIO_FEATURES_SCHEMA = (
 _WS = b" \t\r\n\x0b\x0c"
 
 
+def _build_mulaw_table() -> np.ndarray:
+    """ITU-T G.711 µ-law expansion, 256-entry int16 table."""
+    b = np.arange(256, dtype=np.int64) ^ 0xFF  # µ-law bytes are inverted
+    sign = (b & 0x80) != 0
+    exp = (b >> 4) & 0x07
+    mant = b & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _build_alaw_table() -> np.ndarray:
+    """ITU-T G.711 A-law expansion, 256-entry int16 table."""
+    b = np.arange(256, dtype=np.int64) ^ 0x55  # even bits inverted
+    sign = (b & 0x80) != 0
+    exp = (b >> 4) & 0x07
+    mant = b & 0x0F
+    mag = np.where(
+        exp > 0,
+        ((mant << 4) + 0x108) << np.maximum(exp - 1, 0),
+        (mant << 4) + 8,
+    )
+    # A-law sign bit SET means positive (opposite of µ-law)
+    return np.where(sign, mag, -mag).astype(np.int16)
+
+
+_MULAW_TABLE = _build_mulaw_table()
+_ALAW_TABLE = _build_alaw_table()
+
+
 def _decode_ppm_p6(buf: bytes) -> np.ndarray:
     """Pure-numpy P6 (binary PPM) decoder — a REAL codec path, no
     libraries: 'P6', then width/height/maxval as ASCII decimals with
@@ -129,9 +158,21 @@ def _decode_wav_pcm(buf: bytes) -> tuple[np.ndarray, int]:
     channels = max(1, int.from_bytes(fmt[2:4], "little"))
     rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format in (6, 7):
+        # G.711 A-law / µ-law (WAVE formats 6/7): one companded byte
+        # per sample, expanded via the public ITU formulas —
+        # vectorized as a 256-entry table lookup
+        usable = len(data) // channels * channels
+        raw = np.frombuffer(data[:usable], dtype=np.uint8)
+        table = _ALAW_TABLE if audio_format == 6 else _MULAW_TABLE
+        samples = table[raw]
+        if channels > 1:
+            samples = samples.reshape(-1, channels)[:, 0]
+        return samples.copy(), rate
     if audio_format != 1:
         raise NotImplementedError(
-            f"WAV format {audio_format} (non-PCM) is not supported"
+            f"WAV format {audio_format} (non-PCM) is not supported "
+            "(integer PCM, A-law and µ-law decode natively)"
         )
     if bits == 16:
         frame = 2 * channels
@@ -166,11 +207,16 @@ def _decode_image_bytes(payload: bytes, fake: bool) -> np.ndarray:
         from .png import decode_png
 
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(payload)
     if not fake:
         raise NotImplementedError(
             "WebP/AVIF image codecs are not installed in this "
-            "environment (P6 PPM, baseline JPEG and 8-bit PNG decode "
-            "natively); pass fake=True for the deterministic fake decoder"
+            "environment (P6 PPM, baseline JPEG, 8-bit PNG and GIF "
+            "decode natively); pass fake=True for the deterministic "
+            "fake decoder"
         )
     # deterministic fake: 8x8x3 image derived from sha256(payload)
     h = hashlib.sha256(payload).digest()

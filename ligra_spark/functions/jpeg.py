@@ -63,6 +63,8 @@ def _build_huffman(bits: list[int], vals: list[int]) -> dict[tuple[int, int], in
     up and left-shifting at each length step.  Returns
     {(length, code): symbol}."""
     table: dict[tuple[int, int], int] = {}
+    if sum(bits) > len(vals):
+        raise ValueError("truncated JPEG Huffman table")
     code = 0
     k = 0
     for length in range(1, 17):
@@ -258,6 +260,14 @@ def _decode_scan(buf, pos, frame, scan_tabs, qt, huff_dc, huff_ac, restart_inter
         planes.append(np.zeros((bh * bw, 8, 8), dtype=np.float64))
     reader = _BitReader(buf, pos)
     pred = [0] * len(comps)
+    # validate table references BEFORE the MCU loop: corrupt streams
+    # must fail with a clean ValueError, not a KeyError mid-decode
+    for c in comps:
+        if c["id"] not in scan_tabs:
+            raise ValueError(f"JPEG scan missing component {c['id']}")
+        td, ta = scan_tabs[c["id"]]
+        if td not in huff_dc or ta not in huff_ac or c["tq"] not in qt:
+            raise ValueError("JPEG scan references undefined DHT/DQT table")
     rst_n = 0
     mcu_count = 0
     for my in range(mcuy):

@@ -224,6 +224,37 @@ def _decode_image_bytes(payload: bytes, fake: bool) -> np.ndarray:
     return arr.reshape(8, 8, 3)
 
 
+_ON_ERROR = ("raise", "skip")
+
+
+def _check_on_error(on_error: str) -> None:
+    if on_error not in _ON_ERROR:
+        raise ValueError(f"on_error must be one of {_ON_ERROR}")
+
+
+def _try_decode_image(payload: bytes, fake: bool, on_error: str):
+    """Decode or apply the error policy: 'raise' propagates (job
+    fails — the fixture/test default), 'skip' returns None (the row is
+    dropped — the crawl-scale default, where malformed payloads are
+    guaranteed and one bad byte must not kill a 10^12-row pass).
+    Scope boundaries (NotImplementedError) follow the same policy."""
+    try:
+        return _decode_image_bytes(payload, fake)
+    except (ValueError, NotImplementedError):
+        if on_error == "raise":
+            raise
+        return None
+
+
+def _try_decode_audio(payload: bytes, fake: bool, on_error: str):
+    try:
+        return _decode_audio_bytes(payload, fake)
+    except (ValueError, NotImplementedError):
+        if on_error == "raise":
+            raise
+        return None
+
+
 def attach_media_metadata(df: DataFrame, payload: str = "payload") -> DataFrame:
     """JVM-side metadata: payload size + sha256 (no Python)."""
     return df.withColumns(
@@ -234,16 +265,23 @@ def attach_media_metadata(df: DataFrame, payload: str = "payload") -> DataFrame:
     )
 
 
-def decode_images(media: DataFrame, fake: bool = False) -> DataFrame:
+def decode_images(
+    media: DataFrame, fake: bool = False, on_error: str = "raise"
+) -> DataFrame:
     """binary payload → (media_id, height, width, channels, pixels
     binary) via Arrow-batched mapInPandas.  Partitioning of the input
-    is preserved (mapInPandas is a narrow transformation)."""
+    is preserved (mapInPandas is a narrow transformation).
+    ``on_error='skip'`` drops undecodable rows instead of failing the
+    job (join against ``attach_media_metadata`` ids to audit drops)."""
+    _check_on_error(on_error)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                img = _decode_image_bytes(bytes(payload), fake)
+                img = _try_decode_image(bytes(payload), fake, on_error)
+                if img is None:
+                    continue
                 rows.append(
                     {
                         "media_id": mid,
@@ -262,7 +300,11 @@ def decode_images(media: DataFrame, fake: bool = False) -> DataFrame:
 
 
 def resize_images(
-    media: DataFrame, height: int, width: int, fake: bool = False
+    media: DataFrame,
+    height: int,
+    width: int,
+    fake: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Decode + nearest-neighbor resize to (height, width) fused in ONE
     Arrow pass → (media_id, height, width, channels, pixels binary).
@@ -278,13 +320,20 @@ def resize_images(
     size bounded by th·tw·C per row regardless of input size."""
     if height <= 0 or width <= 0:
         raise ValueError("target height/width must be positive")
+    _check_on_error(on_error)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            n = len(pdf)
+            decoded = [
+                (mid, _try_decode_image(bytes(p), fake, on_error))
+                for mid, p in zip(pdf["media_id"], pdf["payload"])
+            ]
+            decoded = [(mid, im) for mid, im in decoded if im is not None]
+            n = len(decoded)
             if n == 0:
                 continue
-            imgs = [_decode_image_bytes(bytes(p), fake) for p in pdf["payload"]]
+            mids = np.array([mid for mid, _ in decoded], dtype=np.int64)
+            imgs = [im for _, im in decoded]
             out = [None] * n
             by_shape: dict[tuple, list[int]] = {}
             for i, im in enumerate(imgs):
@@ -305,7 +354,7 @@ def resize_images(
                     out[i] = resized[j].tobytes()
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"].to_numpy(),
+                    "media_id": mids,
                     "height": np.full(n, height, dtype=np.int32),
                     "width": np.full(n, width, dtype=np.int32),
                     "channels": np.array([im.shape[2] for im in imgs], dtype=np.int32),
@@ -319,7 +368,9 @@ def resize_images(
     )
 
 
-def image_features(media: DataFrame, fake: bool = False) -> DataFrame:
+def image_features(
+    media: DataFrame, fake: bool = False, on_error: str = "raise"
+) -> DataFrame:
     """Decode + per-channel means + a 64-bit average-hash (pHash-style)
     in ONE Arrow pass (decode fused with feature extraction — no
     intermediate pixel table is shuffled or persisted).
@@ -332,18 +383,23 @@ def image_features(media: DataFrame, fake: bool = False) -> DataFrame:
     fingerprint differently on different engines/partitionings — a
     dedup hazard the oracle pairing actually caught at sf0.1."""
 
+    _check_on_error(on_error)
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            n = len(pdf)
-            if n == 0:
-                continue
             # decode is inherently per-item (variable-size payloads —
             # the codec boundary); everything after runs as stacked
             # numpy passes per shape class, not per row
-            imgs = [
-                _decode_image_bytes(bytes(p), fake).astype(np.float64)
-                for p in pdf["payload"]
+            decoded = [
+                (mid, _try_decode_image(bytes(p), fake, on_error))
+                for mid, p in zip(pdf["media_id"], pdf["payload"])
             ]
+            decoded = [(mid, im) for mid, im in decoded if im is not None]
+            n = len(decoded)
+            if n == 0:
+                continue
+            mids = np.array([mid for mid, _ in decoded], dtype=np.int64)
+            imgs = [im.astype(np.float64) for _, im in decoded]
             hh = np.empty(n, dtype=np.int32)
             ww = np.empty(n, dtype=np.int32)
             cc = np.empty(n, dtype=np.int32)
@@ -372,7 +428,7 @@ def image_features(media: DataFrame, fake: bool = False) -> DataFrame:
                     phash[i] = f"{int(vals[j]):016x}"
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"].to_numpy(),
+                    "media_id": mids,
                     "height": hh,
                     "width": ww,
                     "channels": cc,
@@ -417,18 +473,25 @@ def _decode_audio_bytes(payload: bytes, fake: bool) -> tuple[np.ndarray, int]:
     return np.frombuffer(raw, dtype="<i2").copy(), _FAKE_SAMPLE_RATE
 
 
-def decode_audio(media: DataFrame, fake: bool = False) -> DataFrame:
+def decode_audio(
+    media: DataFrame, fake: bool = False, on_error: str = "raise"
+) -> DataFrame:
     """binary payload → (media_id, n_samples, sample_rate, pcm binary)
     via Arrow-batched mapInPandas.  PCM is carried as flat
     little-endian int16 bytes plus scalar metadata — the same
     flat-bytes contract as ``decode_images`` (zero-copy Arrow, no
     per-sample python objects)."""
 
+    _check_on_error(on_error)
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                wav, sr = _decode_audio_bytes(bytes(payload), fake)
+                dec = _try_decode_audio(bytes(payload), fake, on_error)
+                if dec is None:
+                    continue
+                wav, sr = dec
                 rows.append(
                     {
                         "media_id": mid,
@@ -445,20 +508,29 @@ def decode_audio(media: DataFrame, fake: bool = False) -> DataFrame:
     )
 
 
-def audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
+def audio_features(
+    media: DataFrame, fake: bool = False, on_error: str = "raise"
+) -> DataFrame:
     """Decode + RMS/peak/zero-crossing + a 16-bit band-energy
     fingerprint in ONE Arrow pass (decode fused with features, like
     ``image_features``).  Decode is per-item (variable-size payloads);
     the feature math runs as stacked numpy passes per length class."""
 
+    _check_on_error(on_error)
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            n = len(pdf)
+            pairs = [
+                (mid, _try_decode_audio(bytes(p), fake, on_error))
+                for mid, p in zip(pdf["media_id"], pdf["payload"])
+            ]
+            pairs = [(mid, d) for mid, d in pairs if d is not None]
+            n = len(pairs)
             if n == 0:
                 continue
-            decoded = [_decode_audio_bytes(bytes(p), fake) for p in pdf["payload"]]
-            wavs = [wav.astype(np.float64) for wav, _ in decoded]
-            srs = np.array([sr for _, sr in decoded], dtype=np.int32)
+            mids = np.array([mid for mid, _ in pairs], dtype=np.int64)
+            wavs = [wav.astype(np.float64) for _, (wav, _) in pairs]
+            srs = np.array([sr for _, (_, sr) in pairs], dtype=np.int32)
             ns = np.empty(n, dtype=np.int32)
             rms = np.empty(n, dtype=np.float64)
             peak = np.empty(n, dtype=np.float64)
@@ -485,7 +557,7 @@ def audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
                     afp[i] = f"{int(vals[j]):04x}"
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"].to_numpy(),
+                    "media_id": mids,
                     "n_samples": ns,
                     "sample_rate": srs,  # per-row, from the decoder
                     "rms": rms,
@@ -500,7 +572,9 @@ def audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
     )
 
 
-def _sampled_frames(payload: bytes, dur_ms, every_ms: int, fake: bool):
+def _sampled_frames(
+    payload: bytes, dur_ms, every_ms: int, fake: bool, on_error: str = "raise"
+):
     """Yields (ts_ms, decoded HxWx3 frame).  RIFF/AVI payloads take
     the REAL path: container walk (``video.decode_avi_frames``) +
     per-frame image decode (MJPEG frames are baseline JPEGs → the
@@ -509,28 +583,41 @@ def _sampled_frames(payload: bytes, dur_ms, every_ms: int, fake: bool):
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         from .video import decode_avi_frames
 
-        frames, usec = decode_avi_frames(payload)
+        try:
+            frames, usec = decode_avi_frames(payload)
+        except ValueError:
+            if on_error == "raise":
+                raise
+            return
         usec = usec or 1_000_000  # headerless fixtures: assume 1 fps
         dur = int(len(frames) * usec / 1000)  # container-derived, not metadata
         for ts in range(0, max(dur, 1), every_ms):
             idx = min(ts * 1000 // usec, len(frames) - 1)
-            yield ts, _decode_image_bytes(frames[idx], fake)
+            img = _try_decode_image(frames[idx], fake, on_error)
+            if img is not None:
+                yield ts, img
         return
     dur = int(dur_ms) if dur_ms is not None else 0
     for ts in range(0, max(dur, 1), every_ms):
-        yield ts, _decode_image_bytes(
-            bytes(payload) + ts.to_bytes(4, "little"), fake
+        img = _try_decode_image(
+            bytes(payload) + ts.to_bytes(4, "little"), fake, on_error
         )
+        if img is not None:
+            yield ts, img
 
 
 def sample_video_frames(
-    media: DataFrame, every_ms: int = 1000, fake: bool = False
+    media: DataFrame,
+    every_ms: int = 1000,
+    fake: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Frame sampling: one output row per sampled timestamp, each row
     a decoded frame.  MJPEG-in-AVI payloads decode for REAL (RIFF walk
     + native JPEG codec); other containers use the deterministic fake
     plumbing stub (real deployment seeks with ffmpeg — the schedule,
     schema and batch shape do not change)."""
+    _check_on_error(on_error)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -539,7 +626,7 @@ def sample_video_frames(
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):
                 for ts, frame in _sampled_frames(
-                    bytes(payload), dur, every_ms, fake
+                    bytes(payload), dur, every_ms, fake, on_error
                 ):
                     rows.append(
                         {"media_id": mid, "ts_ms": ts, "frame": frame.tobytes()}
@@ -552,12 +639,16 @@ def sample_video_frames(
 
 
 def video_frame_features(
-    media: DataFrame, every_ms: int = 1000, fake: bool = False
+    media: DataFrame,
+    every_ms: int = 1000,
+    fake: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Sample + decode + per-frame channel means fused in ONE Arrow
     pass (the ``image_features`` shape applied per sampled frame) —
     the training-pipeline video summarization kernel: output size is
     bounded by the sampling schedule regardless of payload size."""
+    _check_on_error(on_error)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -566,7 +657,7 @@ def video_frame_features(
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):
                 for ts, frame in _sampled_frames(
-                    bytes(payload), dur, every_ms, fake
+                    bytes(payload), dur, every_ms, fake, on_error
                 ):
                     m = frame.astype(np.float64).mean(axis=(0, 1))
                     rows.append(

@@ -47,7 +47,9 @@ def decode_png(buf: bytes) -> np.ndarray:
         body = buf[pos + 8 : pos + 8 + length]
         pos += 12 + length  # skip CRC
         if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
+            if len(body) < 13:
+                raise ValueError("truncated PNG IHDR")
+            ihdr = struct.unpack(">IIBBBBB", body[:13])
         elif ctype == b"PLTE":
             plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":

@@ -1,0 +1,205 @@
+"""Crawl-robustness: the on_error policy on every multimodal Arrow
+pass (one malformed payload must not kill a 10^12-row job), and codec
+fuzzing — truncated/corrupted payloads with valid magic bytes must
+raise clean ValueError/NotImplementedError, never hang, loop, or
+crash the worker."""
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ligra_spark.functions.gif import encode_gif
+from ligra_spark.functions.jpeg import encode_jpeg_baseline
+from ligra_spark.functions.png import encode_png
+
+
+def _good_jpeg(i: int) -> bytes:
+    d = hashlib.sha256(f"x{i}".encode()).digest()[:4]
+    grid = np.frombuffer(d, dtype=np.uint8).reshape(2, 2)
+    return encode_jpeg_baseline(
+        np.kron(grid, np.ones((8, 8), dtype=np.uint8)), quant=8
+    )
+
+
+@pytest.fixture(scope="module")
+def mixed_media(spark):
+    rows = [
+        (0, _good_jpeg(0)),
+        (1, b"\xff\xd8garbage-after-soi"),        # truncated JPEG
+        (2, _good_jpeg(2)),
+        (3, b"\x89PNG\r\n\x1a\nnot-really"),      # truncated PNG
+        (4, b"RIFFxxxxWEBP____"),                  # WebP: scope boundary
+        (5, _good_jpeg(5)),
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": [r[0] for r in rows], "payload": [r[1] for r in rows]}
+        )
+    )
+
+
+def test_on_error_skip_drops_bad_rows(spark, mixed_media):
+    from ligra_spark.functions.multimodal import decode_images, image_features
+
+    out = decode_images(mixed_media, on_error="skip").collect()
+    assert sorted(r["media_id"] for r in out) == [0, 2, 5]
+    feats = image_features(mixed_media, on_error="skip").collect()
+    assert sorted(r["media_id"] for r in feats) == [0, 2, 5]
+
+
+def test_on_error_raise_is_default(spark, mixed_media):
+    from ligra_spark.functions.multimodal import decode_images
+
+    with pytest.raises(Exception):
+        decode_images(mixed_media).collect()
+
+
+def test_on_error_validated_eagerly(spark, mixed_media):
+    from ligra_spark.functions.multimodal import (
+        audio_features,
+        decode_audio,
+        decode_images,
+        image_features,
+        resize_images,
+        sample_video_frames,
+        video_frame_features,
+    )
+
+    for fn in (decode_images, image_features):
+        with pytest.raises(ValueError, match="on_error"):
+            fn(mixed_media, on_error="ignore")
+    with pytest.raises(ValueError, match="on_error"):
+        resize_images(mixed_media, 4, 4, on_error="ignore")
+    for fn in (decode_audio, audio_features):
+        with pytest.raises(ValueError, match="on_error"):
+            fn(mixed_media, on_error="ignore")
+    vid = mixed_media.withColumn(
+        "duration_ms", mixed_media["media_id"] * 0 + 1000
+    )
+    with pytest.raises(ValueError, match="on_error"):
+        sample_video_frames(vid, on_error="ignore")
+    with pytest.raises(ValueError, match="on_error"):
+        video_frame_features(vid, on_error="ignore")
+
+
+def test_resize_skip_and_audio_skip(spark):
+    from ligra_spark.functions.multimodal import audio_features, resize_images
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [0, 1],
+                "payload": [_good_jpeg(0), b"\xff\xd8bad"],
+            }
+        )
+    )
+    out = resize_images(media, 4, 4, on_error="skip").collect()
+    assert [r["media_id"] for r in out] == [0]
+    assert all(len(r["pixels"]) == 4 * 4 * 3 for r in out)
+
+    audio = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [0, 1],
+                # RIFF/WAVE magic but truncated fmt; and a valid PCM clip
+                "payload": [
+                    b"RIFF\x10\x00\x00\x00WAVEfmt ",
+                    _pcm_wav(64),
+                ],
+            }
+        )
+    )
+    out = audio_features(audio, on_error="skip").collect()
+    assert [r["media_id"] for r in out] == [1]
+
+
+def _pcm_wav(n: int) -> bytes:
+    data = (np.arange(n, dtype=np.int16) * 100).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_video_skip_bad_container(spark):
+    from ligra_spark.functions.multimodal import video_frame_features
+    from ligra_spark.functions.video import encode_mjpeg_avi
+
+    good = encode_mjpeg_avi([_good_jpeg(0)], 1_000_000)
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [0, 1],
+                "payload": [good, b"RIFF\x08\x00\x00\x00AVI "],  # no frames
+                "duration_ms": [1000, 1000],
+            }
+        )
+    )
+    out = video_frame_features(media, on_error="skip").collect()
+    assert [r["media_id"] for r in out] == [0]
+
+
+# ---------------------------------------------------------------- fuzzing
+def _fuzz_cases(good: bytes, rng) -> list[bytes]:
+    cases = []
+    for cut in (3, len(good) // 4, len(good) // 2, len(good) - 1):
+        cases.append(good[:cut])
+    for _ in range(40):
+        b = bytearray(good)
+        for _ in range(rng.randint(1, 8)):
+            b[rng.randint(0, len(b))] = rng.randint(0, 256)
+        cases.append(bytes(b))
+    for _ in range(10):
+        cases.append(good + bytes(rng.randint(0, 256, rng.randint(1, 64)).tolist()))
+    return cases
+
+
+@pytest.mark.parametrize("codec", ["jpeg", "png", "gif", "wav", "avi"])
+def test_fuzz_decoders_fail_cleanly(codec):
+    """Every decoder either returns a valid array or raises
+    ValueError/NotImplementedError on corrupted input — no hangs, no
+    uncontrolled exceptions (IndexError/struct.error/...), bounded
+    output."""
+    rng = np.random.RandomState(17)
+    if codec == "jpeg":
+        from ligra_spark.functions.jpeg import decode_jpeg as dec
+
+        good = encode_jpeg_baseline(
+            rng.randint(0, 256, (16, 16)).astype(np.uint8), quant=4
+        )
+    elif codec == "png":
+        from ligra_spark.functions.png import decode_png as dec
+
+        good = encode_png(rng.randint(0, 256, (9, 9, 3)).astype(np.uint8))
+    elif codec == "gif":
+        from ligra_spark.functions.gif import decode_gif as dec
+
+        pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+        good = encode_gif(rng.randint(0, 256, (8, 8)).astype(np.uint8), pal)
+    elif codec == "wav":
+        from ligra_spark.functions.multimodal import _decode_wav_pcm as dec
+
+        good = _pcm_wav(128)
+    else:
+        from ligra_spark.functions.video import decode_avi_frames as dec
+
+        good = __import__(
+            "ligra_spark.functions.video", fromlist=["encode_mjpeg_avi"]
+        ).encode_mjpeg_avi([_good_jpeg(1)], 1_000_000)
+
+    allowed = (ValueError, NotImplementedError, __import__("zlib").error)
+    for case in _fuzz_cases(good, rng):
+        try:
+            out = dec(case)
+        except allowed:
+            continue
+        # a successful decode of a mutated payload is fine as long as
+        # the result is sane and bounded
+        if codec in ("jpeg", "png", "gif"):
+            assert out.ndim == 3 and out.shape[2] == 3
+            assert out.shape[0] <= 1 << 16 and out.shape[1] <= 1 << 16

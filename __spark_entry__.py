@@ -1992,6 +1992,77 @@ def _q_doc_image_gif(spark, sf):
     )
 
 
+def _q_doc_media_format(spark, sf):
+    """JVM-side magic-byte format sniffing (``with_media_format`` —
+    hex-prefix compares, no Python, no decode) over a mixed corpus of
+    REAL encoder outputs: each doc gets a jpeg/png/gif/ppm/wav/avi/
+    unknown payload by doc_id mod 7; the oracle states the expected
+    routing directly."""
+    import struct
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ligra_spark.functions.multimodal import with_media_format
+
+    docs = _t(spark, sf, "documents")
+    digest = F.unhex(F.sha2(F.encode("text", "UTF-8"), 256))
+
+    def enc(ids, digests):
+        import numpy as np
+
+        from ligra_spark.functions.gif import encode_gif
+        from ligra_spark.functions.jpeg import encode_jpeg_baseline
+        from ligra_spark.functions.png import encode_png
+        from ligra_spark.functions.video import encode_mjpeg_avi
+
+        pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+        out = []
+        for i, d in zip(ids, digests):
+            d = bytes(d)
+            kind = int(i) % 7
+            img8 = np.frombuffer((d * 2)[:64], dtype=np.uint8).reshape(8, 8)
+            if kind == 0:
+                grid = np.frombuffer(d[:4], dtype=np.uint8).reshape(2, 2)
+                out.append(
+                    encode_jpeg_baseline(
+                        np.kron(grid, np.ones((8, 8), dtype=np.uint8)), quant=8
+                    )
+                )
+            elif kind == 1:
+                out.append(encode_png(img8))
+            elif kind == 2:
+                out.append(encode_gif(img8, pal))
+            elif kind == 3:
+                out.append(b"P6\n8 8\n255\n" + (d * 6)[: 8 * 8 * 3])
+            elif kind == 4:
+                fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                body = (
+                    b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", 32) + d
+                )
+                out.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            elif kind == 5:
+                grid = np.frombuffer(d[:4], dtype=np.uint8).reshape(2, 2)
+                frame = encode_jpeg_baseline(
+                    np.kron(grid, np.ones((8, 8), dtype=np.uint8)), quant=8
+                )
+                out.append(encode_mjpeg_avi([frame], 1_000_000))
+            else:
+                out.append(b"\x00" + d)  # 0x00 prefix: no magic matches
+        return pd.Series(out)
+
+    enc.__annotations__ = {
+        "ids": pd.Series, "digests": pd.Series, "return": pd.Series
+    }
+    enc_udf = pandas_udf(enc, "binary")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        enc_udf(F.col("doc_id"), digest).alias("payload"),
+    )
+    return with_media_format(media).select("media_id", "format")
+
+
 def _q_doc_image_features(spark, sf):
     """Fused decode + feature extraction (per-channel means + 64-bit
     average-hash) in one Arrow pass, vs a DuckDB transcription of the
@@ -2099,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_image_png": _q_doc_image_png,
         "doc_video_frames": _q_doc_video_frames,
         "doc_image_gif": _q_doc_image_gif,
+        "doc_media_format": _q_doc_media_format,
         "reciprocity": _q_reciprocity,
         "assortativity": _q_assortativity,
         "trustrank": _q_trustrank,
@@ -4852,6 +4924,14 @@ def oracle_sql() -> dict[str, str]:
             "  round(m.mean, 6) AS mean_b,\n"
             "  printf('%08x%08x', ph.hi, ph.lo) AS phash\n"
             "FROM m JOIN ph USING (media_id)"
+        ),
+        # the mixed-fixture construction maps doc_id mod 7 to a format
+        "doc_media_format": (
+            "SELECT doc_id AS media_id,\n"
+            "  CASE doc_id % 7 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'\n"
+            "    WHEN 2 THEN 'gif' WHEN 3 THEN 'ppm' WHEN 4 THEN 'wav'\n"
+            "    WHEN 5 THEN 'avi' ELSE 'unknown' END AS format\n"
+            "FROM documents"
         ),
         # frame k of the AVI decodes to uniform blocks at digest bytes
         # [4k, 4k+4) (exact-DC JPEG round-trip); digest byte 4k+j sits

@@ -39,6 +39,7 @@ __all__ = [
     "IMAGE_FEATURES_SCHEMA",
     "AUDIO_FEATURES_SCHEMA",
     "attach_media_metadata",
+    "with_media_format",
     "decode_images",
     "resize_images",
     "image_features",
@@ -263,6 +264,43 @@ def attach_media_metadata(df: DataFrame, payload: str = "payload") -> DataFrame:
             "payload_sha256": F.sha2(F.col(payload), 256),
         }
     )
+
+
+# magic-byte table for with_media_format: (format, hex prefix).
+# RIFF containers disambiguate on the form-type at offset 8.
+_MAGIC = (
+    ("jpeg", "ffd8"),
+    ("png", "89504e470d0a1a0a"),
+    ("gif", "474946383761"),  # GIF87a
+    ("gif", "474946383961"),  # GIF89a
+    ("ppm", "50360a"),  # 'P6\n' (any whitespace works; \n is the norm)
+    ("ppm", "503620"),  # 'P6 '
+)
+
+
+def with_media_format(
+    df: DataFrame, payload: str = "payload", out: str = "format"
+) -> DataFrame:
+    """Adds a ``format`` column sniffed from magic bytes — ENTIRELY
+    JVM-side (hex-prefix compares, no Python, no decode): 'jpeg',
+    'png', 'gif', 'ppm', 'wav', 'avi', or 'unknown'.  The routing /
+    observability primitive of a media pipeline: group by it for
+    corpus stats, filter on it before the (costlier) decode pass, or
+    partition a write by it — all without touching a codec."""
+    hx = F.lower(F.hex(F.substring(F.col(payload), 1, 12)))
+    expr = F.lit("unknown")
+    # RIFF first (longest discriminating read), then the flat magics;
+    # build the CASE back to front so earlier rows win
+    riff = F.when(
+        hx.startswith("52494646") & (F.substring(hx, 17, 8) == F.lit("57415645")),
+        F.lit("wav"),
+    ).when(
+        hx.startswith("52494646") & (F.substring(hx, 17, 8) == F.lit("41564920")),
+        F.lit("avi"),
+    )
+    for name, prefix in reversed(_MAGIC):
+        expr = F.when(hx.startswith(prefix), F.lit(name)).otherwise(expr)
+    return df.withColumn(out, F.coalesce(riff, expr))
 
 
 def decode_images(

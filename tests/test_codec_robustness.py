@@ -203,3 +203,35 @@ def test_fuzz_decoders_fail_cleanly(codec):
         if codec in ("jpeg", "png", "gif"):
             assert out.ndim == 3 and out.shape[2] == 3
             assert out.shape[0] <= 1 << 16 and out.shape[1] <= 1 << 16
+
+
+def test_with_media_format_sniffing(spark):
+    """JVM-side magic-byte routing: every native format + RIFF
+    disambiguation + unknown fallback, no Python in the plan."""
+    from ligra_spark.functions.gif import encode_gif
+    from ligra_spark.functions.multimodal import with_media_format
+    from ligra_spark.functions.png import encode_png
+    from ligra_spark.functions.video import encode_mjpeg_avi
+
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    rows = [
+        (0, _good_jpeg(0), "jpeg"),
+        (1, encode_png(img), "png"),
+        (2, encode_gif(img, pal), "gif"),
+        (3, b"P6\n2 2\n255\n" + bytes(12), "ppm"),
+        (4, _pcm_wav(8), "wav"),
+        (5, encode_mjpeg_avi([_good_jpeg(5)], 1_000_000), "avi"),
+        (6, b"\x00nothing-to-see", "unknown"),
+        (7, b"RIFF\x04\x00\x00\x00XXXX", "unknown"),  # RIFF, not wav/avi
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": [r[0] for r in rows], "payload": [r[1] for r in rows]}
+        )
+    )
+    out = {r["media_id"]: r["format"] for r in with_media_format(media).collect()}
+    assert out == {r[0]: r[2] for r in rows}
+    # the plan is pure JVM: no ArrowEvalPython / BatchEvalPython node
+    plan = with_media_format(media)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan

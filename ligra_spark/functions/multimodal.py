@@ -4,16 +4,18 @@ over ``mapInPandas``.
 
 The Spark side — schemas, partition-preserving batch iteration, UDF
 signatures, batch shapes — is real and tested.  The codec layer
-decodes FOUR public formats NATIVELY with zero codec libraries: P6
-binary PPM (``_decode_ppm_p6``), RIFF/WAVE integer-PCM audio
-(``_decode_wav_pcm``), baseline-sequential JPEG (``jpeg.decode_jpeg``
-— pure numpy, round 4), and 8-bit PNG (``png.decode_png`` — stdlib
-zlib + numpy, round 4).  The remaining compressed formats
-(WebP/AVIF images, MP3/Opus audio) are a declared boundary: they
-raise NotImplementedError unless ``fake=True`` selects the
-deterministic fake decoder (a pure function of the bytes, used by
-tests to pin the plumbing).  On a real cluster you extend
-``_decode_image_bytes`` with Pillow/ffmpeg — nothing else changes.
+decodes NINE public formats NATIVELY with zero codec libraries:
+images — P6 PPM, baseline JPEG (``jpeg.py``), 8-bit PNG (``png.py``,
+stdlib zlib), GIF (``gif.py``, LZW), BMP (``bmp.py``); audio —
+RIFF/WAVE integer PCM, G.711 A-law/µ-law, IMA ADPCM (``adpcm.py``);
+video — MJPEG-in-AVI (``video.py``).  The remaining compressed
+formats (WebP/AVIF images, MP3/Opus audio, interframe video) are a
+declared boundary: they raise NotImplementedError unless
+``fake=True`` selects the deterministic fake decoder (a pure
+function of the bytes, used by tests to pin the plumbing).  On a
+real cluster you extend ``_decode_image_bytes`` with Pillow/ffmpeg —
+nothing else changes.  ``on_error='skip'`` on every pass drops
+undecodable rows instead of failing the job (the crawl-scale mode).
 
 Batch-shape contract (the thing that matters at 100 TB): each
 ``mapInPandas`` batch holds ``spark.sql.execution.arrow.
@@ -170,10 +172,18 @@ def _decode_wav_pcm(buf: bytes) -> tuple[np.ndarray, int]:
         if channels > 1:
             samples = samples.reshape(-1, channels)[:, 0]
         return samples.copy(), rate
+    if audio_format == 0x11:
+        # IMA/DVI ADPCM: 4-bit adaptive deltas in block_align-sized
+        # blocks — decoded natively (functions/adpcm.py)
+        from .adpcm import decode_ima_adpcm
+
+        block_align = int.from_bytes(fmt[12:14], "little")
+        return decode_ima_adpcm(data, block_align, channels), rate
     if audio_format != 1:
         raise NotImplementedError(
             f"WAV format {audio_format} (non-PCM) is not supported "
-            "(integer PCM, A-law and µ-law decode natively)"
+            "(integer PCM, G.711 A-law/µ-law and IMA ADPCM decode "
+            "natively)"
         )
     if bits == 16:
         frame = 2 * channels
@@ -191,11 +201,11 @@ def _decode_wav_pcm(buf: bytes) -> tuple[np.ndarray, int]:
 
 
 def _decode_image_bytes(payload: bytes, fake: bool) -> np.ndarray:
-    """Codec boundary.  P6 PPM, baseline JPEG and 8-bit PNG decode
-    NATIVELY (pure numpy / stdlib zlib — see ``jpeg.py``/``png.py``);
-    the remaining compressed formats (WebP/AVIF/...) need
-    Pillow/ffmpeg, absent here, so they raise unless ``fake=True``
-    selects the deterministic fake decoder."""
+    """Codec boundary.  P6 PPM, baseline JPEG, 8-bit PNG, GIF and BMP
+    decode NATIVELY (pure numpy / stdlib zlib); the remaining
+    compressed formats (WebP/AVIF/...) need Pillow/ffmpeg, absent
+    here, so they raise unless ``fake=True`` selects the
+    deterministic fake decoder."""
     if payload[:2] == b"P6" and payload[2:3] in (
         *(bytes([c]) for c in _WS), b"#",
     ):
@@ -212,6 +222,10 @@ def _decode_image_bytes(payload: bytes, fake: bool) -> np.ndarray:
         from .gif import decode_gif
 
         return decode_gif(payload)
+    if payload[:2] == b"BM":
+        from .bmp import decode_bmp
+
+        return decode_bmp(payload)
     if not fake:
         raise NotImplementedError(
             "WebP/AVIF image codecs are not installed in this "
@@ -275,6 +289,7 @@ _MAGIC = (
     ("gif", "474946383961"),  # GIF89a
     ("ppm", "50360a"),  # 'P6\n' (any whitespace works; \n is the norm)
     ("ppm", "503620"),  # 'P6 '
+    ("bmp", "424d"),  # 'BM'
 )
 
 
@@ -283,7 +298,7 @@ def with_media_format(
 ) -> DataFrame:
     """Adds a ``format`` column sniffed from magic bytes — ENTIRELY
     JVM-side (hex-prefix compares, no Python, no decode): 'jpeg',
-    'png', 'gif', 'ppm', 'wav', 'avi', or 'unknown'.  The routing /
+    'png', 'gif', 'ppm', 'bmp', 'wav', 'avi', or 'unknown'.  The routing /
     observability primitive of a media pipeline: group by it for
     corpus stats, filter on it before the (costlier) decode pass, or
     partition a write by it — all without touching a codec."""

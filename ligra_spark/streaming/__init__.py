@@ -33,6 +33,7 @@ from .incremental_pagerank import (
     read_pr_scores,
 )
 from .stream import (
+    stream_media_features,
     stream_pages_to_edges,
     windowed_link_counts,
     incremental_degree_sink,
@@ -64,6 +65,7 @@ __all__ = [
     "read_tri_total",
     "read_pr_manifest",
     "read_pr_scores",
+    "stream_media_features",
     "stream_pages_to_edges",
     "windowed_link_counts",
     "incremental_degree_sink",

@@ -33,6 +33,7 @@ PAGES_SCHEMA = (
 
 __all__ = [
     "stream_pages_to_edges",
+    "stream_media_features",
     "windowed_link_counts",
     "incremental_degree_sink",
     "detect_new_hubs",
@@ -55,6 +56,46 @@ def stream_pages_to_edges(
         "url",
         "warc_ts",
         F.explode(extract_links_col(html_str("html"))).alias("href"),
+    )
+
+
+MEDIA_STREAM_SCHEMA = "media_id long, payload binary"
+
+
+def stream_media_features(
+    spark: SparkSession,
+    media_dir: str,
+    max_files_per_trigger: int = 1,
+    on_error: str = "skip",
+) -> DataFrame:
+    """Streaming multimodal featurization: readStream over a media
+    parquet dir (media_id, payload) → JVM-side format sniffing →
+    fused Arrow decode+features per micro-batch.
+
+    ``image_features``'s ``mapInPandas`` is a NARROW streaming
+    transformation, so the per-batch plan is identical to batch mode —
+    the streaming twin of the media pipeline, the way
+    ``stream_pages_to_edges`` twins the batch extractor.  Default
+    ``on_error='skip'``: a crawl feed WILL contain undecodable
+    payloads, and a poison message must not wedge the stream (each
+    retry would hit the same byte).  Rows whose sniffed format is not
+    a decodable image are filtered out JVM-side BEFORE the Python
+    stage — the routing keeps codec work off non-image payloads.
+
+    File source (maxFilesPerTrigger) stands in for Kafka, as above.
+    """
+    from ..functions.multimodal import image_features, with_media_format
+
+    media = (
+        spark.readStream.schema(MEDIA_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(media_dir)
+    )
+    routed = with_media_format(media).filter(
+        F.col("format").isin("jpeg", "png", "gif", "bmp", "ppm")
+    )
+    return image_features(
+        routed.select("media_id", "payload"), fake=False, on_error=on_error
     )
 
 

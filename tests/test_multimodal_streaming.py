@@ -488,3 +488,65 @@ def test_resize_images_identity_and_upscale(spark):
     up = resize_images(media, 4, 4).collect()[0]
     out = np.frombuffer(bytes(up["pixels"]), dtype=np.uint8).reshape(4, 4, 3)
     assert np.array_equal(out, a[np.repeat([0, 1], 2)][:, np.repeat([0, 1], 2)])
+
+
+def test_stream_media_features_matches_batch(spark, tmp_path):
+    """Streaming decode+features over real JPEG/PNG payloads matches
+    the batch pass; a corrupt payload and a non-image (wav) payload
+    are dropped by the skip policy / format routing without wedging
+    the stream."""
+    import hashlib
+    import struct
+
+    import pandas as pd
+
+    from ligra_spark.functions.jpeg import encode_jpeg_baseline
+    from ligra_spark.functions.multimodal import image_features
+    from ligra_spark.functions.png import encode_png
+    from ligra_spark.streaming import stream_media_features
+
+    rows = []
+    for i in range(6):
+        d = hashlib.sha256(f"m{i}".encode()).digest()
+        if i % 2 == 0:
+            grid = np.frombuffer(d[:4], dtype=np.uint8).reshape(2, 2)
+            payload = encode_jpeg_baseline(
+                np.kron(grid, np.ones((8, 8), dtype=np.uint8)), quant=8
+            )
+        else:
+            payload = encode_png(
+                np.frombuffer((d * 2)[:64], dtype=np.uint8).reshape(8, 8)
+            )
+        rows.append((i, payload))
+    rows.append((6, b"\xff\xd8CORRUPTED"))  # undecodable image: skipped
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    rows.append((7, b"RIFF" + struct.pack("<I", len(body)) + body))  # routed away
+    pdf = pd.DataFrame(
+        {"media_id": [r[0] for r in rows], "payload": [r[1] for r in rows]}
+    )
+    src = str(tmp_path / "media_in")
+    spark.createDataFrame(pdf).repartition(3).write.mode("overwrite").parquet(src)
+
+    feats = stream_media_features(spark, src, max_files_per_trigger=2)
+    q = (
+        feats.writeStream.format("memory")
+        .queryName("media_feats")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["media_id"]: r for r in spark.sql("SELECT * FROM media_feats").collect()
+    }
+    assert sorted(got) == [0, 1, 2, 3, 4, 5]  # corrupt + wav dropped
+    batch = {
+        r["media_id"]: r
+        for r in image_features(
+            spark.createDataFrame(pdf[pdf.media_id < 6]), fake=False
+        ).collect()
+    }
+    for i in range(6):
+        assert got[i]["phash"] == batch[i]["phash"]
+        assert got[i]["mean_r"] == batch[i]["mean_r"]

@@ -226,6 +226,10 @@ def _decode_image_bytes(payload: bytes, fake: bool) -> np.ndarray:
         from .bmp import decode_bmp
 
         return decode_bmp(payload)
+    if payload[:2] in (b"II", b"MM") and payload[2:4] in (b"\x2a\x00", b"\x00\x2a"):
+        from .tiff import decode_tiff
+
+        return decode_tiff(payload)
     if not fake:
         raise NotImplementedError(
             "WebP/AVIF image codecs are not installed in this "
@@ -290,6 +294,8 @@ _MAGIC = (
     ("ppm", "50360a"),  # 'P6\n' (any whitespace works; \n is the norm)
     ("ppm", "503620"),  # 'P6 '
     ("bmp", "424d"),  # 'BM'
+    ("tiff", "49492a00"),  # II*\0
+    ("tiff", "4d4d002a"),  # MM\0*
 )
 
 
@@ -298,7 +304,7 @@ def with_media_format(
 ) -> DataFrame:
     """Adds a ``format`` column sniffed from magic bytes — ENTIRELY
     JVM-side (hex-prefix compares, no Python, no decode): 'jpeg',
-    'png', 'gif', 'ppm', 'bmp', 'wav', 'avi', or 'unknown'.  The routing /
+    'png', 'gif', 'ppm', 'bmp', 'tiff', 'wav', 'avi', or 'unknown'.  The routing /
     observability primitive of a media pipeline: group by it for
     corpus stats, filter on it before the (costlier) decode pass, or
     partition a write by it — all without touching a codec."""

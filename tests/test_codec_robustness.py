@@ -159,7 +159,7 @@ def _fuzz_cases(good: bytes, rng) -> list[bytes]:
     return cases
 
 
-@pytest.mark.parametrize("codec", ["jpeg", "png", "gif", "wav", "avi"])
+@pytest.mark.parametrize("codec", ["jpeg", "png", "gif", "tiff", "wav", "avi"])
 def test_fuzz_decoders_fail_cleanly(codec):
     """Every decoder either returns a valid array or raises
     ValueError/NotImplementedError on corrupted input — no hangs, no
@@ -181,6 +181,10 @@ def test_fuzz_decoders_fail_cleanly(codec):
 
         pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
         good = encode_gif(rng.randint(0, 256, (8, 8)).astype(np.uint8), pal)
+    elif codec == "tiff":
+        from ligra_spark.functions.tiff import decode_tiff as dec, encode_tiff
+
+        good = encode_tiff(rng.randint(0, 256, (7, 11, 3)).astype(np.uint8))
     elif codec == "wav":
         from ligra_spark.functions.multimodal import _decode_wav_pcm as dec
 
@@ -200,7 +204,7 @@ def test_fuzz_decoders_fail_cleanly(codec):
             continue
         # a successful decode of a mutated payload is fine as long as
         # the result is sane and bounded
-        if codec in ("jpeg", "png", "gif"):
+        if codec in ("jpeg", "png", "gif", "tiff"):
             assert out.ndim == 3 and out.shape[2] == 3
             assert out.shape[0] <= 1 << 16 and out.shape[1] <= 1 << 16
 
@@ -262,3 +266,71 @@ def test_bmp_roundtrip_and_variants():
         decode_bmp(bytes(rle))
     with pytest.raises(ValueError):
         decode_bmp(encode_bmp(img)[:40])
+
+
+def test_tiff_roundtrip_endianness_packbits():
+    from ligra_spark.functions.tiff import _unpackbits, decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (9, 13, 3)).astype(np.uint8)
+    assert (decode_tiff(encode_tiff(img)) == img).all()
+    g = rng.randint(0, 256, (6, 5)).astype(np.uint8)
+    dg = decode_tiff(encode_tiff(g))
+    assert (dg[:, :, 0] == g).all() and (dg[:, :, 2] == g).all()
+    # PackBits semantics: run + literals
+    pb = bytes([0xFD, 0xAA]) + bytes([7]) + bytes(range(8))
+    assert _unpackbits(pb, 12) == b"\xaa" * 4 + bytes(range(8))
+    # big-endian PackBits file built by hand
+    w, h = 4, 3
+
+    def be(tag, typ, count, val4):
+        return struct.pack(">HHI", tag, typ, count) + val4
+
+    ifd_off = 8 + len(pb)
+    entries = [
+        be(256, 3, 1, struct.pack(">HH", w, 0)),
+        be(257, 3, 1, struct.pack(">HH", h, 0)),
+        be(258, 3, 1, struct.pack(">HH", 8, 0)),
+        be(259, 3, 1, struct.pack(">HH", 32773, 0)),
+        be(262, 3, 1, struct.pack(">HH", 1, 0)),
+        be(273, 4, 1, struct.pack(">I", 8)),
+        be(277, 3, 1, struct.pack(">HH", 1, 0)),
+        be(278, 3, 1, struct.pack(">HH", h, 0)),
+        be(279, 4, 1, struct.pack(">I", len(pb))),
+    ]
+    buf = (
+        b"MM" + struct.pack(">HI", 42, ifd_off) + pb
+        + struct.pack(">H", len(entries)) + b"".join(entries)
+        + b"\x00\x00\x00\x00"
+    )
+    dec = decode_tiff(buf)
+    assert (dec[0, :, 0] == 0xAA).all()
+    assert list(dec[1, :, 0]) == [0, 1, 2, 3]
+    # scoped boundaries + junk
+    lzw = bytearray(encode_tiff(img))
+    # flip the compression SHORT inside the IFD: find tag 259 entry
+    ifd = struct.unpack("<I", lzw[4:8])[0]
+    ne = struct.unpack("<H", lzw[ifd : ifd + 2])[0]
+    for i in range(ne):
+        off = ifd + 2 + 12 * i
+        if struct.unpack("<H", lzw[off : off + 2])[0] == 259:
+            struct.pack_into("<H", lzw, off + 8, 5)  # LZW
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bytes(lzw))
+    with pytest.raises(ValueError):
+        decode_tiff(b"XXnot a tiff")
+
+
+def test_tiff_through_image_features_and_sniffing(spark):
+    from ligra_spark.functions.multimodal import image_features, with_media_format
+    from ligra_spark.functions.tiff import encode_tiff
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (8, 8)).astype(np.uint8)
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [0], "payload": [encode_tiff(img)]})
+    )
+    assert with_media_format(media).collect()[0]["format"] == "tiff"
+    r = image_features(media, fake=False).collect()[0]
+    assert (r["height"], r["width"], r["channels"]) == (8, 8, 3)
+    assert r["mean_r"] == pytest.approx(img.mean(), abs=0)

@@ -123,3 +123,39 @@ def test_df_reader_matches_text_reader(spark, tmp_path, tiny_edges):
     }
     comp_set = {(r["src"], r["dst"]) for r in comp_df.collect()}
     assert text_set == comp_set
+
+
+def test_property_random_graphs_roundtrip(tmp_path):
+    """Property: ANY edge list round-trips to its canonical set
+    (sorted unique, self-loops dropped) through the byte-code format —
+    randomized over graph shapes that stress the coding (dense ids,
+    huge gaps, heavy duplicates, backward-only edges)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=1 << 20),
+                st.integers(min_value=0, max_value=1 << 20),
+            ),
+            min_size=0,
+            max_size=200,
+        )
+    )
+    def check(pairs):
+        import os
+
+        n = 1 << 20
+        src = np.array([p[0] for p in pairs], dtype=np.int64)
+        dst = np.array([p[1] for p in pairs], dtype=np.int64)
+        path = str(tmp_path / f"prop_{os.getpid()}.bytes")
+        wn, wm = write_compressed_graph(path, n, src, dst)
+        rn, rm, rsrc, rdst = read_compressed_graph(path)
+        want = {(int(s), int(d)) for s, d in pairs if s != d}
+        got = set(zip(rsrc.tolist(), rdst.tolist()))
+        assert got == want
+        assert rn == wn == n and rm == wm == len(want)
+
+    check()

@@ -80,6 +80,14 @@ def _canonical_csr(n: int, src: np.ndarray, dst: np.ndarray):
     offsets, targets) int64."""
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
+    if len(src) and (
+        src.min() < 0 or dst.min() < 0 or src.max() >= n or dst.max() >= n
+    ):
+        # Mirror the reference's malformed-input abort (IO.h:184-202):
+        # fail the contract loudly instead of corrupting the CSR arrays.
+        raise ValueError(
+            f"edge endpoint out of range: vertex ids must be in [0, {n})"
+        )
     keep = src != dst
     src, dst = src[keep], dst[keep]
     order = np.lexsort((dst, src))

@@ -80,6 +80,23 @@ def test_self_loops_and_duplicates_removed(tmp_path):
     assert set(zip(rsrc.tolist(), rdst.tolist())) == {(2, 1), (2, 7)}
 
 
+def test_out_of_range_vertex_id_rejected(tmp_path):
+    # IO.h:184-202 aborts on malformed input; we raise a clear
+    # contract error rather than corrupting the CSR arrays
+    import pytest
+
+    p = str(tmp_path / "g.bytes")
+    for src, dst in [
+        ([0], [4]),  # dst == n
+        ([4], [0]),  # src == n
+        ([-1], [0]),  # negative id
+    ]:
+        with pytest.raises(ValueError, match="out of range"):
+            write_compressed_graph(
+                p, 4, np.array(src, dtype=np.int64), np.array(dst, dtype=np.int64)
+            )
+
+
 def test_asymmetric_in_block_is_transpose(tmp_path):
     rng = np.random.RandomState(0)
     n = 64
@@ -137,8 +154,8 @@ def test_property_random_graphs_roundtrip(tmp_path):
     @given(
         st.lists(
             st.tuples(
-                st.integers(min_value=0, max_value=1 << 20),
-                st.integers(min_value=0, max_value=1 << 20),
+                st.integers(min_value=0, max_value=(1 << 20) - 1),
+                st.integers(min_value=0, max_value=(1 << 20) - 1),
             ),
             min_size=0,
             max_size=200,

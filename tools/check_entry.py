@@ -71,7 +71,10 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    qs, oracles = entry.queries(), entry.oracle_sql()
+    # pass the sf so the fixed-unroll oracles use the depths measured
+    # at THIS scale (see oracle_sql's docstring); the no-arg form is
+    # the driver's sf0.01 contract and stays untouched
+    qs, oracles = entry.queries(), entry.oracle_sql(sf_dir)
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:

@@ -118,10 +118,17 @@ def components(
             )
             frontier = st.df.filter("changed").select("id", "label")
         else:
-            # frontier-delta tail: materialize only improved rows
+            # frontier-delta tail: materialize only improved rows.
+            # No join hint here, deliberately: a shuffle_hash hint
+            # would shuffle the full n-row state view every tail
+            # superstep, while the msgs side is tiny (≤ frontier
+            # fan-out).  With AQE on, the runtime sees the actual
+            # msgs size and broadcasts it — the state stays an
+            # in-place cached scan, which is what makes the tail
+            # superstep O(frontier), not O(n), per exchange.
             changes = (
                 st.df.select("id", "label")
-                .join(msgs.hint("shuffle_hash"), "id")
+                .join(msgs, "id")
                 .filter(F.col("agg") < F.col("label"))
                 .select(
                     "id",

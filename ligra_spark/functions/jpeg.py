@@ -1,19 +1,24 @@
 """Pure-numpy baseline JPEG (JFIF) codec — the native decode path for
 the one compressed format a real crawl is dominated by.
 
-Decoder (``decode_jpeg``): baseline sequential DCT (SOF0) per
-ITU-T T.81 — marker walk (APPn/COM skipped), DQT (8/16-bit tables),
-DHT (canonical-code Huffman tables, built FROM THE STREAM — nothing
-about the file's tables is assumed), SOF0, DRI, SOS, restart markers
-with DC-predictor reset, byte-stuffing (0xFF00) removal, per-MCU
-entropy decode (DC diff categories + AC run/size with ZRL/EOB),
-dequantize, de-zigzag, float IDCT (precomputed orthonormal 8x8 basis,
-one einsum per component), level shift, chroma upsample (nearest /
-pixel replication — the spec leaves the interpolation filter free),
-YCbCr→RGB (JFIF full-range constants), clamp.  Output is always
-(H, W, 3) uint8; grayscale replicates the luma plane.  Progressive
-(SOF2), arithmetic coding, and 12-bit precision raise
-``NotImplementedError`` — scoped boundaries, not stubs.
+Decoder (``decode_jpeg``): baseline sequential DCT (SOF0) AND
+progressive DCT (SOF2) per ITU-T T.81 — marker walk (APPn/COM
+skipped), DQT (8/16-bit tables), DHT (canonical-code Huffman tables,
+built FROM THE STREAM — nothing about the file's tables is assumed),
+SOF0/SOF2, DRI, SOS, restart markers with DC-predictor reset,
+byte-stuffing (0xFF00) removal, per-MCU entropy decode (DC diff
+categories + AC run/size with ZRL/EOB), dequantize, de-zigzag, float
+IDCT (precomputed orthonormal 8x8 basis, one einsum per component),
+level shift, chroma upsample (nearest / pixel replication — the spec
+leaves the interpolation filter free), YCbCr→RGB (JFIF full-range
+constants), clamp.  Progressive streams (T.81 Annex G) accumulate
+quantized coefficients across scans — spectral selection (Ss..Se
+bands, single-component AC scans with EOBn run coding) and successive
+approximation (Ah/Al bit-plane first/refinement passes, G.1.2.2-3) —
+and reconstruct once at EOI.  Output is always (H, W, 3) uint8;
+grayscale replicates the luma plane.  Arithmetic coding, hierarchical
+(SOF5-7/13-15) and 12-bit precision raise ``NotImplementedError`` —
+scoped boundaries, not stubs.
 
 Encoder (``encode_jpeg_baseline``): the fixture/test twin — FDCT +
 quantization + Annex-K Huffman tables (shipped in the file's own
@@ -34,7 +39,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["decode_jpeg", "encode_jpeg_baseline"]
+__all__ = ["decode_jpeg", "encode_jpeg_baseline", "encode_jpeg_progressive"]
 
 # zig-zag order: ZIGZAG[i] = raster index of the i-th coefficient in
 # the entropy-coded stream (T.81 Figure 5)
@@ -171,15 +176,26 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
-    frame = None  # (h, w, comps) from SOF0
+    frame = None  # (h, w, comps) from SOF0/SOF2
+    progressive = False
+    coefs: list[np.ndarray] | None = None  # per-comp (N, 64) zigzag int32
     restart_interval = 0
     rgb: np.ndarray | None = None
-    while pos + 4 <= len(buf):
+    while pos + 2 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("bad JPEG marker sync")
+        # legal 0xFF fill bytes may pad before any marker (T.81 B.1.1.2)
+        while pos + 1 < len(buf) and buf[pos + 1] == 0xFF:
+            pos += 1
         marker = buf[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RSTn: standalone markers with no length field
+            pos += 2
+            continue
+        if pos + 4 > len(buf):
+            raise ValueError("truncated JPEG marker segment")
         seglen = int.from_bytes(buf[pos + 2 : pos + 4], "big")
         body = buf[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen
@@ -210,10 +226,11 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 vals = list(body[i : i + n])
                 i += n
                 (huff_dc if tc == 0 else huff_ac)[th] = _build_huffman(bits, vals)
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG is not supported")
+            progressive = marker == 0xC2
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             nc = body[5]
@@ -224,9 +241,10 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline-sequential JPEG (SOF0/SOF1) is supported"
+                "only baseline (SOF0/SOF1) and progressive (SOF2) JPEG "
+                "DCT modes are supported"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
@@ -235,13 +253,29 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 raise ValueError("JPEG SOS before SOF")
             ns = body[0]
             scan_tabs = {}
+            scan_order = []
             for s in range(ns):
                 cs, tdta = body[1 + 2 * s], body[2 + 2 * s]
                 scan_tabs[cs] = (tdta >> 4, tdta & 0x0F)
-            rgb, pos = _decode_scan(
-                buf, pos, frame, scan_tabs, qt, huff_dc, huff_ac, restart_interval
-            )
+                scan_order.append(cs)
+            if progressive:
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                if coefs is None:
+                    coefs = _alloc_coef_planes(frame)
+                pos = _decode_progressive_scan(
+                    buf, pos, frame, scan_order, scan_tabs, ss, se,
+                    ahal >> 4, ahal & 0x0F, coefs, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            else:
+                rgb, pos = _decode_scan(
+                    buf, pos, frame, scan_tabs, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
         # APPn / COM / others: skipped
+    if progressive and coefs is not None:
+        rgb = _finish_progressive(frame, coefs, qt)
     if rgb is None:
         raise ValueError("JPEG had no decoded scan")
     return rgb
@@ -307,7 +341,22 @@ def _decode_scan(buf, pos, frame, scan_tabs, qt, huff_dc, huff_ac, restart_inter
                         bidx = (my * c["v"] + by) * bw + (mx * c["h"] + bx)
                         planes[ci][bidx] = block.reshape(8, 8)
             mcu_count += 1
-    # one vectorized IDCT per component: (N,8,8) einsum with the basis
+    rgb = _reconstruct(frame, planes, mcux, mcuy, hmax, vmax)
+    # skip to the marker the reader parked on (EOI normally)
+    end = reader.pos
+    if reader.marker is None:
+        while end + 1 < len(buf) and not (
+            buf[end] == 0xFF and buf[end + 1] != 0x00
+        ):
+            end += 1
+    return rgb, end
+
+
+def _reconstruct(frame, planes, mcux, mcuy, hmax, vmax) -> np.ndarray:
+    """Dequantized (N, 8, 8) coefficient blocks per component →
+    (H, W, 3) uint8: one vectorized IDCT einsum per component, block
+    grid reassembly, chroma upsample, color transform."""
+    h, w, comps = frame
     out_planes = []
     for ci, c in enumerate(comps):
         bw, bh = mcux * c["h"], mcuy * c["v"]
@@ -323,27 +372,250 @@ def _decode_scan(buf, pos, frame, scan_tabs, qt, huff_dc, huff_ac, restart_inter
         out_planes.append(plane[:h, :w])
     if len(comps) == 1:
         y = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
-        rgb = np.stack([y, y, y], axis=2)
-    elif len(comps) == 3:
+        return np.stack([y, y, y], axis=2)
+    if len(comps) == 3:
         y, cb, cr = out_planes
         cb = cb - 128.0
         cr = cr - 128.0
         r = y + 1.402 * cr
         g = y - 0.344136 * cb - 0.714136 * cr
         b = y + 1.772 * cb
-        rgb = np.clip(
+        return np.clip(
             np.round(np.stack([r, g, b], axis=2)), 0, 255
         ).astype(np.uint8)
+    raise NotImplementedError(f"{len(comps)}-component JPEG is not supported")
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) decode — T.81 Annex G
+
+
+def _frame_geometry(frame):
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcux, mcuy
+
+
+def _alloc_coef_planes(frame) -> list[np.ndarray]:
+    """Per-component (n_blocks, 64) int32 zigzag-order coefficient
+    accumulators on the MCU-padded block grid — scans add to these,
+    reconstruction happens once at EOI."""
+    _, _, comps = frame
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    return [
+        np.zeros((mcuy * c["v"] * mcux * c["h"], 64), dtype=np.int32)
+        for c in comps
+    ]
+
+
+def _comp_block_grid(frame, c):
+    """Non-interleaved scan geometry (T.81 A.2.2): a single-component
+    scan walks ONLY the blocks covering the component's own samples —
+    ceil(ceil(dim·samp/sampmax)/8) per axis — in raster order on the
+    padded plane (padded row stride, so partial planes compose with
+    interleaved DC scans)."""
+    h, w, comps = frame
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    cw = (w * c["h"] + hmax - 1) // hmax
+    ch_ = (h * c["v"] + vmax - 1) // vmax
+    cbw = (cw + 7) // 8
+    cbh = (ch_ + 7) // 8
+    return cbw, cbh, mcux * c["h"]  # used cols, used rows, padded stride
+
+
+def _decode_progressive_scan(
+    buf, pos, frame, scan_order, scan_tabs, ss, se, ah, al,
+    coefs, huff_dc, huff_ac, restart_interval,
+):
+    """One progressive scan into the coefficient accumulators.
+    Four scan kinds (G.1.2.1-3): DC first (diff<<Al), DC refinement
+    (one bit ORed at Al), AC first (band Ss..Se with EOBn run codes),
+    AC refinement (correction bits, G.1.2.3).  Returns the stream
+    position after the scan's entropy data."""
+    h, w, comps = frame
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    byid = {c["id"]: (ci, c) for ci, c in enumerate(comps)}
+    scomps = []
+    for cid in scan_order:
+        if cid not in byid:
+            raise ValueError(f"JPEG scan references unknown component {cid}")
+        scomps.append(byid[cid])
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        for ci, c in scomps:
+            td = scan_tabs[c["id"]][0]
+            if ah == 0 and td not in huff_dc:
+                raise ValueError("JPEG scan references undefined DHT table")
     else:
-        raise NotImplementedError(f"{len(comps)}-component JPEG is not supported")
-    # skip to the marker the reader parked on (EOI normally)
+        if len(scomps) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        ta = scan_tabs[scomps[0][1]["id"]][1]
+        if ah == 0 and ta not in huff_ac:
+            raise ValueError("JPEG scan references undefined DHT table")
+    reader = _BitReader(buf, pos)
+    pred = [0] * len(comps)
+    eobrun = 0
+    rst_n = 0
+    mcu_count = 0
+
+    def maybe_restart():
+        nonlocal pred, eobrun, rst_n
+        if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+            reader.byte_align_and_expect_rst(rst_n)
+            rst_n = (rst_n + 1) % 8
+            pred = [0] * len(comps)
+            eobrun = 0
+
+    if ss == 0 and len(scomps) > 1:
+        # interleaved DC scan: MCU walk, h*v blocks per component
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for ci, c in scomps:
+                    bw = mcux * c["h"]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            bidx = (my * c["v"] + by) * bw + (mx * c["h"] + bx)
+                            _dc_block(
+                                reader, coefs[ci], bidx, ah, al, pred, ci,
+                                huff_dc.get(scan_tabs[c["id"]][0]),
+                            )
+                mcu_count += 1
+    else:
+        # non-interleaved: one block per MCU over the used grid
+        ci, c = scomps[0]
+        cbw, cbh, stride = _comp_block_grid(frame, c)
+        tabs = scan_tabs[c["id"]]
+        for by in range(cbh):
+            for bx in range(cbw):
+                maybe_restart()
+                bidx = by * stride + bx
+                if ss == 0:
+                    _dc_block(
+                        reader, coefs[ci], bidx, ah, al, pred, ci,
+                        huff_dc.get(tabs[0]),
+                    )
+                elif ah == 0:
+                    eobrun = _ac_first_block(
+                        reader, coefs[ci], bidx, ss, se, al, eobrun,
+                        huff_ac.get(tabs[1]),
+                    )
+                else:
+                    eobrun = _ac_refine_block(
+                        reader, coefs[ci], bidx, ss, se, al, eobrun,
+                        huff_ac.get(tabs[1]),
+                    )
+                mcu_count += 1
+    # skip to the marker terminating this scan's entropy data
     end = reader.pos
     if reader.marker is None:
         while end + 1 < len(buf) and not (
             buf[end] == 0xFF and buf[end + 1] != 0x00
         ):
             end += 1
-    return rgb, end
+    return end
+
+
+def _dc_block(reader, coef, bidx, ah, al, pred, ci, dct):
+    if ah == 0:  # first pass: category + diff bits, shifted to Al
+        t = reader.decode_symbol(dct)
+        diff = _extend(reader.receive(t), t)
+        pred[ci] += diff
+        coef[bidx, 0] = pred[ci] << al
+    else:  # refinement: one correction bit ORed into bit Al
+        if reader.read_bit():
+            coef[bidx, 0] |= 1 << al
+
+
+def _ac_first_block(reader, coef, bidx, ss, se, al, eobrun, act):
+    """G.1.2.2: run/size with EOBn band-run codes; values land <<Al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past spectral band end")
+        coef[bidx, k] = _extend(reader.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(reader, coef, bidx, ss, se, al, eobrun, act):
+    """G.1.2.3: newly-nonzero insertions (magnitude 1<<Al) interleaved
+    with one correction bit for every already-nonzero coefficient the
+    scan passes over."""
+    p1 = 1 << al
+
+    def correct(k):
+        c = int(coef[bidx, k])
+        if reader.read_bit() and (c & p1) == 0:
+            coef[bidx, k] = c + (p1 if c >= 0 else -p1)
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_symbol(act)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:  # EOBn: run includes this block
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                # r == 15: ZRL — pass over 16 zero-history coefficients
+            elif s == 1:
+                newval = p1 if reader.read_bit() else -p1
+            else:
+                raise ValueError("bad size in AC refinement scan")
+            while k <= se:
+                if coef[bidx, k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                coef[bidx, k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coef[bidx, k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _finish_progressive(frame, coefs, qt) -> np.ndarray:
+    """Dequantize the accumulated zigzag coefficients and reconstruct."""
+    _, _, comps = frame
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    planes = []
+    for ci, c in enumerate(comps):
+        if c["tq"] not in qt:
+            raise ValueError("JPEG frame references undefined DQT table")
+        deq = coefs[ci].astype(np.float64) * qt[c["tq"]][None, :]
+        full = np.zeros_like(deq)
+        full[:, ZIGZAG] = deq  # de-zigzag, vectorized over blocks
+        planes.append(full.reshape(-1, 8, 8))
+    return _reconstruct(frame, planes, mcux, mcuy, hmax, vmax)
 
 
 # ---------------------------------------------------------------------------
@@ -459,33 +731,10 @@ def _encode_block(wr, zz, pred, dc_tab, ac_tab):
     return int(zz[0])
 
 
-def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
-    """(bh*8, bw*8) float plane → (N, 64) int zig-zag quantized
-    coefficients.  FDCT via the same orthonormal basis (A @ f @ A.T)."""
-    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
-    blocks = (
-        plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-        - 128.0
-    )
-    coeff = np.einsum("ux,nxy,vy->nuv", _A, blocks, _A)
-    zz = coeff.reshape(-1, 64)[:, ZIGZAG]
-    return np.round(zz / q[None, :]).astype(np.int64)
-
-
-def encode_jpeg_baseline(
-    img: np.ndarray,
-    quant: np.ndarray | int = 16,
-    grayscale: bool | None = None,
-    sampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """Minimal baseline encoder: grayscale (H, W) / (H, W, 1), or
-    YCbCr color (H, W, 3) at 4:4:4 or 4:2:0 (``sampling``); H and W
-    must be multiples of 8 (16 for 4:2:0) — fixture scope, no
-    edge-block padding policy to get subtly wrong.  ``quant``: a
-    scalar (flat table) or a 64-entry zig-zag table, applied to every
-    component.  ``restart_interval`` > 0 emits DRI + RSTn every that
-    many MCUs (exercises the decoder's restart path)."""
+def _prepare_encode_planes(img, quant, grayscale, sampling):
+    """Shared front half of both encoders: RGB→YCbCr, chroma
+    downsample, quant-table normalization.  Returns
+    (planes, samps, q, h, w)."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, nc = img.shape
@@ -524,6 +773,41 @@ def encode_jpeg_baseline(
         if np.isscalar(quant)
         else np.asarray(quant, dtype=np.int64).reshape(64)
     )
+    return planes, samps, q, h, w
+
+
+def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(bh*8, bw*8) float plane → (N, 64) int zig-zag quantized
+    coefficients.  FDCT via the same orthonormal basis (A @ f @ A.T)."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = (
+        plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        - 128.0
+    )
+    coeff = np.einsum("ux,nxy,vy->nuv", _A, blocks, _A)
+    zz = coeff.reshape(-1, 64)[:, ZIGZAG]
+    return np.round(zz / q[None, :]).astype(np.int64)
+
+
+def encode_jpeg_baseline(
+    img: np.ndarray,
+    quant: np.ndarray | int = 16,
+    grayscale: bool | None = None,
+    sampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal baseline encoder: grayscale (H, W) / (H, W, 1), or
+    YCbCr color (H, W, 3) at 4:4:4 or 4:2:0 (``sampling``); H and W
+    must be multiples of 8 (16 for 4:2:0) — fixture scope, no
+    edge-block padding policy to get subtly wrong.  ``quant``: a
+    scalar (flat table) or a 64-entry zig-zag table, applied to every
+    component.  ``restart_interval`` > 0 emits DRI + RSTn every that
+    many MCUs (exercises the decoder's restart path)."""
+    planes, samps, q, h, w = _prepare_encode_planes(
+        img, quant, grayscale, sampling
+    )
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00" + bytes(
@@ -595,4 +879,242 @@ def encode_jpeg_baseline(
     wr.flush()
     out += wr.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (fixture/test twin for the Annex-G decode path)
+
+
+# Progressive AC scans need EOBn symbols (0x10, 0x20, ... 0xE0) that
+# the Annex-K baseline tables do not contain — real encoders ship
+# optimized per-scan tables.  The fixture twin ships a near-flat
+# canonical table covering ALL 256 symbols (254 8-bit codes + two
+# 9-bit), read from DHT like any other — compression ratio is not the
+# fixture's job, table-independence of the decoder is.
+_AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, 254, 2, 0, 0, 0, 0, 0, 0, 0]
+_AC_PROG_VALS = list(range(256))
+
+
+class _ProgACState:
+    """Cross-block state for one progressive AC scan: the pending EOBn
+    run and (refinement only) the correction bits that must follow the
+    next emitted symbol (G.1.2.3's BE buffer)."""
+
+    __slots__ = ("eobrun", "pending_bits")
+
+    def __init__(self):
+        self.eobrun = 0
+        self.pending_bits: list[int] = []
+
+    def flush(self, wr, ac_tab):
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            code, ln = ac_tab[r << 4]
+            wr.write(code, ln)
+            if r:
+                wr.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.pending_bits:
+            wr.write(b, 1)
+        self.pending_bits = []
+
+
+def _ac_point(v: int, al: int) -> int:
+    """AC successive-approximation point transform: division by 2^Al
+    truncated TOWARD ZERO (G.1.2.2) — plain >> would floor negatives."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+def _encode_ac_first(wr, zz, ss, se, al, ac_tab, st: _ProgACState):
+    r = 0
+    for k in range(ss, se + 1):
+        v = _ac_point(int(zz[k]), al)
+        if v == 0:
+            r += 1
+            continue
+        st.flush(wr, ac_tab)
+        while r > 15:
+            code, ln = ac_tab[0xF0]  # ZRL
+            wr.write(code, ln)
+            r -= 16
+        s = _category(v)
+        code, ln = ac_tab[(r << 4) | s]
+        wr.write(code, ln)
+        wr.write(v if v >= 0 else v + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:  # EOBn codes cap at r=14
+            st.flush(wr, ac_tab)
+
+
+def _encode_ac_refine(wr, zz, ss, se, al, ac_tab, st: _ProgACState):
+    """G.1.2.3 encoder: |v|==1 coefficients are newly nonzero (emit a
+    run/1 symbol + sign bit); |v|>1 coefficients contribute one
+    buffered correction bit that rides behind the next symbol."""
+    absv = [abs(_ac_point(int(zz[k]), al)) for k in range(ss, se + 1)]
+    eob = 0  # band offset just past the last newly-nonzero coefficient
+    for i, a in enumerate(absv):
+        if a == 1:
+            eob = i + 1
+    r = 0
+    block_bits: list[int] = []
+    for i, a in enumerate(absv):
+        if a == 0:
+            r += 1
+            continue
+        # runs > 15 must flush as ZRL BEFORE any nonzero coefficient
+        # (history or new) inside the newly-nonzero span — the decoder
+        # consumes passed-over correction bits in stream order, so a
+        # ZRL deferred past a history coefficient would desync them.
+        # Runs wholly beyond the last newly-nonzero coef fold into the
+        # EOB run instead (the i < eob guard).
+        while r > 15 and i < eob:
+            st.flush(wr, ac_tab)
+            code, ln = ac_tab[0xF0]
+            wr.write(code, ln)
+            r -= 16
+            for b in block_bits:
+                wr.write(b, 1)
+            block_bits = []
+        if a > 1:
+            # history coefficient: correction bit = bit Al of |v|
+            block_bits.append(a & 1)
+            continue
+        # newly nonzero
+        st.flush(wr, ac_tab)
+        code, ln = ac_tab[(r << 4) | 1]
+        wr.write(code, ln)
+        wr.write(1 if zz[ss + i] >= 0 else 0, 1)
+        for b in block_bits:
+            wr.write(b, 1)
+        block_bits = []
+        r = 0
+    if r > 0 or block_bits:
+        st.eobrun += 1
+        st.pending_bits.extend(block_bits)
+        if st.eobrun == 0x7FFF or len(st.pending_bits) > 900:
+            st.flush(wr, ac_tab)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quant: np.ndarray | int = 16,
+    grayscale: bool | None = None,
+    sampling: str = "444",
+) -> bytes:
+    """Progressive (SOF2) encoder twin: the SAME quantized
+    coefficients as ``encode_jpeg_baseline`` (identical _fdct_quant),
+    re-coded with a libjpeg-style scan script that exercises every
+    Annex-G scan kind — interleaved DC first (Al=1), per-component
+    spectral-selection AC first passes (split luma band, Al>0),
+    AC successive-approximation refinements, and a DC refinement.
+    Because only the entropy coding differs, ``decode_jpeg`` of this
+    stream is BIT-IDENTICAL to decoding the baseline encoding — the
+    round-trip property the tests pin."""
+    planes, samps, q, h, w = _prepare_encode_planes(
+        img, quant, grayscale, sampling
+    )
+    nc_out = len(planes)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = w // (8 * hmax)
+    mcuy = h // (8 * vmax)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00" + bytes(
+        [0, 1, 0, 1, 0, 0]
+    )
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([0x00]) + bytes(
+        int(v) for v in q
+    )
+    sof = bytearray([8])
+    sof += h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc_out])
+    for cid in range(1, nc_out + 1):
+        ch, cv = samps[cid - 1]
+        sof += bytes([cid, (ch << 4) | cv, 0])
+    out += b"\xff\xc2" + (len(sof) + 2).to_bytes(2, "big") + sof  # SOF2
+
+    def dht(tc, th, bits, vals):
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
+
+    out += dht(0, 0, _DC_LUM_BITS, _DC_LUM_VALS)
+    out += dht(1, 0, _AC_PROG_BITS, _AC_PROG_VALS)
+    if nc_out == 3:
+        out += dht(0, 1, _DC_CHR_BITS, _DC_CHR_VALS)
+        out += dht(1, 1, _AC_PROG_BITS, _AC_PROG_VALS)
+
+    coeffs = [_fdct_quant(p, q) for p in planes]
+    bws = [p.shape[1] // 8 for p in planes]
+    dc_tabs = [_encode_table(_DC_LUM_BITS, _DC_LUM_VALS)] + [
+        _encode_table(_DC_CHR_BITS, _DC_CHR_VALS)
+    ] * (nc_out - 1)
+    ac_tabs = [_encode_table(_AC_PROG_BITS, _AC_PROG_VALS)] * nc_out
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        body = bytearray([len(comp_ids)])
+        for cid in comp_ids:
+            th = 0 if cid == 1 else 1
+            body += bytes([cid, (th << 4) | th])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + (len(body) + 2).to_bytes(2, "big") + bytes(body)
+
+    def dc_scan(ah, al):
+        nonlocal out
+        out += sos_header(list(range(1, nc_out + 1)), 0, 0, ah, al)
+        wr = _BitWriter()
+        preds = [0] * nc_out
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(nc_out):
+                    ch, cv = samps[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            bidx = (my * cv + by) * bws[ci] + (mx * ch + bx)
+                            dc = int(coeffs[ci][bidx][0])
+                            if ah == 0:
+                                va = dc >> al  # arithmetic shift (G.1.2.1)
+                                diff = va - preds[ci]
+                                preds[ci] = va
+                                t = _category(diff)
+                                code, ln = dc_tabs[ci][t]
+                                wr.write(code, ln)
+                                if t:
+                                    wr.write(
+                                        diff if diff >= 0 else diff + (1 << t) - 1,
+                                        t,
+                                    )
+                            else:
+                                wr.write((dc >> al) & 1, 1)
+        wr.flush()
+        out += wr.out
+
+    def ac_scan(ci, ss, se, ah, al):
+        nonlocal out
+        out += sos_header([ci + 1], ss, se, ah, al)
+        wr = _BitWriter()
+        st = _ProgACState()
+        for blk in coeffs[ci]:  # raster order == used grid (MCU-aligned)
+            if ah == 0:
+                _encode_ac_first(wr, blk, ss, se, al, ac_tabs[ci], st)
+            else:
+                _encode_ac_refine(wr, blk, ss, se, al, ac_tabs[ci], st)
+        st.flush(wr, ac_tabs[ci])
+        wr.flush()
+        out += wr.out
+
+    # scan script (libjpeg-default shaped): every Annex-G scan kind
+    dc_scan(0, 1)
+    ac_scan(0, 1, 5, 0, 2)
+    for ci in range(1, nc_out):
+        ac_scan(ci, 1, 63, 0, 1)
+    ac_scan(0, 6, 63, 0, 2)
+    ac_scan(0, 1, 63, 2, 1)  # luma AC refinement Al 2->1
+    dc_scan(1, 0)  # DC refinement
+    for ci in range(1, nc_out):
+        ac_scan(ci, 1, 63, 1, 0)
+    ac_scan(0, 1, 63, 1, 0)
+    out += b"\xff\xd9"
     return bytes(out)

@@ -291,8 +291,17 @@ _MAGIC = (
     ("png", "89504e470d0a1a0a"),
     ("gif", "474946383761"),  # GIF87a
     ("gif", "474946383961"),  # GIF89a
-    ("ppm", "50360a"),  # 'P6\n' (any whitespace works; \n is the norm)
+    # 'P6' + every separator _decode_image_bytes accepts after the
+    # magic (any of " \t\n\r\x0b\x0c" or a '#' comment) — sniff must
+    # not be narrower than decode, or decodable payloads get dropped
+    # by format-routed filters
+    ("ppm", "50360a"),  # 'P6\n' (the norm)
     ("ppm", "503620"),  # 'P6 '
+    ("ppm", "503609"),  # 'P6\t'
+    ("ppm", "50360d"),  # 'P6\r'
+    ("ppm", "50360b"),  # 'P6\x0b'
+    ("ppm", "50360c"),  # 'P6\x0c'
+    ("ppm", "503623"),  # 'P6#' (comment directly after magic)
     ("bmp", "424d"),  # 'BM'
     ("tiff", "49492a00"),  # II*\0
     ("tiff", "4d4d002a"),  # MM\0*

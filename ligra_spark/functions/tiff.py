@@ -93,6 +93,14 @@ def decode_tiff(buf: bytes) -> np.ndarray:
     spp = tags.get(_SPP, [1])[0]
     bits = tags.get(_BITS, [8])
     comp = tags.get(_COMP, [1])[0]
+    photo = tags.get(_PHOTO, [1])[0]
+    if photo not in (0, 1, 2):
+        # 3 = palette-color (raw indices are NOT grayscale), others
+        # (transparency mask, CMYK, YCbCr, CIELab) all need color
+        # machinery this baseline decoder does not have
+        raise NotImplementedError(
+            f"TIFF photometric interpretation {photo} is not supported"
+        )
     rows_per_strip = tags.get(_ROWS_PER_STRIP, [h])[0]
     if any(b != 8 for b in bits):
         raise NotImplementedError("only 8-bit TIFF is supported")
@@ -126,14 +134,20 @@ def decode_tiff(buf: bytes) -> np.ndarray:
     px = np.frombuffer(bytes(out[: h * w * spp]), dtype=np.uint8).reshape(
         h, w, spp
     )
+    if photo == 0:
+        # WhiteIsZero (scanned/fax TIFFs): 0 = white, max = black
+        px = 255 - px
     if spp == 1:
         return np.repeat(px, 3, axis=2)
     return px.copy()
 
 
-def encode_tiff(img: np.ndarray) -> bytes:
+def encode_tiff(img: np.ndarray, photometric: int | None = None) -> bytes:
     """(H, W[, 3]) uint8 → single-strip uncompressed little-endian
-    TIFF."""
+    TIFF.  ``photometric`` overrides the tag (test fixture hook for
+    WhiteIsZero / palette streams); pixel bytes are written verbatim —
+    pass inverted data yourself for a semantically-white-is-zero
+    image."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, spp = img.shape
@@ -161,7 +175,9 @@ def encode_tiff(img: np.ndarray) -> bytes:
     else:
         entry(_BITS, 3, 1, struct.pack("<HH", 8, 0))
     entry(_COMP, 3, 1, struct.pack("<HH", 1, 0))
-    entry(_PHOTO, 3, 1, struct.pack("<HH", 2 if spp == 3 else 1, 0))
+    if photometric is None:
+        photometric = 2 if spp == 3 else 1
+    entry(_PHOTO, 3, 1, struct.pack("<HH", photometric, 0))
     entry(_STRIP_OFF, 4, 1, struct.pack("<I", pix_off))
     entry(_SPP, 3, 1, struct.pack("<HH", spp, 0))
     entry(_ROWS_PER_STRIP, 3, 1, struct.pack("<HH", h, 0))

@@ -321,6 +321,51 @@ def test_tiff_roundtrip_endianness_packbits():
         decode_tiff(b"XXnot a tiff")
 
 
+def test_tiff_photometric_interpretation():
+    # WhiteIsZero (photo=0) must invert; palette (photo=3) and exotic
+    # color spaces must refuse rather than decode indices as gray
+    from ligra_spark.functions.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(3)
+    g = rng.randint(0, 256, (5, 7)).astype(np.uint8)
+    # a white-is-zero file stores inverted intensities on disk
+    buf = encode_tiff(255 - g, photometric=0)
+    assert (decode_tiff(buf)[:, :, 0] == g).all()
+    for photo in (3, 4, 5, 6, 8):
+        with pytest.raises(NotImplementedError):
+            decode_tiff(encode_tiff(g, photometric=photo))
+
+
+def test_ppm_sniff_matches_decoder_separators():
+    # every separator the P6 decoder accepts after the magic must also
+    # sniff as 'ppm', or format-routed filters drop decodable payloads
+    from ligra_spark.functions.multimodal import _MAGIC, _decode_image_bytes
+
+    prefixes = [bytes.fromhex(h) for f, h in _MAGIC if f == "ppm"]
+    for sep in b" \t\n\r\x0b\x0c#":
+        head = b"P6" + bytes([sep])
+        assert any(head.startswith(p) or p.startswith(head) for p in prefixes), (
+            f"P6 + {bytes([sep])!r} not sniffable as ppm"
+        )
+        payload = b"P6" + bytes([sep]) + b"\n2 2\n255\n" + bytes(12)
+        arr = _decode_image_bytes(payload, fake=False)
+        assert arr.shape == (2, 2, 3)
+
+
+def test_jpeg_fill_bytes_and_stray_standalone_markers():
+    # T.81 B.1.1.2: 0xFF fill bytes may pad before any marker; TEM
+    # (0x01) and stray RSTn are standalone (no length field)
+    from ligra_spark.functions.jpeg import decode_jpeg, encode_jpeg_baseline
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (8, 8)).astype(np.uint8)
+    buf = encode_jpeg_baseline(img, quant=8)
+    want = decode_jpeg(buf)
+    # inject fill bytes + a TEM marker between SOI and the first segment
+    padded = buf[:2] + b"\xff" * 3 + b"\xff\x01" + buf[2:]
+    assert (decode_jpeg(padded) == want).all()
+
+
 def test_tiff_through_image_features_and_sniffing(spark):
     from ligra_spark.functions.multimodal import image_features, with_media_format
     from ligra_spark.functions.tiff import encode_tiff

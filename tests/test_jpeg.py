@@ -96,11 +96,18 @@ def test_zrl_long_zero_runs():
     assert err.max() <= 4
 
 
-def test_progressive_rejected():
+def test_unsupported_sof_and_frankenstein_sof2():
+    # arithmetic coding (SOF9) stays a scoped boundary
     buf = bytearray(encode_jpeg_baseline(_uniform_gray(b"x"), quant=8))
     i = bytes(buf).find(b"\xff\xc0")
-    buf[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    buf[i + 1] = 0xC9
     with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(buf))
+    # a baseline stream relabeled SOF2 is corrupt (its SOS carries a
+    # baseline scan header: 3-component full-band "progressive" scan)
+    # and must fail with a clean contract error, not decode garbage
+    buf[i + 1] = 0xC2
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(buf))
 
 
@@ -183,3 +190,77 @@ def test_mjpeg_avi_frame_sampling(spark):
     raw = sample_video_frames(media, every_ms=500, fake=False).collect()
     assert len(raw) == 12
     assert all(len(r["frame"]) == 16 * 16 * 3 for r in raw)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2, T.81 Annex G)
+
+
+def test_progressive_equals_baseline_gray():
+    # both encoders quantize identically (_fdct_quant); progressive is
+    # a lossless re-coding of the same coefficients, so decode MUST be
+    # bit-identical to the baseline decode
+    from ligra_spark.functions.jpeg import encode_jpeg_progressive
+
+    rng = np.random.RandomState(17)
+    for shape in [(8, 8), (16, 24), (40, 32)]:
+        img = rng.randint(0, 256, size=shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg_baseline(img, quant=4))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quant=4))
+        assert (base == prog).all()
+
+
+def test_progressive_equals_baseline_color_444_and_420():
+    from ligra_spark.functions.jpeg import encode_jpeg_progressive
+
+    rng = np.random.RandomState(23)
+    img = rng.randint(0, 256, size=(32, 48, 3)).astype(np.uint8)
+    for sampling in ("444", "420"):
+        base = decode_jpeg(encode_jpeg_baseline(img, quant=6, sampling=sampling))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quant=6, sampling=sampling))
+        assert (base == prog).all(), sampling
+
+
+def test_progressive_uniform_block_exact():
+    # the oracle-bearing property must hold through the Annex-G path too
+    from ligra_spark.functions.jpeg import encode_jpeg_progressive
+
+    for seed in (b"p", b"q", b"\x00\xff"):
+        img = _uniform_gray(seed)
+        dec = decode_jpeg(encode_jpeg_progressive(img, quant=8))
+        assert (dec[:, :, 0] == img).all()
+
+
+def test_progressive_extreme_images():
+    # flat extremes + high-frequency checkerboard stress EOB runs,
+    # ZRL-in-refinement, and the correction-bit buffering
+    from ligra_spark.functions.jpeg import encode_jpeg_progressive
+
+    checker = np.indices((24, 24)).sum(axis=0) % 2 * 255
+    for img in [
+        np.zeros((16, 16), dtype=np.uint8),
+        np.full((16, 16), 255, dtype=np.uint8),
+        checker.astype(np.uint8),
+    ]:
+        base = decode_jpeg(encode_jpeg_baseline(img, quant=2))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quant=2))
+        assert (base == prog).all()
+
+
+def test_progressive_truncated_and_corrupt():
+    from ligra_spark.functions.jpeg import encode_jpeg_progressive
+
+    rng = np.random.RandomState(31)
+    img = rng.randint(0, 256, size=(16, 16)).astype(np.uint8)
+    buf = encode_jpeg_progressive(img, quant=4)
+    with pytest.raises(ValueError):
+        decode_jpeg(buf[: len(buf) // 2] )
+    # flipping a byte mid-stream must fail cleanly or still produce a
+    # well-formed image (never crash with an internal numpy error)
+    bad = bytearray(buf)
+    bad[len(bad) // 2] ^= 0x55
+    try:
+        out = decode_jpeg(bytes(bad))
+        assert out.shape == (16, 16, 3)
+    except (ValueError, NotImplementedError):
+        pass

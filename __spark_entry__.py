@@ -1797,15 +1797,19 @@ def _q_compressed_graph(spark, sf):
     return df.select("src", "dst")
 
 
-def _jpeg_media_df(spark, sf):
+def _jpeg_media_df(spark, sf, progressive: bool = False):
     """Deterministic REAL baseline-JPEG payloads: a 16x16 grayscale
     JPEG per document whose four 8x8 blocks are UNIFORM at the first
     four sha256(text) bytes.  With the flat quant=8 table the
     quantized DC (= pixel − 128) round-trips bit-exactly through the
     pure-numpy codec (``functions/jpeg.py``), so DuckDB can recompute
     the decoded pixel plane — and every feature — from the digest
-    alone.  Encoding runs in an Arrow-batched pandas UDF (the encoder
-    is the fixture; the operator under test is the decode path)."""
+    alone.  ``progressive=True`` re-codes the SAME quantized
+    coefficients as a multi-scan SOF2 stream (T.81 Annex G) — decode
+    is bit-identical by construction, so the baseline oracle applies
+    verbatim.  Encoding runs in an Arrow-batched pandas UDF (the
+    encoder is the fixture; the operator under test is the decode
+    path)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -1815,13 +1819,17 @@ def _jpeg_media_df(spark, sf):
     def enc(s):
         import numpy as np
 
-        from ligra_spark.functions.jpeg import encode_jpeg_baseline
+        from ligra_spark.functions.jpeg import (
+            encode_jpeg_baseline,
+            encode_jpeg_progressive,
+        )
 
+        encode = encode_jpeg_progressive if progressive else encode_jpeg_baseline
         out = []
         for d in s:
             blocks = np.frombuffer(bytes(d)[:4], dtype=np.uint8).reshape(2, 2)
             img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
-            out.append(encode_jpeg_baseline(img, quant=8))
+            out.append(encode(img, quant=8))
         return pd.Series(out)
 
     enc.__annotations__ = {"s": pd.Series, "return": pd.Series}
@@ -1840,6 +1848,26 @@ def _q_doc_image_jpeg(spark, sf):
     from ligra_spark.functions.multimodal import image_features
 
     return image_features(_jpeg_media_df(spark, sf), fake=False).select(
+        "media_id", "height", "width", "channels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "phash",
+    )
+
+
+def _q_doc_image_jpeg_prog(spark, sf):
+    """``image_features`` over REAL progressive (SOF2) JPEG bytes:
+    the Annex-G scan accumulator — spectral-selection bands, EOBn
+    runs, successive-approximation refinements — runs inside the same
+    fused Arrow pass.  Shares ``doc_image_jpeg``'s digest oracle
+    verbatim because progressive re-codes identical quantized
+    coefficients; matching it IS the cross-scan-mode check."""
+    from ligra_spark.functions.multimodal import image_features
+
+    return image_features(
+        _jpeg_media_df(spark, sf, progressive=True), fake=False
+    ).select(
         "media_id", "height", "width", "channels",
         F.round("mean_r", 6).alias("mean_r"),
         F.round("mean_g", 6).alias("mean_g"),
@@ -2232,6 +2260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 additions: native baseline-JPEG decode over real
         # bytes; Ligra+ byte-code import round-trip
         "doc_image_jpeg": _q_doc_image_jpeg,
+        "doc_image_jpeg_prog": _q_doc_image_jpeg_prog,
         "compressed_graph": _q_compressed_graph,
         # ---- tail (slot 51+): doc_image_png first (round-4 addition,
         # replica-green; same lossless plane as doc_image_ppm —
@@ -5038,6 +5067,9 @@ def _oracle_sql_gate() -> dict[str, str]:
         # decodes REAL P6 bytes through the native numpy codec
         "doc_image_ppm": _IMAGE_FEATURES_SQL,
         "doc_image_jpeg": _JPEG_FEATURES_SQL,
+        # progressive re-codes the same quantized coefficients, so the
+        # decoded plane — and the digest oracle — are identical
+        "doc_image_jpeg_prog": _JPEG_FEATURES_SQL,
         # PNG is lossless: identical plane to the PPM entry
         "doc_image_png": _IMAGE_FEATURES_SQL,
         # GIF identity-palette plane: g(p) = digest[p mod 32]; bit p

@@ -251,6 +251,9 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if len(body) < 1 or len(body) < 4 + 2 * body[0]:
+                # ns + 2 bytes/component + Ss/Se/AhAl must all be present
+                raise ValueError("truncated JPEG SOS header")
             ns = body[0]
             scan_tabs = {}
             scan_order = []

@@ -178,7 +178,10 @@ def _decode_wav_pcm(buf: bytes) -> tuple[np.ndarray, int]:
         from .adpcm import decode_ima_adpcm
 
         block_align = int.from_bytes(fmt[12:14], "little")
-        return decode_ima_adpcm(data, block_align, channels), rate
+        samples = decode_ima_adpcm(data, block_align, channels)
+        if samples.ndim > 1:  # stereo: channel 0, the pipeline convention
+            samples = np.ascontiguousarray(samples[:, 0])
+        return samples, rate
     if audio_format != 1:
         raise NotImplementedError(
             f"WAV format {audio_format} (non-PCM) is not supported "

@@ -159,7 +159,9 @@ def _fuzz_cases(good: bytes, rng) -> list[bytes]:
     return cases
 
 
-@pytest.mark.parametrize("codec", ["jpeg", "png", "gif", "tiff", "wav", "avi"])
+@pytest.mark.parametrize(
+    "codec", ["jpeg", "jpeg_prog", "png", "gif", "tiff", "wav", "avi"]
+)
 def test_fuzz_decoders_fail_cleanly(codec):
     """Every decoder either returns a valid array or raises
     ValueError/NotImplementedError on corrupted input — no hangs, no
@@ -170,6 +172,15 @@ def test_fuzz_decoders_fail_cleanly(codec):
         from ligra_spark.functions.jpeg import decode_jpeg as dec
 
         good = encode_jpeg_baseline(
+            rng.randint(0, 256, (16, 16)).astype(np.uint8), quant=4
+        )
+    elif codec == "jpeg_prog":
+        from ligra_spark.functions.jpeg import (
+            decode_jpeg as dec,
+            encode_jpeg_progressive,
+        )
+
+        good = encode_jpeg_progressive(
             rng.randint(0, 256, (16, 16)).astype(np.uint8), quant=4
         )
     elif codec == "png":
@@ -204,7 +215,7 @@ def test_fuzz_decoders_fail_cleanly(codec):
             continue
         # a successful decode of a mutated payload is fine as long as
         # the result is sane and bounded
-        if codec in ("jpeg", "png", "gif", "tiff"):
+        if codec in ("jpeg", "jpeg_prog", "png", "gif", "tiff"):
             assert out.ndim == 3 and out.shape[2] == 3
             assert out.shape[0] <= 1 << 16 and out.shape[1] <= 1 << 16
 
@@ -259,13 +270,77 @@ def test_bmp_roundtrip_and_variants():
     buf = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off) + info + pal + body
     dec = decode_bmp(buf)
     assert (dec[:, :, 0] == idx).all()
-    # RLE rejected, truncation rejected
+    # RLE8 flag on a 24-bit image is malformed (RLE8 requires 8 bpp)
     rle = bytearray(encode_bmp(img))
     struct.pack_into("<I", rle, 30, 1)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_bmp(bytes(rle))
     with pytest.raises(ValueError):
         decode_bmp(encode_bmp(img)[:40])
+
+
+def test_bmp_rle8_roundtrip_all_code_classes():
+    # run-heavy + literal-heavy planes push the encoder twin through
+    # encoded runs, absolute mode and the single-pixel fallback
+    from ligra_spark.functions.bmp import decode_bmp, encode_bmp_rle8
+
+    rng = np.random.RandomState(13)
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    runs = np.repeat(rng.randint(0, 256, 40), rng.randint(1, 12, 40))
+    idx = np.resize(runs, (19, 27)).astype(np.uint8)
+    assert (decode_bmp(encode_bmp_rle8(idx, pal)) == pal[idx]).all()
+    noise = rng.randint(0, 256, (8, 31)).astype(np.uint8)  # literal-heavy
+    assert (decode_bmp(encode_bmp_rle8(noise, pal)) == pal[noise]).all()
+
+
+def test_bmp_rle_escapes_and_corruption():
+    from ligra_spark.functions.bmp import decode_bmp, encode_bmp_rle8
+
+    pal16 = np.arange(48, dtype=np.uint8).reshape(16, 3)
+
+    def rle4(stream, w, h):
+        bgra = np.zeros((16, 4), dtype=np.uint8)
+        bgra[:, :3] = pal16[:, ::-1]
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 4, 2, len(stream), 0, 0, 16, 0
+        )
+        off = 14 + 40 + 64
+        return (
+            b"BM" + struct.pack("<IHHI", off + len(stream), 0, 0, off)
+            + info + bgra.tobytes() + stream
+        )
+
+    # RLE4: encoded run (nibble alternation), absolute run (5 nibbles,
+    # word pad), delta skip (skipped pixels stay index 0), EOL, EOB
+    stream = (
+        bytes([4, 0x12]) + b"\x00\x02" + bytes([2, 0]) + b"\x00\x00"
+        + bytes([0, 5, 0x12, 0x34, 0x50, 0x00]) + b"\x00\x00"
+        + bytes([8, 0xAB]) + b"\x00\x01"
+    )
+    out = decode_bmp(rle4(stream, 8, 3))
+    assert out.shape == (3, 8, 3)
+    # bottom image row = first stream row: 1,2,1,2 then delta-skip → 0s
+    assert list(out[2, :, 0]) == [3, 6, 3, 6, 0, 0, 0, 0]
+    assert list(out[1, :5, 0]) == [3, 6, 9, 12, 15]  # absolute 1..5
+    assert list(out[0, ::2, 0]) == [30, 30, 30, 30]  # run of 0xA/0xB
+    # corruption: delta past the bitmap, truncated absolute run
+    with pytest.raises(ValueError):
+        decode_bmp(rle4(bytes([0, 2, 200, 200]), 8, 3))
+    with pytest.raises(ValueError):
+        decode_bmp(rle4(bytes([0, 9, 0x11]), 8, 3))
+    # fuzz: random mutations fail cleanly or decode bounded
+    rng = np.random.RandomState(3)
+    good = encode_bmp_rle8(rng.randint(0, 4, (6, 9)).astype(np.uint8),
+                           np.zeros((4, 3), np.uint8))
+    for _ in range(60):
+        bad = bytearray(good)
+        for _ in range(rng.randint(1, 6)):
+            bad[rng.randint(0, len(bad))] = rng.randint(0, 256)
+        try:
+            out = decode_bmp(bytes(bad))
+            assert out.ndim == 3 and out.shape[0] <= 1 << 16
+        except (ValueError, NotImplementedError):
+            pass
 
 
 def test_tiff_roundtrip_endianness_packbits():

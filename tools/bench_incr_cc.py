@@ -119,8 +119,83 @@ def main():
                            "stars": n_full},
         "speedup_incr_vs_full": round(t_full / t_incr, 2),
         "label_mismatches": mismatches,
+        "sharded": sharded_scenario(spark, n, deg, batch_m, p),
     }
     print(json.dumps(out))
+
+
+def sharded_scenario(spark, n, deg, batch_m, p):
+    """Measure the claimed decoupling of fold COMPUTE cost from |V|:
+    on a base graph of DISJOINT per-host shards (giant n/2, medium
+    n/8, small n/64 — the shape of a host-sharded crawl), fold one
+    batch confined to each shard.  The affected-component filter
+    passes only that shard's stars, so compute cost must track the
+    touched-component size, not the table size.  Reports per-point
+    touched stars + compute-only seconds (the version write is COW of
+    the whole table in this sandbox stand-in and is priced separately
+    by the main scenario)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ligra_spark.rmat import rmat_edges
+    from ligra_spark.streaming import star_labels, update_star_pairs
+    from ligra_spark.apps.cc_star import two_phase_star_pairs
+
+    # disjoint shards: one giant, one medium, the rest small
+    sizes = [n // 2, n // 8] + [n // 64] * ((n - n // 2 - n // 8) // (n // 64))
+    srcs, dsts, off = [], [], 0
+    for i, sz in enumerate(sizes):
+        s, d = rmat_edges(sz, deg * sz, seed=200 + i)
+        srcs.append(s + off)
+        dsts.append(d + off)
+        off += sz
+    base = spark.createDataFrame(
+        pd.DataFrame({"src": np.concatenate(srcs), "dst": np.concatenate(dsts)})
+    ).persist()
+    base.count()
+    stars0, _ = two_phase_star_pairs(
+        base.select(F.col("src").alias("u"), F.col("dst").alias("v")), p
+    )
+    stars0 = stars0.localCheckpoint(eager=True)
+    total_stars = stars0.count()
+
+    rng = np.random.RandomState(9)
+    points = []
+    offsets = {"giant": 0, "medium": n // 2, "small": n // 2 + n // 8}
+    shard_n = {"giant": n // 2, "medium": n // 8, "small": n // 64}
+    for namept in ("giant", "medium", "small"):
+        lo, sz = offsets[namept], shard_n[namept]
+        bs = rng.randint(lo, lo + sz, batch_m)
+        bd = rng.randint(lo, lo + sz, batch_m)
+        batch = spark.createDataFrame(
+            pd.DataFrame({"src": bs, "dst": bd})
+        ).persist()
+        batch.count()
+        import time as _t
+
+        t0 = _t.perf_counter()
+        stars_new, rounds = update_star_pairs(stars0, batch, p)
+        stars_new.count()
+        dt = _t.perf_counter() - t0
+        # touched stars = rows NOT passed through untouched: the
+        # affected slice is exactly the shard's component members
+        touched = (
+            star_labels(stars_new)
+            .filter((F.col("id") >= lo) & (F.col("id") < lo + sz))
+            .count()
+        )
+        points.append(
+            {
+                "shard": namept,
+                "shard_vertices": sz,
+                "touched_members": touched,
+                "compute_sec": round(dt, 2),
+                "rounds": rounds,
+            }
+        )
+        batch.unpersist()
+    return {"total_stars": total_stars, "points": points}
 
 
 if __name__ == "__main__":

@@ -1,6 +1,6 @@
-"""BMP (Windows DIB) codec — uncompressed 24/32-bit BGR, 8-bit
-palette, and RLE8/RLE4-compressed palette images, the simplest
-formats real crawls still carry.  Public layout: 14-byte file header
+"""BMP (Windows DIB) codec — uncompressed 1/4/8-bit palette (packed
+MSB-first), 16-bit X1R5G5B5, 24/32-bit BGR, and RLE8/RLE4-compressed
+palette images, the simplest formats real crawls still carry.  Public layout: 14-byte file header
 ('BM', size, reserved, pixel offset), BITMAPINFOHEADER (width,
 height — positive = bottom-up, biBitCount, biCompression 0 = BI_RGB,
 1 = BI_RLE8, 2 = BI_RLE4), optional BGRA palette, 4-byte-aligned
@@ -106,7 +106,7 @@ def decode_bmp(buf: bytes) -> np.ndarray:
         raise ValueError("BI_RLE8 requires 8-bit pixels")
     if compression == 2 and bpp != 4:
         raise ValueError("BI_RLE4 requires 4-bit pixels")
-    if compression == 0 and bpp not in (8, 24, 32):
+    if compression == 0 and bpp not in (1, 4, 8, 16, 24, 32):
         raise NotImplementedError(f"{bpp}-bit BMP is not supported")
     if w <= 0 or abs(h) == 0 or w > (1 << 16) or abs(h) > (1 << 16):
         raise ValueError("bad BMP dimensions")
@@ -139,11 +139,32 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     rows = raw.reshape(h, row_bytes)
     if bottom_up:
         rows = rows[::-1]
-    if bpp == 8:
-        pal = palette(256)
-        idx = rows[:, :w]
+    if bpp in (1, 4, 8):
+        # palette indices packed MSB-first within each byte
+        if bpp == 8:
+            idx = rows[:, :w]
+        elif bpp == 4:
+            nyb = np.empty((h, rows.shape[1] * 2), dtype=np.uint8)
+            nyb[:, 0::2] = rows >> 4
+            nyb[:, 1::2] = rows & 0x0F
+            idx = nyb[:, :w]
+        else:
+            bits = np.unpackbits(rows, axis=1)
+            idx = bits[:, :w]
+        pal = palette(1 << bpp)
         bgr = pal[np.minimum(idx, len(pal) - 1)][:, :, :3]
         return bgr[:, :, ::-1].copy()  # BGRA palette -> RGB
+    if bpp == 16:
+        # BI_RGB 16-bit = X1R5G5B5 (5 bits/channel, scaled to 0..255)
+        raw16 = rows[:, : w * 2].reshape(h, w, 2)
+        v = raw16[:, :, 0].astype(np.uint16) | (
+            raw16[:, :, 1].astype(np.uint16) << 8
+        )
+        r5 = (v >> 10) & 0x1F
+        g5 = (v >> 5) & 0x1F
+        b5 = v & 0x1F
+        scale = lambda c: ((c * 255 + 15) // 31).astype(np.uint8)  # noqa: E731
+        return np.stack([scale(r5), scale(g5), scale(b5)], axis=2)
     step = bpp // 8
     px = rows[:, : w * step].reshape(h, w, step)
     return px[:, :, 2::-1].copy()  # BGR(A) -> RGB

@@ -279,6 +279,47 @@ def test_bmp_roundtrip_and_variants():
         decode_bmp(encode_bmp(img)[:40])
 
 
+def test_bmp_low_bpp_and_16bit():
+    # hand-built 1/4-bit palette planes (MSB-first packing) and a
+    # 16-bit X1R5G5B5 image
+    from ligra_spark.functions.bmp import decode_bmp
+
+    def build(bpp, w, h, body, pal_rgb, compression=0):
+        bgra = np.zeros((len(pal_rgb), 4), dtype=np.uint8)
+        bgra[:, :3] = np.asarray(pal_rgb, np.uint8)[:, ::-1]
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, bpp, compression, len(body),
+            0, 0, len(pal_rgb), 0,
+        )
+        off = 14 + 40 + 4 * len(pal_rgb)
+        return (
+            b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+            + info + bgra.tobytes() + body
+        )
+
+    # 1-bit, 10x2 (rows pad to 4 bytes): bottom row 1010101010,
+    # top row 0000011111
+    body = bytes([0b10101010, 0b10000000, 0, 0]) + bytes(
+        [0b00000111, 0b11000000, 0, 0]
+    )
+    pal = [[0, 0, 0], [255, 255, 255]]
+    out = decode_bmp(build(1, 10, 2, body, pal))
+    assert list(out[1, :, 0] // 255) == [1, 0, 1, 0, 1, 0, 1, 0, 1, 0]
+    assert list(out[0, :, 0] // 255) == [0, 0, 0, 0, 0, 1, 1, 1, 1, 1]
+    # 4-bit, 5x1: indices 1,2,3,4,5
+    body4 = bytes([0x12, 0x34, 0x50, 0x00])
+    pal16 = [[i * 3, i * 3 + 1, i * 3 + 2] for i in range(16)]
+    out4 = decode_bmp(build(4, 5, 1, body4, pal16))
+    assert list(out4[0, :, 0]) == [3, 6, 9, 12, 15]
+    # 16-bit X1R5G5B5, 2x1: pure red (0x7C00) and pure blue (0x001F)
+    body16 = struct.pack("<HH", 0x7C00, 0x001F)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 16, 0, 4, 0, 0, 0, 0)
+    buf16 = b"BM" + struct.pack("<IHHI", 58, 0, 0, 54) + info + body16
+    out16 = decode_bmp(buf16)
+    assert list(out16[0, 0]) == [255, 0, 0]
+    assert list(out16[0, 1]) == [0, 0, 255]
+
+
 def test_bmp_rle8_roundtrip_all_code_classes():
     # run-heavy + literal-heavy planes push the encoder twin through
     # encoded runs, absolute mode and the single-pixel fallback

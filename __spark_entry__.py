@@ -1923,6 +1923,53 @@ def _q_doc_image_png(spark, sf):
     )
 
 
+def _webp_media_df(spark, sf):
+    """Deterministic REAL lossless-WebP payloads: the SAME 8x8 RGB
+    plane as the PPM/PNG entries (sha256(text) repeated), encoded to
+    literal-only VP8L in an Arrow-batched pandas UDF.  VP8L is
+    lossless, so decode is bit-exact by construction and the shared
+    digest oracle SQL applies verbatim."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    docs = _t(spark, sf, "documents")
+    digest = F.unhex(F.sha2(F.encode("text", "UTF-8"), 256))
+
+    def enc(s):
+        import numpy as np
+
+        from ligra_spark.functions.webp import encode_webp_lossless
+
+        out = []
+        for d in s:
+            arr = np.frombuffer((bytes(d) * 6)[: 8 * 8 * 3], dtype=np.uint8)
+            out.append(encode_webp_lossless(arr.reshape(8, 8, 3)))
+        return pd.Series(out)
+
+    enc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    enc_udf = pandas_udf(enc, "binary")
+    return docs.select(
+        F.col("doc_id").alias("media_id"), enc_udf(digest).alias("payload")
+    )
+
+
+def _q_doc_image_webp(spark, sf):
+    """``image_features`` over REAL lossless-WebP (VP8L) bytes
+    (fake=False): the native VP8L decoder — LSB-first bitstream,
+    canonical prefix codes from code-length codes, transforms — runs
+    inside the fused Arrow pass; lossless, so the shared PPM/PNG
+    digest oracle recomputes the identical pixel plane."""
+    from ligra_spark.functions.multimodal import image_features
+
+    return image_features(_webp_media_df(spark, sf), fake=False).select(
+        "media_id", "height", "width", "channels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "phash",
+    )
+
+
 def _avi_media_df(spark, sf):
     """Deterministic REAL MJPEG-AVI payloads: a 2-frame 1-fps AVI per
     document; frame k is a 16x16 grayscale baseline JPEG whose four
@@ -2270,6 +2317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 demotions (reciprocity...doc_image_features) each
         # have an r03-green row in CORRECTNESS_r03.json.
         "doc_image_png": _q_doc_image_png,
+        "doc_image_webp": _q_doc_image_webp,
         "doc_video_frames": _q_doc_video_frames,
         "doc_image_gif": _q_doc_image_gif,
         "doc_media_format": _q_doc_media_format,
@@ -5072,6 +5120,8 @@ def _oracle_sql_gate() -> dict[str, str]:
         "doc_image_jpeg_prog": _JPEG_FEATURES_SQL,
         # PNG is lossless: identical plane to the PPM entry
         "doc_image_png": _IMAGE_FEATURES_SQL,
+        # VP8L is lossless: identical decoded plane, identical oracle
+        "doc_image_webp": _IMAGE_FEATURES_SQL,
         # GIF identity-palette plane: g(p) = digest[p mod 32]; bit p
         # compares 3g*64 > 3*sum  <=>  g*64 > sum in exact ints
         "doc_image_gif": (

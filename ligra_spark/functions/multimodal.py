@@ -5,11 +5,13 @@ over ``mapInPandas``.
 The Spark side — schemas, partition-preserving batch iteration, UDF
 signatures, batch shapes — is real and tested.  The codec layer
 decodes NINE public formats NATIVELY with zero codec libraries:
-images — P6 PPM, baseline JPEG (``jpeg.py``), 8-bit PNG (``png.py``,
-stdlib zlib), GIF (``gif.py``, LZW), BMP (``bmp.py``); audio —
-RIFF/WAVE integer PCM, G.711 A-law/µ-law, IMA ADPCM (``adpcm.py``);
-video — MJPEG-in-AVI (``video.py``).  The remaining compressed
-formats (WebP/AVIF images, MP3/Opus audio, interframe video) are a
+images — P6 PPM, JPEG incl. progressive (``jpeg.py``), 8-bit PNG
+(``png.py``, stdlib zlib), GIF (``gif.py``, LZW), BMP incl. RLE
+(``bmp.py``), TIFF (``tiff.py``), lossless WebP (``webp.py``, VP8L);
+audio — RIFF/WAVE integer PCM, G.711 A-law/µ-law, IMA ADPCM
+(``adpcm.py``); video — MJPEG-in-AVI (``video.py``).  The remaining
+compressed formats (lossy WebP/AVIF images, MP3/Opus audio,
+interframe video) are a
 declared boundary: they raise NotImplementedError unless
 ``fake=True`` selects the deterministic fake decoder (a pure
 function of the bytes, used by tests to pin the plumbing).  On a
@@ -233,12 +235,16 @@ def _decode_image_bytes(payload: bytes, fake: bool) -> np.ndarray:
         from .tiff import decode_tiff
 
         return decode_tiff(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp import decode_webp
+
+        return decode_webp(payload)
     if not fake:
         raise NotImplementedError(
-            "WebP/AVIF image codecs are not installed in this "
-            "environment (P6 PPM, baseline JPEG, 8-bit PNG and GIF "
-            "decode natively); pass fake=True for the deterministic "
-            "fake decoder"
+            "AVIF / lossy-WebP image codecs are not installed in this "
+            "environment (P6 PPM, JPEG, PNG, GIF, BMP, TIFF and "
+            "lossless WebP decode natively); pass fake=True for the "
+            "deterministic fake decoder"
         )
     # deterministic fake: 8x8x3 image derived from sha256(payload)
     h = hashlib.sha256(payload).digest()
@@ -316,7 +322,7 @@ def with_media_format(
 ) -> DataFrame:
     """Adds a ``format`` column sniffed from magic bytes — ENTIRELY
     JVM-side (hex-prefix compares, no Python, no decode): 'jpeg',
-    'png', 'gif', 'ppm', 'bmp', 'tiff', 'wav', 'avi', or 'unknown'.  The routing /
+    'png', 'gif', 'ppm', 'bmp', 'tiff', 'webp', 'wav', 'avi', or 'unknown'.  The routing /
     observability primitive of a media pipeline: group by it for
     corpus stats, filter on it before the (costlier) decode pass, or
     partition a write by it — all without touching a codec."""
@@ -330,6 +336,9 @@ def with_media_format(
     ).when(
         hx.startswith("52494646") & (F.substring(hx, 17, 8) == F.lit("41564920")),
         F.lit("avi"),
+    ).when(
+        hx.startswith("52494646") & (F.substring(hx, 17, 8) == F.lit("57454250")),
+        F.lit("webp"),
     )
     for name, prefix in reversed(_MAGIC):
         expr = F.when(hx.startswith(prefix), F.lit(name)).otherwise(expr)

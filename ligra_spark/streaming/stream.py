@@ -92,7 +92,7 @@ def stream_media_features(
         .parquet(media_dir)
     )
     routed = with_media_format(media).filter(
-        F.col("format").isin("jpeg", "png", "gif", "bmp", "ppm", "tiff")
+        F.col("format").isin("jpeg", "png", "gif", "bmp", "ppm", "tiff", "webp")
     )
     return image_features(
         routed.select("media_id", "payload"), fake=False, on_error=on_error

@@ -160,7 +160,7 @@ def _fuzz_cases(good: bytes, rng) -> list[bytes]:
 
 
 @pytest.mark.parametrize(
-    "codec", ["jpeg", "jpeg_prog", "png", "gif", "tiff", "wav", "avi"]
+    "codec", ["jpeg", "jpeg_prog", "png", "gif", "tiff", "webp", "wav", "avi"]
 )
 def test_fuzz_decoders_fail_cleanly(codec):
     """Every decoder either returns a valid array or raises
@@ -196,6 +196,15 @@ def test_fuzz_decoders_fail_cleanly(codec):
         from ligra_spark.functions.tiff import decode_tiff as dec, encode_tiff
 
         good = encode_tiff(rng.randint(0, 256, (7, 11, 3)).astype(np.uint8))
+    elif codec == "webp":
+        from ligra_spark.functions.webp import (
+            decode_webp as dec,
+            encode_webp_lossless,
+        )
+
+        good = encode_webp_lossless(
+            rng.randint(0, 256, (9, 7, 3)).astype(np.uint8)
+        )
     elif codec == "wav":
         from ligra_spark.functions.multimodal import _decode_wav_pcm as dec
 
@@ -215,7 +224,7 @@ def test_fuzz_decoders_fail_cleanly(codec):
             continue
         # a successful decode of a mutated payload is fine as long as
         # the result is sane and bounded
-        if codec in ("jpeg", "jpeg_prog", "png", "gif", "tiff"):
+        if codec in ("jpeg", "jpeg_prog", "png", "gif", "tiff", "webp"):
             assert out.ndim == 3 and out.shape[2] == 3
             assert out.shape[0] <= 1 << 16 and out.shape[1] <= 1 << 16
 
@@ -227,6 +236,7 @@ def test_with_media_format_sniffing(spark):
     from ligra_spark.functions.multimodal import with_media_format
     from ligra_spark.functions.png import encode_png
     from ligra_spark.functions.video import encode_mjpeg_avi
+    from ligra_spark.functions.webp import encode_webp_lossless
 
     pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
     img = np.arange(64, dtype=np.uint8).reshape(8, 8)
@@ -238,7 +248,8 @@ def test_with_media_format_sniffing(spark):
         (4, _pcm_wav(8), "wav"),
         (5, encode_mjpeg_avi([_good_jpeg(5)], 1_000_000), "avi"),
         (6, b"\x00nothing-to-see", "unknown"),
-        (7, b"RIFF\x04\x00\x00\x00XXXX", "unknown"),  # RIFF, not wav/avi
+        (7, b"RIFF\x04\x00\x00\x00XXXX", "unknown"),  # RIFF, not wav/avi/webp
+        (8, encode_webp_lossless(img), "webp"),
     ]
     media = spark.createDataFrame(
         pd.DataFrame(

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..engine import IterState, edge_map
+from ..engine import IterState, edge_map, msgs_join_side
 
 __all__ = ["bfs_levels"]
 
@@ -52,7 +52,7 @@ def bfs_levels(
         )
         nxt = lvl + 1
         new = (
-            st.df.join(msgs.hint("shuffle_hash"), "id", "left")
+            st.df.join(msgs_join_side(msgs, fsize, graph.n), "id", "left")
             .select(
                 "id",
                 F.when(

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..engine import IterState, edge_map
+from ..engine import IterState, edge_map, msgs_join_side
 
 __all__ = ["bfscc"]
 
@@ -83,7 +83,7 @@ def bfscc(
             )
             is_root = F.col("id") == root if first else F.lit(False)
             claim = F.col("label").isNull() & (F.col("agg").isNotNull() | is_root)
-            new = st.df.join(msgs.hint("shuffle_hash"), "id", "left").select(
+            new = st.df.join(msgs_join_side(msgs, fsize, graph.n), "id", "left").select(
                 "id",
                 F.when(claim, F.lit(root))
                 .otherwise(F.col("label"))

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..buckets import Buckets
-from ..engine import IterState, edge_map
+from ..engine import IterState, edge_map, msgs_join_side
 
 __all__ = ["delta_stepping"]
 
@@ -60,7 +60,7 @@ def delta_stepping(
         improved = F.col("agg").isNotNull() & (
             F.col("dist").isNull() | (F.col("agg") < F.col("dist"))
         )
-        new = st.df.join(msgs.hint("shuffle_hash"), "id", "left").select(
+        new = st.df.join(msgs_join_side(msgs, fsize, graph.n), "id", "left").select(
             "id",
             F.when(improved, F.col("agg")).otherwise(F.col("dist")).alias("dist"),
             # improved → (re-)enter bucket new_dist/delta; processed

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..engine import IterState, edge_map
+from ..engine import IterState, edge_map, msgs_join_side
 
 __all__ = ["ecc_estimate", "ecc_exact", "ecc_kbfs", "ecc_simple_approx"]
 
@@ -64,7 +64,7 @@ def _kbfs_wave(
             extra_frontier_cols=("mask",),
         )
         new = (
-            st.df.join(msgs.hint("shuffle_hash"), "id", "left")
+            st.df.join(msgs_join_side(msgs, fsize, graph.n), "id", "left")
             .select(
                 "id",
                 F.col("mask")

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..engine import IterState, edge_map
+from ..engine import IterState, edge_map, msgs_join_side
 
 __all__ = ["ecc_fm", "fm_mask_udf"]
 
@@ -94,7 +94,7 @@ def ecc_fm(
             extra_frontier_cols=("visited",),
         )
         new = (
-            synced.join(msgs.hint("shuffle_hash"), "id", "left")
+            synced.join(msgs_join_side(msgs, fsize, graph.n), "id", "left")
             .select(
                 "id",
                 "visited",

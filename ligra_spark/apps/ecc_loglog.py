@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..engine import IterState, edge_map_multi
+from ..engine import IterState, edge_map_multi, msgs_join_side
 
 __all__ = ["ecc_loglog", "loglog_mask_udf"]
 
@@ -116,7 +116,7 @@ def ecc_loglog(
             ]
         )
         new = (
-            synced.join(msgs.hint("shuffle_hash"), "id", "left")
+            synced.join(msgs_join_side(msgs, fsize, graph.n), "id", "left")
             .select("id", "visited", to_write.alias("_tw"), "nxt", "ecc")
             .select(
                 "id",

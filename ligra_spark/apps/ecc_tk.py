@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..engine import IterState, edge_map
+from ..engine import IterState, edge_map, msgs_join_side
 
 __all__ = ["ecc_tk"]
 
@@ -83,7 +83,7 @@ def _combined_bfs(
             graph, frontier, message=F.lit(1), aggregate=F.min,
         )
         nxt = lvl + 1
-        new = st.df.join(msgs.hint("shuffle_hash"), "id", "left").select(
+        new = st.df.join(msgs_join_side(msgs, fsize, graph.n), "id", "left").select(
             "id",
             F.when(
                 F.col("level").isNull() & F.col("agg").isNotNull(), F.lit(nxt)

@@ -38,7 +38,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..engine import IterState, edge_map
+from ..engine import IterState, edge_map, msgs_join_side
 from .ecc import _signed64
 
 __all__ = ["harmonic_from_sources"]
@@ -112,7 +112,7 @@ def harmonic_from_sources(
         newly = F.col("new_mask").bitwiseAND(F.bitwise_not(F.col("mask")))
         pc = F.bit_count(newly).cast("long")
         new = (
-            st.df.join(msgs.hint("shuffle_hash"), "id", "left")
+            st.df.join(msgs_join_side(msgs, fsize, graph.n), "id", "left")
             .select(
                 "id",
                 F.col("mask")

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..buckets import Buckets
-from ..engine import IterState, edge_map
+from ..engine import IterState, edge_map, msgs_join_side
 
 __all__ = ["kcore_julienne"]
 
@@ -53,7 +53,7 @@ def kcore_julienne(graph, on_superstep=None) -> tuple[DataFrame, int]:
         peel = F.col("bucket") == k
         live = F.col("bucket").isNotNull() & ~peel
         new_deg = F.greatest(F.col("deg") - F.coalesce("agg", F.lit(0)), F.lit(k))
-        new = st.df.join(cnt.hint("shuffle_hash"), "id", "left").select(
+        new = st.df.join(msgs_join_side(cnt, fsize, graph.n), "id", "left").select(
             "id",
             F.when(live, new_deg).otherwise(F.col("deg")).alias("deg"),
             F.when(peel, F.lit(None))

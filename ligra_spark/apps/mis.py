@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..engine import IterState, edge_map
+from ..engine import IterState, edge_map, msgs_join_side
 
 __all__ = ["mis"]
 
@@ -35,7 +35,7 @@ def mis(graph, max_iters: int = 10_000, on_superstep=None) -> tuple[DataFrame, i
             aggregate=F.min,
             frontier_size=n_live,
         )
-        with_min = st.df.join(msgs.hint("shuffle_hash"), "id", "left").select(
+        with_min = st.df.join(msgs_join_side(msgs, n_live, graph.n), "id", "left").select(
             "id",
             "live",
             "in_set",

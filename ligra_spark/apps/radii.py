@@ -15,7 +15,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..engine import IterState, edge_map
+from ..engine import IterState, edge_map, msgs_join_side
 from ..hashing import hash_int32
 
 __all__ = ["radii"]
@@ -73,7 +73,7 @@ def radii(
             extra_frontier_cols=("visited",),
         )
         new = (
-            synced.join(msgs.hint("shuffle_hash"), "id", "left")
+            synced.join(msgs_join_side(msgs, fsize, graph.n), "id", "left")
             .select(
                 "id",
                 "visited",

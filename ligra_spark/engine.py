@@ -49,6 +49,7 @@ __all__ = [
     "vertex_filter",
     "IterState",
     "cut_lineage",
+    "msgs_join_side",
     "SPARSE_DENSE_FRACTION",
 ]
 
@@ -57,6 +58,26 @@ __all__ = [
 # row count is below this fraction of m (broadcast cost ~ frontier
 # size; dense co-partitioned join cost ~ state size).
 SPARSE_DENSE_FRACTION = 1.0 / 20.0
+
+
+def msgs_join_side(msgs: DataFrame, frontier_size: int | None, n: int):
+    """Hint policy for the per-superstep ``state ⋈ msgs`` join.
+
+    Big frontiers: the shuffle_hash hint keeps the n-row state off the
+    sort-merge path (sorting the state every superstep would dwarf the
+    join).  Small frontiers: NO hint, deliberately — msgs is bounded
+    by the frontier's fan-out, and with AQE on the runtime sees its
+    actual size and broadcasts it, so the state stays an in-place
+    cached scan instead of being shuffled n rows per superstep.  The
+    n/64 cut keeps worst-typical fan-out (avg-degree × frontier)
+    under the 64 MB broadcast threshold; a hub-heavy frontier that
+    still overflows it just falls back to AQE's own choice at
+    runtime.  This is the convergence-tail fix measured on
+    components (2→8-core efficiency 0.34 → 0.56 on a 16M-edge rMat)
+    generalized to every frontier app."""
+    if frontier_size is not None and frontier_size <= max(1024, n // 64):
+        return msgs
+    return msgs.hint("shuffle_hash")
 
 
 def edge_map(

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..engine import IterState, edge_map
+from ..engine import IterState, edge_map, msgs_join_side
 
 __all__ = ["components", "label_propagation"]
 
@@ -206,7 +206,7 @@ def label_propagation(
         )
         after_min = (
             st.df.select("id", "label")
-            .join(msgs.hint("shuffle_hash"), "id", "left")
+            .join(msgs_join_side(msgs, n_active, graph.n), "id", "left")
             .select(
                 "id",
                 F.col("label").alias("prev"),

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..engine import IterState, edge_map
+from ..engine import IterState, edge_map, msgs_join_side
 
 __all__ = ["pagerank", "pagerank_delta", "pagerank_weighted"]
 
@@ -255,7 +255,7 @@ def pagerank_delta(
             frontier_size=n_active,
             extra_frontier_cols=("share",),
         )
-        joined = st.df.join(msgs.hint("shuffle_hash"), "id", "left").withColumn(
+        joined = st.df.join(msgs_join_side(msgs, n_active, graph.n), "id", "left").withColumn(
             "ngh", F.coalesce("agg", F.lit(0.0))
         )
         if it == 1:  # PR_Vertex_F_FirstRound, PageRankDelta.C:47-61

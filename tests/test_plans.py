@@ -93,6 +93,32 @@ def test_sparse_superstep_broadcasts_frontier(spark, tiny_graph):
     assert "BroadcastHashJoin" in plan.split("InMemoryRelation")[0], plan
 
 
+def test_msgs_join_side_policy(spark, tiny_graph):
+    """The state ⋈ msgs join policy (engine.msgs_join_side): a big
+    frontier pins shuffle-hash (the n-row state must never sort-merge
+    or broadcast), a convergence-tail frontier drops the hint so the
+    runtime can broadcast the actual (tiny) msgs and the state stays
+    an in-place scan."""
+    from ligra_spark.engine import edge_map, msgs_join_side
+
+    g = tiny_graph
+    state = g.vertices.select("id", F.col("id").alias("val"))
+    frontier = g.vertices.select("id")
+    msgs = edge_map(g, frontier, message=F.lit(1), aggregate=F.min,
+                    frontier_size=g.n)
+    # above the max(1024, n//64) cut -> hinted (the tiny fixture's n
+    # is below the 1024 floor, so pass an explicit big frontier count)
+    dense = state.join(msgs_join_side(msgs, 2048, g.n), "id", "left")
+    head = _tree_head(_plan(dense))
+    assert "ShuffledHashJoin" in head, head
+    # sparse: no hint — the optimizer is free to broadcast msgs; the
+    # contract here is the ABSENCE of the forced shuffle on the state
+    sparse_msgs = msgs_join_side(msgs, 2, g.n)
+    sparse = state.join(sparse_msgs, "id", "left")
+    head2 = _tree_head(_plan(sparse))
+    assert "ShuffledHashJoin" not in head2 or "Broadcast" in head2, head2
+
+
 @pytest.fixture(scope="module")
 def small_emb(spark):
     import numpy as np

@@ -2080,8 +2080,8 @@ def _q_doc_media_format(spark, sf):
     """JVM-side magic-byte format sniffing (``with_media_format`` —
     hex-prefix compares, no Python, no decode) over a mixed corpus of
     REAL encoder outputs: each doc gets a jpeg/png/gif/ppm/wav/avi/
-    unknown payload by doc_id mod 7; the oracle states the expected
-    routing directly."""
+    webp/unknown payload by doc_id mod 8; the oracle states the
+    expected routing directly."""
     import struct
 
     import pandas as pd
@@ -2104,7 +2104,7 @@ def _q_doc_media_format(spark, sf):
         out = []
         for i, d in zip(ids, digests):
             d = bytes(d)
-            kind = int(i) % 7
+            kind = int(i) % 8
             img8 = np.frombuffer((d * 2)[:64], dtype=np.uint8).reshape(8, 8)
             if kind == 0:
                 grid = np.frombuffer(d[:4], dtype=np.uint8).reshape(2, 2)
@@ -2132,6 +2132,10 @@ def _q_doc_media_format(spark, sf):
                     np.kron(grid, np.ones((8, 8), dtype=np.uint8)), quant=8
                 )
                 out.append(encode_mjpeg_avi([frame], 1_000_000))
+            elif kind == 6:
+                from ligra_spark.functions.webp import encode_webp_lossless
+
+                out.append(encode_webp_lossless(img8))
             else:
                 out.append(b"\x00" + d)  # 0x00 prefix: no magic matches
         return pd.Series(out)
@@ -5144,9 +5148,10 @@ def _oracle_sql_gate() -> dict[str, str]:
         # the mixed-fixture construction maps doc_id mod 7 to a format
         "doc_media_format": (
             "SELECT doc_id AS media_id,\n"
-            "  CASE doc_id % 7 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'\n"
+            "  CASE doc_id % 8 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'\n"
             "    WHEN 2 THEN 'gif' WHEN 3 THEN 'ppm' WHEN 4 THEN 'wav'\n"
-            "    WHEN 5 THEN 'avi' ELSE 'unknown' END AS format\n"
+            "    WHEN 5 THEN 'avi' WHEN 6 THEN 'webp'\n"
+            "    ELSE 'unknown' END AS format\n"
             "FROM documents"
         ),
         # frame k of the AVI decodes to uniform blocks at digest bytes

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..buckets import Buckets
-from ..engine import IterState
+from ..engine import IterState, msgs_join_side
 from ..hygra import HyperGraph, hyperedge_prop, vertex_prop
 
 __all__ = [
@@ -65,7 +65,7 @@ def hyper_bfs(
         frontier = stv.df.filter(F.col("level") == vlvl).select("id")
         msgs = vertex_prop(hg, frontier, F.lit(1), F.min, frontier_size=fsize)
         hlvl = vlvl + 1
-        newh = sth.df.join(msgs.hint("shuffle_hash"), "id", "left").select(
+        newh = sth.df.join(msgs_join_side(msgs, fsize, hg.nh), "id", "left").select(
             "id",
             F.when(F.col("level").isNull() & F.col("agg").isNotNull(), F.lit(hlvl))
             .otherwise(F.col("level"))
@@ -84,7 +84,7 @@ def hyper_bfs(
         hfrontier = sth.df.filter(F.col("level") == hlvl).select("id")
         msgs = hyperedge_prop(hg, hfrontier, F.lit(1), F.min, frontier_size=fsize)
         nxt = hlvl + 1
-        newv = stv.df.join(msgs.hint("shuffle_hash"), "id", "left").select(
+        newv = stv.df.join(msgs_join_side(msgs, fsize, hg.nv), "id", "left").select(
             "id",
             F.when(F.col("level").isNull() & F.col("agg").isNotNull(), F.lit(nxt))
             .otherwise(F.col("level"))
@@ -161,7 +161,7 @@ def hyper_bpath(
         frontier = stv.df.filter(F.col("level") == vlvl).select("id")
         msgs = vertex_prop(hg, frontier, F.lit(1), F.sum, frontier_size=fsize)
         hlvl = vlvl + 1
-        newh = sth.df.join(msgs.hint("shuffle_hash"), "id", "left").select(
+        newh = sth.df.join(msgs_join_side(msgs, fsize, hg.nh), "id", "left").select(
             "id",
             F.when(
                 F.col("level").isNull() & F.col("agg").isNotNull(),
@@ -191,7 +191,7 @@ def hyper_bpath(
         hfrontier = sth.df.filter(F.col("level") == hlvl).select("id")
         msgs = hyperedge_prop(hg, hfrontier, F.lit(1), F.min, frontier_size=fsize)
         nxt = hlvl + 1
-        newv = stv.df.join(msgs.hint("shuffle_hash"), "id", "left").select(
+        newv = stv.df.join(msgs_join_side(msgs, fsize, hg.nv), "id", "left").select(
             "id",
             F.when(F.col("level").isNull() & F.col("agg").isNotNull(), F.lit(nxt))
             .otherwise(F.col("level"))
@@ -239,7 +239,7 @@ def hyper_cc(
             hg, vfront, F.col("label"), F.min,
             frontier_size=n_changed_v, extra_frontier_cols=("label",),
         )
-        newh = sth.df.join(msgs.hint("shuffle_hash"), "id", "left").select(
+        newh = sth.df.join(msgs_join_side(msgs, n_changed_v, hg.nh), "id", "left").select(
             "id",
             # min(label, agg) with NULL = +inf on the label side
             F.when(
@@ -268,7 +268,7 @@ def hyper_cc(
             hg, hfront, F.col("label"), F.min,
             frontier_size=n_changed_h, extra_frontier_cols=("label",),
         )
-        newv = stv.df.join(msgs.hint("shuffle_hash"), "id", "left").select(
+        newv = stv.df.join(msgs_join_side(msgs, n_changed_h, hg.nv), "id", "left").select(
             "id",
             F.when(
                 F.col("agg").isNotNull(), F.least(F.col("label"), F.col("agg"))
@@ -538,7 +538,7 @@ def hyper_bc(
             frontier_size=fsize, extra_frontier_cols=("sigma",),
         )
         hlvl = vlvl + 1
-        newh = sth.df.join(msgs.hint("shuffle_hash"), "id", "left").select(
+        newh = sth.df.join(msgs_join_side(msgs, fsize, hg.nh), "id", "left").select(
             "id",
             F.when(F.col("level").isNull() & F.col("agg").isNotNull(), F.lit(hlvl))
             .otherwise(F.col("level"))
@@ -564,7 +564,7 @@ def hyper_bc(
             frontier_size=fsize, extra_frontier_cols=("sigma",),
         )
         nxt = hlvl + 1
-        newv = stv.df.join(msgs.hint("shuffle_hash"), "id", "left").select(
+        newv = stv.df.join(msgs_join_side(msgs, fsize, hg.nv), "id", "left").select(
             "id",
             F.when(F.col("level").isNull() & F.col("agg").isNotNull(), F.lit(nxt))
             .otherwise(F.col("level"))
@@ -720,7 +720,7 @@ def hyper_kcore_efficient(
         peel = F.col("bucket") == k
         live = F.col("bucket").isNotNull() & ~peel
         new_deg = F.greatest(F.col("deg") - F.coalesce("agg", F.lit(0)), F.lit(k))
-        new_v = stv.df.join(cnt.hint("shuffle_hash"), "id", "left").select(
+        new_v = stv.df.join(msgs_join_side(cnt, n_newly, hg.nv), "id", "left").select(
             "id",
             F.when(live, new_deg).otherwise(F.col("deg")).cast("long").alias("deg"),
             F.when(peel, F.lit(None))
@@ -772,7 +772,7 @@ def hyper_sssp(
             hg, frontier, F.col("dist") + F.col("weight"), F.min,
             frontier_size=fsize, extra_frontier_cols=("dist",),
         )
-        newh = sth.df.join(msgs.hint("shuffle_hash"), "id", "left").select(
+        newh = sth.df.join(msgs_join_side(msgs, fsize, hg.nh), "id", "left").select(
             "id",
             F.when(
                 F.col("agg").isNotNull(),
@@ -799,7 +799,7 @@ def hyper_sssp(
             hg, hfrontier, F.col("dist") + F.col("weight"), F.min,
             frontier_size=fsize, extra_frontier_cols=("dist",),
         )
-        newv = stv.df.join(msgs.hint("shuffle_hash"), "id", "left").select(
+        newv = stv.df.join(msgs_join_side(msgs, fsize, hg.nv), "id", "left").select(
             "id",
             F.when(
                 F.col("agg").isNotNull(),

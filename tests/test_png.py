@@ -95,11 +95,17 @@ def test_palette_and_alpha_normalization():
 def test_scope_boundaries():
     img = np.zeros((8, 8), dtype=np.uint8)
     buf = bytearray(encode_png(img))
-    # flip interlace byte inside IHDR (offset: 8 sig + 8 hdr + 12)
+    # flip interlace byte inside IHDR (offset: 8 sig + 8 hdr + 12):
+    # the stream now parses as Adam7 but its pass layout is short —
+    # a clean contract error, not a crash (interlace itself decodes)
     buf[8 + 8 + 12] = 1
-    # CRC no longer matches but the decoder checks structure, not CRC
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_png(bytes(buf))
+    # invalid bit depth byte
+    buf2 = bytearray(encode_png(img))
+    buf2[8 + 8 + 8] = 3
+    with pytest.raises(ValueError):
+        decode_png(bytes(buf2))
     with pytest.raises(ValueError):
         decode_png(b"JUNK")
 
@@ -126,3 +132,75 @@ def test_image_features_over_real_png(spark):
     for i, m in means.items():
         assert (out[i]["height"], out[i]["width"], out[i]["channels"]) == (8, 8, 3)
         assert out[i]["mean_r"] == pytest.approx(m, abs=0)
+
+
+def test_adam7_interlaced_roundtrip():
+    # seven independently-filtered passes scattered back onto the grid
+    rng = np.random.RandomState(8)
+    for shape in [(8, 8), (13, 9), (16, 21, 3), (3, 3), (1, 10)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        out = decode_png(encode_png(img, interlace=True))
+        ref = decode_png(encode_png(img))
+        assert (out == ref).all(), shape
+
+
+def _chunk(ctype, body):
+    import struct
+    import zlib as z
+
+    return (
+        struct.pack(">I", len(body)) + ctype + body
+        + struct.pack(">I", z.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _hand_png(w, h, depth, color, rows_bytes, plte=None):
+    import struct
+    import zlib as z
+
+    from ligra_spark.functions.png import _SIG
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    out = _SIG + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte)
+    out += _chunk(b"IDAT", z.compress(rows_bytes)) + _chunk(b"IEND", b"")
+    return out
+
+
+def test_low_bit_depth_gray_and_palette():
+    # 1-bit gray, 10x2: bottom-up MSB-first packing; scaled to 0/255
+    rows = (
+        bytes([0, 0b10101010, 0b10000000])
+        + bytes([0, 0b00000111, 0b11000000])
+    )
+    out = decode_png(_hand_png(10, 2, 1, 0, rows))
+    assert list(out[0, :, 0] // 255) == [1, 0, 1, 0, 1, 0, 1, 0, 1, 0]
+    assert list(out[1, :, 0] // 255) == [0, 0, 0, 0, 0, 1, 1, 1, 1, 1]
+    # 4-bit palette, 5x1: indices 1..5
+    plte = bytes()
+    for i in range(16):
+        plte += bytes([i * 3, i * 3 + 1, i * 3 + 2])
+    rows4 = bytes([0, 0x12, 0x34, 0x50])
+    out4 = decode_png(_hand_png(5, 1, 4, 3, rows4, plte))
+    assert list(out4[0, :, 0]) == [3, 6, 9, 12, 15]
+    # 2-bit gray scaling: 0,1,2,3 -> 0,85,170,255
+    rows2 = bytes([0, 0b00011011])
+    out2 = decode_png(_hand_png(4, 1, 2, 0, rows2))
+    assert list(out2[0, :, 0]) == [0, 85, 170, 255]
+
+
+def test_16bit_png_high_byte():
+    import struct
+
+    # 2x1 RGB 16-bit: big-endian samples; decode keeps the high byte
+    px = struct.pack(">HHHHHH", 0xFF00, 0x1234, 0x0001, 0x8000, 0x7FFF, 0xABCD)
+    out = decode_png(_hand_png(2, 1, 16, 2, bytes([0]) + px))
+    assert list(out[0, 0]) == [0xFF, 0x12, 0x00]
+    assert list(out[0, 1]) == [0x80, 0x7F, 0xAB]
+
+
+def test_sub_byte_color_type_rejected():
+    # depth 4 is only legal for gray/palette; RGB at depth 4 must fail
+    with pytest.raises(ValueError):
+        decode_png(_hand_png(2, 1, 4, 2, bytes([0, 0x12])))

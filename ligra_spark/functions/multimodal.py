@@ -5,8 +5,8 @@ over ``mapInPandas``.
 The Spark side — schemas, partition-preserving batch iteration, UDF
 signatures, batch shapes — is real and tested.  The codec layer
 decodes NINE public formats NATIVELY with zero codec libraries:
-images — P6 PPM, JPEG incl. progressive (``jpeg.py``), 8-bit PNG
-(``png.py``, stdlib zlib), GIF (``gif.py``, LZW), BMP incl. RLE
+images — P6 PPM, JPEG incl. progressive (``jpeg.py``), PNG incl.
+Adam7 + all bit depths (``png.py``, stdlib zlib), GIF (``gif.py``, LZW), BMP incl. RLE
 (``bmp.py``), TIFF (``tiff.py``), lossless WebP (``webp.py``, VP8L);
 audio — RIFF/WAVE integer PCM, G.711 A-law/µ-law, IMA ADPCM
 (``adpcm.py``); video — MJPEG-in-AVI (``video.py``).  The remaining
@@ -206,7 +206,7 @@ def _decode_wav_pcm(buf: bytes) -> tuple[np.ndarray, int]:
 
 
 def _decode_image_bytes(payload: bytes, fake: bool) -> np.ndarray:
-    """Codec boundary.  P6 PPM, baseline JPEG, 8-bit PNG, GIF and BMP
+    """Codec boundary.  P6 PPM, JPEG, PNG, GIF and BMP
     decode NATIVELY (pure numpy / stdlib zlib); the remaining
     compressed formats (WebP/AVIF/...) need Pillow/ffmpeg, absent
     here, so they raise unless ``fake=True`` selects the

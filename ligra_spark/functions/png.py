@@ -36,7 +36,8 @@ _SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def decode_png(buf: bytes) -> np.ndarray:
-    """8-bit PNG → (H, W, 3) uint8.  See module docstring for scope."""
+    """PNG (all depths, plain or Adam7) → (H, W, 3) uint8.  See
+    module docstring for scope."""
     if buf[:8] != _SIG:
         raise ValueError("not a PNG payload (missing signature)")
     pos = 8
